@@ -1,0 +1,340 @@
+"""Arena & ROI calibration: scaling, geometry fits, and detection.
+
+Behavioral spec from deepof/arena_utils.py (studied, not copied):
+  - ``scales[key] = [x_center_mm, y_center_mm, length_px, length_mm]``
+    (arena_utils.py:79-84); arena params / ROIs are stored in mm and scaled
+    back to px for display (arena_utils.py:435-486);
+  - circular arenas are ellipses ``(center_xy, axes, angle)``; polygonal
+    arenas are vertex arrays;
+  - test mode substitutes fixed synthetic user inputs for every GUI path
+    (arena_utils.py:253-287), which is how headless CI runs;
+  - SAM-based autodetection (arena_utils.py:611-723) needs the
+    segment-anything package; when absent we fall back to a pure-OpenCV
+    contour detector over the median frame, which covers the common
+    high-contrast open-field videos.
+
+Interactive (GUI) annotation is host-side by nature and requires a display;
+it is gated behind ``arena_params`` injection so pipelines stay headless.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import warnings
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+# --------------------------------------------------------------------------- #
+# Geometry helpers
+# --------------------------------------------------------------------------- #
+
+
+def extract_corners_from_arena(ellipse_params: Tuple, n_points: int = 100) -> np.ndarray:
+    """Rasterize an ellipse arena (center, axes, angle_deg) into a polygon."""
+    center, axes, angle = ellipse_params
+    theta = np.linspace(0, 2 * np.pi, n_points, endpoint=False)
+    ang = np.deg2rad(angle)
+    x = axes[0] * np.cos(theta)
+    y = axes[1] * np.sin(theta)
+    xr = x * np.cos(ang) - y * np.sin(ang) + center[0]
+    yr = x * np.sin(ang) + y * np.cos(ang) + center[1]
+    return np.stack([xr, yr], axis=1)
+
+
+def fit_ellipse_to_polygon(polygon, return_ellipse: bool = True):
+    """Fit an ellipse to polygon vertices (cv2.fitEllipse)."""
+    pts = np.asarray(polygon, dtype=np.float32)
+    (cx, cy), (w, h), angle = cv2.fitEllipse(pts)
+    ellipse = ((cx, cy), (w / 2, h / 2), angle)
+    if return_ellipse:
+        return ellipse
+    return extract_corners_from_arena(ellipse)
+
+
+def simplify_polygon(polygon, n_points: int = None, relative_tolerance: float = 0.05):
+    """Simplify a dense polygon with cv2.approxPolyDP."""
+    pts = np.asarray(polygon, dtype=np.float32)
+    perimeter = cv2.arcLength(pts, True)
+    eps = relative_tolerance * perimeter
+    approx = cv2.approxPolyDP(pts, eps, True)[:, 0, :]
+    if n_points is not None and len(approx) > n_points:
+        step = len(approx) // n_points
+        approx = approx[::step][:n_points]
+    return approx
+
+
+def get_first_length(corners) -> float:
+    return math.dist(corners[0], corners[1])
+
+
+# --------------------------------------------------------------------------- #
+# mm <-> pixel scaling
+# --------------------------------------------------------------------------- #
+
+
+def scale_arenas_to_mm(arena_params: Dict, scales: Dict) -> Dict:
+    out = {}
+    for key, params in arena_params.items():
+        ratio = scales[key][3] / scales[key][2]
+        if isinstance(params, (np.ndarray, list)):
+            out[key] = np.array(params) * ratio
+        elif isinstance(params, tuple):
+            out[key] = (
+                tuple(np.array(params[0]) * ratio),
+                tuple(np.array(params[1]) * ratio),
+                params[2],
+            )
+        else:
+            raise ValueError("Could not scale arena to mm!")
+    return out
+
+
+def scale_arenas_to_pixel(arena_params: Dict, scales: Dict) -> Dict:
+    out = {}
+    for key, params in arena_params.items():
+        ratio = scales[key][2] / scales[key][3]
+        if isinstance(params, np.ndarray):
+            out[key] = np.round(np.array(params) * ratio).astype(int)
+        elif isinstance(params, tuple):
+            ellipse = (
+                tuple((np.array(params[0]) * ratio).astype(int)),
+                tuple((np.array(params[1]) * ratio).astype(int)),
+                params[2],
+            )
+            out[key] = np.round(extract_corners_from_arena(ellipse)).astype(int)
+        else:
+            raise ValueError("Could not scale arena to pixel!")
+    return out
+
+
+def scale_rois_to_mm(roi_dicts: Dict, scales: Dict) -> Dict:
+    return {
+        key: {
+            k: np.array(roi) * (scales[key][3] / scales[key][2])
+            for k, roi in rois.items()
+        }
+        for key, rois in roi_dicts.items()
+    }
+
+
+def scale_rois_to_pixel(roi_dicts: Dict, scales: Dict) -> Dict:
+    return {
+        key: {
+            k: np.round(np.array(roi) * (scales[key][2] / scales[key][3])).astype(int)
+            for k, roi in rois.items()
+        }
+        for key, rois in roi_dicts.items()
+    }
+
+
+# --------------------------------------------------------------------------- #
+# Automatic detection (video -> arena polygon)
+# --------------------------------------------------------------------------- #
+
+
+def median_frame(video_path: str, n_samples: int = 20) -> np.ndarray:
+    """Median of uniformly sampled frames (robust background estimate).
+
+    The reference medians 100 random frames before running SAM
+    (arena_utils.py:611-650); for fixture-sized videos fewer suffice.
+    """
+    cap = cv2.VideoCapture(video_path)
+    n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    idx = np.linspace(0, max(n_frames - 1, 0), min(n_samples, max(n_frames, 1)), dtype=int)
+    frames = []
+    for i in idx:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+        ok, frame = cap.read()
+        if ok:
+            frames.append(frame)
+    cap.release()
+    if not frames:
+        raise ValueError(f"Could not read frames from {video_path}")
+    return np.median(np.stack(frames), axis=0).astype(np.uint8)
+
+
+def detect_arena_contour(
+    frame: np.ndarray, arena_type: str
+) -> Tuple[np.ndarray, Optional[Tuple]]:
+    """Detect the arena as the largest high-contrast contour.
+
+    Pure-OpenCV fallback for when segment-anything is unavailable.
+    Returns (polygon_px, ellipse_or_None).
+    """
+    gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
+    blur = cv2.GaussianBlur(gray, (7, 7), 0)
+    _, thresh = cv2.threshold(blur, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    # Try both polarities; keep the largest contour that is not the full frame.
+    best = None
+    area_frame = gray.shape[0] * gray.shape[1]
+    for img in (thresh, 255 - thresh):
+        contours, _ = cv2.findContours(img, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+        for c in contours:
+            a = cv2.contourArea(c)
+            if 0.1 * area_frame < a < 0.98 * area_frame:
+                if best is None or a > cv2.contourArea(best):
+                    best = c
+    if best is None:  # pragma: no cover
+        h, w = gray.shape
+        poly = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]])
+        return poly, None
+
+    poly = best[:, 0, :].astype(float)
+    if "circular" in arena_type:
+        ellipse = fit_ellipse_to_polygon(poly)
+        return extract_corners_from_arena(ellipse), ellipse
+    return simplify_polygon(poly), None
+
+
+def _detect_with_sam(frame: np.ndarray, segmentation_model) -> np.ndarray:
+    """SAM-based arena mask -> contour (requires segment-anything)."""
+    predictor = segmentation_model  # pragma: no cover
+    predictor.set_image(frame)  # pragma: no cover
+    h, w = frame.shape[:2]  # pragma: no cover
+    masks, scores, _ = predictor.predict(  # pragma: no cover
+        point_coords=np.array([[w // 2, h // 2]]),
+        point_labels=np.array([1]),
+        multimask_output=True,
+    )
+    mask = masks[np.argmax(scores)].astype(np.uint8) * 255  # pragma: no cover
+    contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)  # pragma: no cover
+    return max(contours, key=cv2.contourArea)[:, 0, :].astype(float)  # pragma: no cover
+
+
+# --------------------------------------------------------------------------- #
+# Main entry point
+# --------------------------------------------------------------------------- #
+
+# Fixed synthetic user inputs substituted in test mode, matching the
+# reference's headless-CI fixtures (arena_utils.py:253-287).
+_TEST_POLY_SCALES = {"test2": [279.5, 213.5, 420.12, 380], "test": [279.5, 213.5, 420.12, 380]}
+_TEST_POLY_ARENAS = {
+    "test2": np.array([(108, 30), (539, 29), (533, 438), (104, 431)]),
+    "test": np.array([(108, 30), (323, 29), (539, 29), (533, 434), (323, 434), (104, 431)]),
+}
+_TEST_POLY_RES = {"test2": (480, 640), "test": (480, 640)}
+_TEST_POLY_ROIS = {
+    1: ((106, 230), (533, 230), (533, 438), (104, 431)),
+    2: ((106, 230), (323, 230), (323, 438), (104, 431)),
+}
+_TEST_CIRC_SCALES = {"test2": [300.0, 38.0, 252.0, 380], "test": [300.0, 38.0, 252.0, 380]}
+_TEST_CIRC_ELLIPSE = ((200, 195), (166, 169), 13.54)
+_TEST_CIRC_RES = {"test2": (404, 416), "test": (404, 416)}
+_TEST_CIRC_ROIS = {
+    1: ((145, 130), (145, 255), (260, 255), (260, 130)),
+    2: ((145, 190), (145, 255), (260, 255), (260, 190)),
+}
+
+
+def get_arenas(
+    coordinates,
+    arena: str,
+    arena_dims: float,
+    number_of_rois: int,
+    segmentation_model_path: Optional[str],
+    video_path: str,
+    videos: Dict[str, str] = None,
+    test: bool = False,
+    roi_dicts: Dict = None,
+    arena_params: Dict = None,
+    scales: Dict = None,
+):
+    """Arena calibration for every video.
+
+    Returns (scales, arena_params_mm, roi_dicts_mm, video_resolution).
+    """
+    if arena_params is not None and scales is not None:
+        # Editing path: parameters already known; store in mm.
+        arena_params_mm = scale_arenas_to_mm(
+            scale_arenas_to_pixel(arena_params, scales), scales
+        )
+        roi_mm = scale_rois_to_mm(roi_dicts, scales) if roi_dicts else {}
+        resolutions = {k: None for k in scales}
+        return scales, arena_params_mm, roi_mm, resolutions
+
+    if test:
+        if "polygonal" in arena:
+            scales = dict(_TEST_POLY_SCALES)
+            arena_params = {k: v.copy() for k, v in _TEST_POLY_ARENAS.items()}
+            video_resolution = dict(_TEST_POLY_RES)
+            roi_dicts = {"test": dict(_TEST_POLY_ROIS), "test2": dict(_TEST_POLY_ROIS)}
+        else:
+            scales = dict(_TEST_CIRC_SCALES)
+            arena_params = {
+                "test2": extract_corners_from_arena(_TEST_CIRC_ELLIPSE),
+                "test": _TEST_CIRC_ELLIPSE,
+            }
+            video_resolution = dict(_TEST_CIRC_RES)
+            roi_dicts = {"test": dict(_TEST_CIRC_ROIS), "test2": dict(_TEST_CIRC_ROIS)}
+        arena_params = scale_arenas_to_mm(arena_params, scales)
+        roi_dicts = scale_rois_to_mm(roi_dicts, scales)
+        return scales, arena_params, roi_dicts, video_resolution
+
+    if arena is None or not arena:
+        return None, None, None, None
+
+    if "autodetect" in arena:
+        scales, arena_params, video_resolution = {}, {}, {}
+        roi_dicts = {}
+        segmentation_model = _maybe_load_sam(segmentation_model_path)
+        for key, vid in (videos or {}).items():
+            frame = median_frame(os.path.join(video_path, vid))
+            h, w = frame.shape[:2]
+            video_resolution[key] = (h, w)
+            if segmentation_model is not None:  # pragma: no cover
+                poly = _detect_with_sam(frame, segmentation_model)
+                ellipse = (
+                    fit_ellipse_to_polygon(poly) if "circular" in arena else None
+                )
+                if ellipse is not None:
+                    poly = extract_corners_from_arena(ellipse)
+                else:
+                    poly = simplify_polygon(poly)
+            else:
+                poly, ellipse = detect_arena_contour(frame, arena)
+
+            if "circular" in arena and ellipse is not None:
+                length_px = 2 * float(np.mean(ellipse[1]))
+                center_px = np.array(ellipse[0])
+                arena_params[key] = ellipse
+            else:
+                length_px = get_first_length(poly)
+                center_px = np.mean(np.asarray(poly), axis=0)
+                arena_params[key] = np.asarray(poly)
+            ratio = arena_dims / length_px
+            scales[key] = [
+                float(center_px[0] * ratio),
+                float(center_px[1] * ratio),
+                float(length_px),
+                float(arena_dims),
+            ]
+            roi_dicts[key] = {}
+        arena_params = scale_arenas_to_mm(arena_params, scales)
+        roi_dicts = scale_rois_to_mm(roi_dicts, scales)
+        return scales, arena_params, roi_dicts, video_resolution
+
+    raise NotImplementedError(
+        "Manual arena annotation requires an interactive display. Provide "
+        "arena_params/scales directly, or use an -autodetect arena type."
+    )
+
+
+def _maybe_load_sam(segmentation_model_path: Optional[str]):
+    """Load a SAM predictor when segment-anything is importable; else None."""
+    try:  # pragma: no cover
+        from segment_anything import SamPredictor, sam_model_registry
+    except ImportError:
+        return None
+    if segmentation_model_path is None or not os.path.exists(segmentation_model_path):  # pragma: no cover
+        return None
+    sam = sam_model_registry["vit_h"](checkpoint=segmentation_model_path)  # pragma: no cover
+    sam.to(device="cpu")  # pragma: no cover
+    return SamPredictor(sam)  # pragma: no cover

@@ -1,0 +1,201 @@
+"""Out-of-core table storage.
+
+Plays the role of the reference's DuckDB-backed store
+(deepof/data_loading.py:66-188 get_dt/save_dt and deepof/data_manager.py
+DataManager), rebuilt on HDF5: a TableDict value is either the in-memory
+object itself or a ``{"h5_file": path, "table": name}`` pointer, resolved
+transparently by ``get_dt``. Supports DataFrames (with tuple/MultiIndex
+columns), ndarrays, and tuples of ndarrays, plus metainfo-only and
+row-range loads for the very-large-project path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple, Union
+
+import h5py
+import numpy as np
+import pandas as pd
+
+_COLS_ATTR = "deepof_columns"
+_INDEX_ATTR = "deepof_index"
+_KIND_ATTR = "deepof_kind"
+
+
+def _encode_columns(columns) -> str:
+    enc = []
+    for c in columns:
+        if isinstance(c, tuple):
+            enc.append({"t": "tuple", "v": list(map(str, c))})
+        else:
+            enc.append({"t": "str", "v": str(c)})
+    return json.dumps(enc)
+
+
+def _decode_columns(payload: str):
+    cols = []
+    for item in json.loads(payload):
+        cols.append(tuple(item["v"]) if item["t"] == "tuple" else item["v"])
+    return cols
+
+
+def is_pointer(obj: Any) -> bool:
+    return isinstance(obj, dict) and "h5_file" in obj
+
+
+def save_dt(dt: Any, path: Optional[str], return_path: bool = False):
+    """Persist a table and (optionally) return a pointer to it.
+
+    Args:
+        dt: DataFrame | ndarray | tuple of ndarrays.
+        path: base path (no extension) to store under.
+        return_path: if True, write to HDF5 and return the pointer dict;
+            otherwise return ``dt`` unchanged (in-memory mode).
+    """
+    if not return_path or path is None:
+        return dt
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    h5_file = path + ".h5"
+    table = os.path.basename(path)
+
+    with h5py.File(h5_file, "w") as f:
+        if isinstance(dt, pd.DataFrame):
+            g = f.create_group(table)
+            g.create_dataset("values", data=dt.to_numpy(dtype=np.float64))
+            g.attrs[_KIND_ATTR] = "frame"
+            g.attrs[_COLS_ATTR] = _encode_columns(dt.columns)
+            g.attrs[_INDEX_ATTR] = json.dumps([str(i) for i in dt.index])
+        elif isinstance(dt, tuple):
+            g = f.create_group(table)
+            g.attrs[_KIND_ATTR] = "tuple"
+            for i, arr in enumerate(dt):
+                g.create_dataset(f"item_{i}", data=np.asarray(arr))
+        else:
+            g = f.create_group(table)
+            g.attrs[_KIND_ATTR] = "array"
+            g.create_dataset("values", data=np.asarray(dt))
+
+    return {"h5_file": h5_file, "table": table}
+
+
+def get_dt(
+    tab_dict: dict,
+    key: str,
+    return_path: bool = False,
+    only_metainfo: bool = False,
+    load_range: Optional[Tuple[int, int]] = None,
+):
+    """Resolve a TableDict value, loading from HDF5 if it is a pointer.
+
+    Args:
+        tab_dict: mapping of experiment id -> table or pointer.
+        key: experiment id.
+        return_path: also return the pointer (or None for in-memory).
+        only_metainfo: return {"shape":..., "columns":...} without data.
+        load_range: (start, end) inclusive row range to load.
+    """
+    entry = tab_dict[key]
+
+    if not is_pointer(entry):
+        obj = entry
+        if only_metainfo:
+            obj = _metainfo_inmem(obj)
+        elif load_range is not None:
+            obj = _slice_obj(obj, load_range)
+        return (obj, None) if return_path else obj
+
+    h5_file, table = entry["h5_file"], entry["table"]
+    with h5py.File(h5_file, "r") as f:
+        g = f[table]
+        kind = g.attrs[_KIND_ATTR]
+        if only_metainfo:
+            if kind == "tuple":
+                shapes = [g[k].shape for k in sorted(g.keys())]
+                meta = {"shape": shapes, "columns": None, "num_rows": shapes[0][0]}
+            else:
+                shape = g["values"].shape
+                cols = (
+                    _decode_columns(g.attrs[_COLS_ATTR])
+                    if _COLS_ATTR in g.attrs
+                    else None
+                )
+                meta = {
+                    "shape": shape,
+                    "columns": cols,
+                    "num_cols": shape[1] if len(shape) > 1 else 1,
+                    "num_rows": shape[0],
+                    "start_time": None,
+                    "end_time": None,
+                }
+                if _INDEX_ATTR in g.attrs:
+                    index = json.loads(g.attrs[_INDEX_ATTR])
+                    if index:
+                        meta["start_time"], meta["end_time"] = index[0], index[-1]
+            return (meta, entry) if return_path else meta
+
+        sl = slice(None)
+        if load_range is not None:
+            if np.ndim(load_range) > 1 or (
+                hasattr(load_range, "__len__") and len(load_range) != 2
+            ):
+                sl = np.asarray(load_range)
+            else:
+                sl = slice(int(load_range[0]), int(load_range[1]) + 1)
+
+        if kind == "tuple":
+            obj = tuple(g[k][sl] for k in sorted(g.keys()))
+        elif kind == "frame":
+            values = g["values"][sl]
+            cols = _decode_columns(g.attrs[_COLS_ATTR])
+            index = json.loads(g.attrs[_INDEX_ATTR])
+            if isinstance(sl, slice):
+                index = index[sl]
+            else:
+                index = [index[i] for i in np.atleast_1d(sl)]
+            if cols and all(isinstance(c, tuple) for c in cols):
+                columns = pd.MultiIndex.from_tuples(cols)
+            else:
+                columns = cols
+            obj = pd.DataFrame(values, columns=columns, index=index)
+        else:
+            obj = g["values"][sl]
+
+    return (obj, entry) if return_path else obj
+
+
+def _metainfo_inmem(obj):
+    if isinstance(obj, pd.DataFrame):
+        meta = {
+            "shape": obj.shape,
+            "columns": list(obj.columns),
+            "num_cols": obj.shape[1],
+            "num_rows": obj.shape[0],
+            "start_time": str(obj.index[0]) if len(obj) else None,
+            "end_time": str(obj.index[-1]) if len(obj) else None,
+        }
+        return meta
+    if isinstance(obj, tuple):
+        return {"shape": [np.shape(o) for o in obj], "columns": None,
+                "num_rows": np.shape(obj[0])[0] if obj else 0}
+    arr = np.asarray(obj)
+    return {
+        "shape": arr.shape,
+        "columns": None,
+        "num_cols": arr.shape[1] if arr.ndim > 1 else 1,
+        "num_rows": arr.shape[0] if arr.ndim > 0 else 0,
+    }
+
+
+def _slice_obj(obj, load_range):
+    if hasattr(load_range, "__len__") and len(load_range) == 2 and np.ndim(load_range) == 1:
+        sl = slice(int(load_range[0]), int(load_range[1]) + 1)
+    else:
+        sl = np.asarray(load_range)
+    if isinstance(obj, pd.DataFrame):
+        return obj.iloc[sl]
+    if isinstance(obj, tuple):
+        return tuple(np.asarray(o)[sl] for o in obj)
+    return np.asarray(obj)[sl]

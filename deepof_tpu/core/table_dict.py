@@ -1,0 +1,547 @@
+"""TableDict: the dataset container that travels between every layer.
+
+API-compatible rebuild of the reference's TableDict
+(deepof/data.py:3407-4045): a dict of {experiment_id: DataFrame | ndarray |
+storage pointer} with dataset metadata, filters, merges, projections, a
+video-level train/test split, and the preprocess pipeline (bin -> fit global
+scaler -> scale -> sliding windows) that feeds model training.
+
+The preprocess pipeline keeps the reference's exact scaling semantics
+(local two-stage scale_table + global scalers fitted on sampled rows,
+deepof/utils.py:2665-3028) but extracts windows as device gathers.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import warnings
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+import deepof_tpu.utils as dutils
+from deepof_tpu.core.storage import get_dt, save_dt
+from deepof_tpu.ops.windows import aggregate_windows_labels
+
+
+class TableDict(dict):
+    """Dict of per-experiment tables with dataset-level metadata."""
+
+    def __init__(
+        self,
+        tabs: Dict,
+        typ: str,
+        table_path: str = None,
+        arena: str = None,
+        arena_dims=None,
+        animal_ids: List = tuple([""]),
+        center: str = None,
+        connectivity=None,
+        polar: bool = None,
+        exp_conditions: dict = None,
+        shapes: Dict = None,
+    ):
+        super().__init__(tabs)
+        self._type = typ
+        self._center = center
+        self._connectivity = connectivity
+        self._polar = polar
+        self._arena = arena
+        self._arena_dims = arena_dims
+        self._animal_ids = animal_ids
+        self._exp_conditions = exp_conditions
+        self._table_path = table_path
+        self._shapes = shapes or {}
+
+    # ------------------------------------------------------------------ #
+    # Filters
+    # ------------------------------------------------------------------ #
+
+    def new_dict_same_header(self, tabs: dict = None, only_keys: bool = False):
+        """New TableDict with this one's metadata."""
+        if tabs is None and only_keys:
+            tabs = {key: None for key in self.keys()}
+        elif tabs is None:
+            tabs = {}
+        return TableDict(
+            tabs,
+            typ=self._type,
+            table_path=self._table_path,
+            arena=self._arena,
+            arena_dims=self._arena_dims,
+            animal_ids=self._animal_ids,
+            center=self._center,
+            connectivity=self._connectivity,
+            polar=self._polar,
+            exp_conditions=self._exp_conditions,
+        )
+
+    def filter_videos(self, keys: list) -> "TableDict":
+        """Subset to the given experiment keys."""
+        assert all(k in self.keys() for k in keys), "Invalid keys selected"
+        return self.new_dict_same_header({k: v for k, v in self.items() if k in keys})
+
+    def filter_condition(self, exp_filters: dict) -> "TableDict":
+        """Subset to videos matching the given experimental conditions."""
+        table = self
+        for cond, value in exp_filters.items():
+            filtered = {
+                k: v
+                for k, v in table.items()
+                if table._exp_conditions is not None
+                and k in table._exp_conditions
+                and np.all(table._exp_conditions[k][cond].values == value)
+            }
+            new = table.new_dict_same_header(filtered)
+            new._exp_conditions = {
+                k: v
+                for k, v in (table._exp_conditions or {}).items()
+                if k in filtered
+            }
+            table = new
+        return table
+
+    def filter_id(self, selected_id: str = None) -> "TableDict":
+        """Keep only one animal's columns in every table."""
+        tabs = {}
+        for key, val in self.items():
+            tab = get_dt({key: val}, key)
+            tabs[key] = dutils.filter_animal_id_in_table(tab, selected_id, self._type)
+        return self.new_dict_same_header(tabs)
+
+    # ------------------------------------------------------------------ #
+    # Projections
+    # ------------------------------------------------------------------ #
+
+    def _prepare_projection(self) -> Tuple[np.ndarray, Any]:
+        x = {k: np.mean(np.asarray(get_dt(self, k), dtype=float), axis=0) for k in self.keys()}
+        x = np.stack(list(x.values()), axis=0)
+        return x, None
+
+    def _projection(self, projection_type: str, n_components: int = 2, kernel: str = None):
+        x, labels = self._prepare_projection()
+        if projection_type == "random":
+            from sklearn import random_projection
+
+            proj = random_projection.GaussianRandomProjection(n_components=n_components)
+        elif projection_type == "pca":
+            from sklearn.decomposition import KernelPCA
+
+            proj = KernelPCA(n_components=n_components, kernel=kernel)
+        elif projection_type == "umap":  # pragma: no cover
+            try:
+                import umap as umap_lib
+            except ImportError as e:
+                raise ImportError("UMAP projections require the optional 'umap-learn' package.") from e
+            proj = umap_lib.UMAP(n_components=n_components)
+        else:
+            raise ValueError(f"Unknown projection {projection_type}")
+        x = proj.fit_transform(x)
+        if labels is not None:
+            return x, labels, proj
+        return x, proj
+
+    def random_projection(self, n_components: int = 2, kernel: str = "linear"):
+        return self._projection("random", n_components=n_components, kernel=kernel)
+
+    def pca(self, n_components: int = 2, kernel: str = "linear"):
+        return self._projection("pca", n_components=n_components, kernel=kernel)
+
+    def umap(self, n_components: int = 2):  # pragma: no cover
+        return self._projection("umap", n_components=n_components)
+
+    # ------------------------------------------------------------------ #
+    # Merge / split
+    # ------------------------------------------------------------------ #
+
+    def merge(self, *args, ignore_index=False, file_name="merged", save_as_paths=False):
+        """Concatenate several TableDicts column-wise per experiment."""
+        dicts = [self] + list(args)
+        merged = {}
+        for key in self.keys():
+            tabs = [get_dt(td, key) for td in dicts]
+            merged_tab = pd.concat(tabs, axis=1, join="inner")
+            path = (
+                os.path.join(self._table_path, key, f"{key}_{file_name}")
+                if self._table_path
+                else None
+            )
+            merged[key] = save_dt(merged_tab, path, save_as_paths)
+        out = TableDict(
+            merged, typ="merged", table_path=self._table_path,
+            connectivity=self._connectivity,
+        )
+        out._animal_ids = self._animal_ids
+        return out
+
+    def get_training_set(
+        self, current_table_dict: "TableDict", test_videos: Union[int, list] = 0
+    ) -> tuple:
+        """Video-level train/test split (seeded identically to the
+        reference, deepof/data.py:3706-3757)."""
+        keys = np.array(list(current_table_dict.keys()))
+        if isinstance(test_videos, int):
+            np.random.seed(42)
+            test_indices = np.random.choice(
+                range(len(current_table_dict)), test_videos, replace=False
+            )
+            test_keys = keys[test_indices]
+        elif isinstance(test_videos, list) and all(k in keys for k in test_videos):
+            test_keys = test_videos
+        else:
+            raise ValueError(
+                "test_videos must be an int or a list of valid experiment keys."
+            )
+        train_keys = list(set(keys) - set(test_keys))
+
+        x_test = TableDict({}, current_table_dict._type, current_table_dict._table_path)
+        if len(test_keys) > 0:
+            x_test = current_table_dict.filter_videos(test_keys)
+            x_train = current_table_dict.filter_videos(train_keys)
+        else:
+            x_train = copy.deepcopy(current_table_dict)
+        return x_train, x_test, test_keys
+
+    # ------------------------------------------------------------------ #
+    # Preprocess: bin -> fit scaler -> scale -> window
+    # ------------------------------------------------------------------ #
+
+    def preprocess(
+        self,
+        coordinates,
+        window_size: int = None,
+        window_step: int = 1,
+        bin_size=None,
+        bin_index=None,
+        precomputed_bins=None,
+        samples_max: int = 227272,
+        scale: str = "standard",
+        pretrained_scaler=None,
+        test_videos: int = 0,
+        interpolate_normalized: int = 10,
+        filter_low_variance: bool = False,
+        file_name: str = "preprocessed",
+        save_as_paths: Optional[bool] = None,
+        shuffle: bool = False,
+        quality_to_load=None,
+        dist_standardize: str = "groupwise",
+        speed_standardize: str = "groupwise",
+        coord_standardize: str = "groupwise",
+        log_distances: bool = True,
+    ) -> tuple:
+        """Bin, scale (two-stage local + global), and window the dataset.
+
+        Returns ((X_train, X_test) TableDicts of (W, L, F) stacks, metainfo
+        dict, global_scaler dict) — same contract as the reference
+        (deepof/data.py:3773-3916).
+        """
+        if window_size is None:
+            window_size = int(np.round(coordinates._frame_rate))
+        if scale and scale not in dutils.SCALERS:
+            raise ValueError(f"Invalid scaler: {scale}")
+        if save_as_paths is None:
+            save_as_paths = bool(getattr(coordinates, "_very_large_project", False))
+
+        keys_list = sorted(self.keys())
+        animal_ids = coordinates._animal_ids
+
+        from deepof_tpu.visuals_utils import preprocess_time_bins
+
+        bin_info = preprocess_time_bins(
+            coordinates=coordinates,
+            bin_size=bin_size,
+            bin_index=bin_index,
+            precomputed_bins=precomputed_bins,
+            tab_dict_for_binning=self,
+            samples_max=samples_max,
+        )
+
+        # Pass 1: per-table local scaling; sample rows for the global fit.
+        rng = np.random.RandomState(2)
+        samples = {"speed": [], "dist": [], "coord": [], "inner": [], "intra": []}
+        valid_keys: List[str] = []
+
+        for key in keys_list:
+            tab = get_dt(self, key)
+            tab = tab.iloc[bin_info[key]]
+            if tab.isna().all().all():
+                continue
+            valid_keys.append(key)
+            tab = _filter_low_variance(tab, filter_low_variance)
+
+            if scale and pretrained_scaler is None:
+                local = dutils.scale_table(
+                    tab,
+                    scale=scale,
+                    animal_ids=animal_ids,
+                    standardize=True,
+                    dist_standardize=dist_standardize,
+                    speed_standardize=speed_standardize,
+                    coord_standardize=None,
+                    log_distances=log_distances,
+                )
+                ct = dutils.infer_column_types(local)
+                n_take = min(samples_max, len(local))
+                if n_take > 0:
+                    idx = rng.choice(len(local), size=n_take, replace=False)
+                    if speed_standardize and ct["speeds"]:
+                        _collect_section(local, samples["speed"], ct["speeds"], idx, speed_standardize)
+                    if dist_standardize and ct["dists"]:
+                        if dist_standardize == "per_column":
+                            _collect_section(local, samples["dist"], ct["dists"], idx, "per_column")
+                        else:
+                            if ct["inner_dists"]:
+                                _collect_section(local, samples["inner"], ct["inner_dists"], idx, "groupwise")
+                            if ct["intra_dists"]:
+                                _collect_section(local, samples["intra"], ct["intra_dists"], idx, "groupwise")
+                    coord_cols = [
+                        c for c in local.columns
+                        if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
+                    ]
+                    if coord_standardize and coord_cols:
+                        _collect_section(local, samples["coord"], coord_cols, idx, coord_standardize)
+
+        # Pass 2: fit the global scalers.
+        global_scaler = _fit_global_scaler(
+            scale, pretrained_scaler, samples,
+            dist_standardize, speed_standardize, coord_standardize,
+        )
+
+        # Pass 3: apply scaling per table.
+        table_temp = self.new_dict_same_header({})
+        for key in valid_keys:
+            tab = get_dt(self, key).iloc[bin_info[key]]
+            orig_cols = tab.columns
+            ct = dutils.infer_column_types(tab)
+
+            angle_cols = ct["angles"]
+            angles_df = tab[angle_cols].copy() if angle_cols else None
+            tab = tab.drop(columns=angle_cols, errors="ignore")
+            tab = _filter_low_variance(tab, filter_low_variance)
+
+            if scale:
+                tab = dutils.scale_table(
+                    tab,
+                    scale=scale,
+                    animal_ids=animal_ids,
+                    standardize=True,
+                    dist_standardize=dist_standardize,
+                    speed_standardize=speed_standardize,
+                    coord_standardize=None,
+                    log_distances=log_distances,
+                )
+                tab = _apply_global_scaler(
+                    tab, global_scaler,
+                    speed_standardize, dist_standardize, coord_standardize,
+                )
+                # Clip standardized outliers and re-interpolate.
+                if scale == "standard" and interpolate_normalized:
+                    clip_cols = list(dict.fromkeys(
+                        [c for c in ct["scalars"] if c in tab.columns]
+                        + [
+                            c for c in tab.columns
+                            if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
+                        ]
+                    ))
+                    if clip_cols:
+                        arr = np.array(tab[clip_cols].to_numpy(float))
+                        arr[np.abs(arr) > interpolate_normalized] = np.nan
+                        tab[clip_cols] = pd.DataFrame(
+                            arr, index=tab.index, columns=clip_cols
+                        ).interpolate(limit_direction="both")
+
+            if angles_df is not None:
+                angles_df = angles_df.interpolate(limit_direction="both")
+                tab = pd.concat([tab, angles_df], axis=1)
+            tab = tab.reindex(columns=orig_cols)
+            tab = _sanitize_numeric(tab)
+
+            path = (
+                os.path.join(self._table_path, key, f"{key}_{file_name}")
+                if self._table_path
+                else None
+            )
+            table_temp[key] = save_dt(tab, path, save_as_paths)
+
+        # Pass 4: split and window.
+        x_train, x_test, test_index = self.get_training_set(table_temp, test_videos)
+        x_train, train_shape = extract_windows(
+            x_train, window_size, window_step, save_as_paths, shuffle
+        )
+        if test_videos and len(test_index) > 0:
+            x_test, test_shape = extract_windows(
+                x_test, window_size, window_step, save_as_paths, shuffle
+            )
+        else:
+            test_shape = (0,)
+
+        metainfo = {
+            "shape_train": train_shape,
+            "shape_test": test_shape,
+            "dist_standardize": dist_standardize,
+            "speed_standardize": speed_standardize,
+            "coord_standardize": coord_standardize,
+        }
+        return (x_train, x_test), metainfo, global_scaler
+
+
+# --------------------------------------------------------------------------- #
+# Preprocess helpers
+# --------------------------------------------------------------------------- #
+
+
+def _filter_low_variance(tab: pd.DataFrame, threshold) -> pd.DataFrame:
+    if not threshold:
+        return tab
+    keep = list(np.where(tab.var(axis=0) > threshold)[0]) + [
+        i for i, c in enumerate(tab.columns) if str(c).lower().startswith("pheno")
+    ]
+    keep = sorted(set(keep))
+    return tab.iloc[:, keep]
+
+
+def _sanitize_numeric(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    num = out.select_dtypes(include=[np.number]).columns
+    if len(num) > 0:
+        out[num] = out[num].interpolate(limit_direction="both").fillna(0.0)
+    return out
+
+
+def _collect_section(local, bucket, cols, idx, mode):
+    arr = local[cols].to_numpy(float)[idx]
+    if mode == "per_column":
+        bucket.append(arr)
+    else:
+        bucket.append(arr.reshape(-1))
+
+
+def _fit_global_scaler(
+    scale, pretrained_scaler, samples,
+    dist_standardize, speed_standardize, coord_standardize,
+):
+    """Fit the global section scalers; returns the legacy dict format
+    {"kind", "speed", "dist", "dist_inner", "dist_intra", "coord"}."""
+    if pretrained_scaler is not None:
+        return pretrained_scaler
+    if not scale:
+        return None
+
+    def fit_2d(bucket):
+        if not bucket:
+            return None
+        sc = dutils.make_scaler(scale)
+        sc.fit(np.vstack(bucket))
+        return sc
+
+    def fit_1d(bucket):
+        if not bucket:
+            return None
+        sc = dutils.make_scaler(scale)
+        sc.fit(np.concatenate(bucket).reshape(-1, 1))
+        return sc
+
+    gs = {"kind": scale, "speed": None, "dist": None,
+          "dist_inner": None, "dist_intra": None, "coord": None}
+    if speed_standardize == "per_column":
+        gs["speed"] = fit_2d(samples["speed"])
+    elif speed_standardize == "groupwise":
+        gs["speed"] = fit_1d(samples["speed"])
+    if dist_standardize == "per_column":
+        gs["dist"] = fit_2d(samples["dist"])
+    elif dist_standardize == "groupwise":
+        gs["dist_inner"] = fit_1d(samples["inner"])
+        gs["dist_intra"] = fit_1d(samples["intra"])
+    if coord_standardize == "per_column":
+        gs["coord"] = fit_2d(samples["coord"])
+    elif coord_standardize == "groupwise":
+        gs["coord"] = fit_1d(samples["coord"])
+
+    if all(v is None for k, v in gs.items() if k != "kind"):
+        return None
+    return gs
+
+
+def _apply_global_scaler(
+    tab, global_scaler, speed_standardize, dist_standardize, coord_standardize
+):
+    if global_scaler is None:
+        return tab
+
+    def apply_1d(cols, scaler):
+        if not cols or scaler is None:
+            return
+        arr = tab[cols].to_numpy(float)
+        tab.loc[:, cols] = scaler.transform(arr.reshape(-1, 1)).reshape(arr.shape)
+
+    def apply_2d(cols, scaler):
+        if not cols or scaler is None:
+            return
+        tab.loc[:, cols] = scaler.transform(tab[cols].to_numpy(float))
+
+    ct = dutils.infer_column_types(tab)
+    if speed_standardize == "per_column":
+        apply_2d(ct["speeds"], global_scaler.get("speed"))
+    elif speed_standardize == "groupwise":
+        apply_1d(ct["speeds"], global_scaler.get("speed"))
+    if dist_standardize == "per_column":
+        apply_2d(ct["dists"], global_scaler.get("dist"))
+    elif dist_standardize == "groupwise":
+        apply_1d(ct["inner_dists"], global_scaler.get("dist_inner"))
+        apply_1d(ct["intra_dists"], global_scaler.get("dist_intra"))
+    coord_cols = [
+        c for c in tab.columns
+        if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
+    ]
+    if coord_standardize == "per_column":
+        apply_2d(coord_cols, global_scaler.get("coord"))
+    elif coord_standardize == "groupwise":
+        apply_1d(coord_cols, global_scaler.get("coord"))
+    return tab
+
+
+def extract_windows(
+    to_window: TableDict,
+    window_size: int,
+    window_step: int,
+    save_as_paths: bool = False,
+    shuffle: bool = False,
+    aggregate: str = None,
+) -> Tuple[TableDict, tuple]:
+    """Slide windows over every table; returns (windowed dict, total shape).
+
+    Matches the reference's extract_windows contract
+    (deepof/utils.py:3380-3470); aggregation supports None/mid/mean/wta/lta.
+    """
+    out_len, window_len, n_features = 0, 0, 0
+    for key in to_window.keys():
+        tab, tab_path = get_dt(to_window, key, True)
+        arr = np.asarray(tab)
+        n = arr.shape[0]
+        starts = np.arange(0, n - window_size + 1, window_step)
+        windows = np.stack([arr[s : s + window_size] for s in starts], axis=0) \
+            if len(starts) else np.zeros((0, window_size) + arr.shape[1:], arr.dtype)
+
+        if aggregate == "mid":
+            mid = windows.shape[1] // 2
+            windows = windows[:, mid : mid + 1]
+        elif aggregate == "mean":
+            windows = windows.mean(axis=1)[:, None, :]
+        elif aggregate in ("wta", "lta"):
+            windows = aggregate_windows_labels(windows.astype(int), aggregate)
+
+        if shuffle:
+            windows = windows[np.random.choice(len(windows), len(windows), replace=False)]
+
+        out_len += windows.shape[0]
+        window_len = windows.shape[1]
+        n_features = windows.shape[2] if windows.ndim > 2 else 1
+
+        path = None
+        if isinstance(tab_path, dict):
+            path = os.path.splitext(tab_path["h5_file"])[0]
+        to_window[key] = save_dt(windows, path, save_as_paths)
+
+    return to_window, (out_len, window_len, n_features)

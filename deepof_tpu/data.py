@@ -1,0 +1,1313 @@
+"""Project and Coordinates: the public pipeline API of deepof_tpu.
+
+API-compatible rebuild of deepof/data.py's Project (ingest + preprocess,
+:242-1563) and Coordinates (feature access, :1565-3404) — redesigned
+tensor-first: every per-frame computation (smoothing, outlier masking,
+imputation, mm scaling, distances/angles/areas, centering/alignment/speed)
+runs as ONE jitted XLA program over a batched ``(T, B, 2)`` keypoint tensor
+per video (vmapped across the cohort), instead of the reference's pandas
+per-DataFrame loops. DataFrames exist only at the public API boundary.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import pickle
+import re
+import warnings
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+import deepof_tpu.arena as arena_mod
+import deepof_tpu.utils as dutils
+from deepof_tpu import config
+from deepof_tpu.core.graph import BodyGraph, build_body_graph, connect_mouse
+from deepof_tpu.core.storage import get_dt, save_dt
+from deepof_tpu.core.table_dict import TableDict
+from deepof_tpu.io.readers import RawTable, load_table, natural_sorted
+from deepof_tpu.ops import (
+    align_trajectories,
+    all_pair_indices,
+    bridge_angles,
+    pairwise_distances,
+    polygon_areas,
+    remove_outliers,
+    rolling_speed,
+    savgol_smooth,
+    to_polar,
+)
+from deepof_tpu.ops.interp import masked_linear_interpolate
+from deepof_tpu.ops.geometry import point_in_polygon
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+CURRENT_VERSION = "0.1.0"
+
+
+# --------------------------------------------------------------------------- #
+# Jitted preprocessing core
+# --------------------------------------------------------------------------- #
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "smooth_polyorder",
+        "smooth_window",
+        "do_smooth",
+        "do_outliers",
+        "interp_limit",
+        "n_std",
+        "likelihood_tol",
+        "animal_slices",
+    ),
+)
+def _preprocess_positions(
+    pos: jnp.ndarray,
+    lik: jnp.ndarray,
+    do_smooth: bool,
+    smooth_window: int,
+    smooth_polyorder: int,
+    do_outliers: bool,
+    likelihood_tol: float,
+    n_std: float,
+    interp_limit: int,
+    animal_slices: Tuple[Tuple[int, int], ...],
+):
+    """Fused preprocess for one video: Savitzky-Golay -> outlier NaN ->
+    presence-masked linear interpolation -> missing-animal NaN.
+
+    Mirrors deepof/data.py:867-912 _apply_optional_transforms but as a
+    single compiled program.
+
+    Args:
+        pos: (T, B, 2) raw pixel positions.
+        lik: (T, B) likelihoods.
+        animal_slices: per-animal (start, stop) column ranges.
+
+    Returns:
+        (positions (T, B, 2), presence (T, A) bool)
+    """
+    t, b, _ = pos.shape
+
+    if do_smooth:
+        flat = pos.reshape(t, b * 2)
+        pos = savgol_smooth(flat, smooth_window, smooth_polyorder).reshape(t, b, 2)
+
+    if do_outliers:
+        pos, _ = remove_outliers(pos, lik, likelihood_tol, lag=5, n_std=n_std, mode="or")
+
+    # Animal presence: median likelihood across the animal's bodyparts
+    # (deepof/utils.py:576-600 compute_animal_presence_mask).
+    presences = []
+    for (lo, hi) in animal_slices:
+        presences.append(jnp.median(lik[:, lo:hi], axis=1) > 0.5)
+    presence = jnp.stack(presences, axis=1)  # (T, A)
+
+    # Presence-masked linear interpolation per animal block and channel.
+    out_blocks = []
+    for ai, (lo, hi) in enumerate(animal_slices):
+        block = pos[:, lo:hi].reshape(t, -1)
+        pres = presence[:, ai]
+        filled = jax.vmap(
+            lambda col: masked_linear_interpolate(col, pres, interp_limit),
+            in_axes=1,
+            out_axes=1,
+        )(block)
+        # NaN out absent frames entirely (set_missing_animals,
+        # deepof/utils.py:676-710).
+        filled = jnp.where(pres[:, None], filled, jnp.nan)
+        out_blocks.append(filled.reshape(t, hi - lo, 2))
+    pos = jnp.concatenate(out_blocks, axis=1)
+
+    return pos, presence
+
+
+@partial(jax.jit, static_argnames=("pairs", "bridges", "polys"))
+def _feature_pass(pos: jnp.ndarray, pairs, bridges, polys):
+    """All kinematic features for one video in one compiled program.
+
+    Args:
+        pos: (T, B, 2) positions in mm.
+        pairs/bridges/polys: static index tuples.
+
+    Returns:
+        (distances (T, P), angles (T, A), areas (T, n_areas))
+    """
+    pairs = np.asarray(pairs, dtype=np.int32).reshape(-1, 2)
+    dists = pairwise_distances(pos, pairs)
+    if len(bridges):
+        angles = bridge_angles(pos, np.asarray(bridges, dtype=np.int32).reshape(-1, 3))
+    else:
+        angles = jnp.zeros((pos.shape[0], 0), dtype=pos.dtype)
+    areas = []
+    for poly in polys:
+        areas.append(polygon_areas(pos, np.asarray(poly, dtype=np.int32)))
+    areas = (
+        jnp.stack(areas, axis=1)
+        if areas
+        else jnp.zeros((pos.shape[0], 0), dtype=pos.dtype)
+    )
+    return dists, angles, areas
+
+
+# --------------------------------------------------------------------------- #
+# Project
+# --------------------------------------------------------------------------- #
+
+
+class Project:
+    """Loads and preprocesses motion-tracking data of one or more animals.
+
+    Same public surface as the reference Project (deepof/data.py:242-276);
+    computations are batched XLA programs.
+    """
+
+    def __init__(
+        self,
+        animal_ids: List = None,
+        arena: str = "polygonal-autodetect",
+        bodypart_graph: Union[str, dict] = "deepof_14",
+        iterative_imputation: str = "partial",
+        exclude_bodyparts: List = tuple([""]),
+        exp_conditions: Union[str, dict] = None,
+        start_markers: Union[str, dict] = None,
+        remove_outliers: bool = True,
+        interpolation_limit: int = 5,
+        interpolation_std: int = 3,
+        likelihood_tol: float = 0.75,
+        model: str = "mouse_topview",
+        project_name: str = "deepof_project",
+        project_path: str = os.path.join("."),
+        video_path: str = None,
+        table_path: str = None,
+        rename_bodyparts: list = None,
+        sam_checkpoint_path: str = None,
+        smooth_alpha: float = 1,
+        table_format: str = "autodetect",
+        video_format: str = ".mp4",
+        video_scale: str = None,
+        number_of_rois: int = 0,
+        frame_rate: float = None,
+        fast_implementations_threshold: int = 50000,
+    ):
+        self.version = CURRENT_VERSION
+        self.project_path = project_path
+        self.project_name = project_name
+        self.video_path = video_path
+        self.table_path = table_path
+        self.source_table_path = table_path
+        self.trained_path = os.path.join(project_path, project_name, "trained_models")
+
+        # --- file discovery -------------------------------------------- #
+        self.table_format = table_format
+        if self.table_format != "analysis.h5":
+            self.table_format = self.table_format.replace(".", "")
+        if self.table_format == "autodetect":
+            first = [
+                f
+                for f in os.listdir(self.source_table_path)
+                if os.path.isfile(os.path.join(self.source_table_path, f))
+                and not f.startswith(".")
+            ][0]
+            self.table_format = first.split(".")[-1]
+
+        video_list = natural_sorted(
+            [
+                v
+                for v in os.listdir(self.video_path)
+                if v.endswith(video_format) and not v.startswith(".")
+            ]
+        )
+        table_list = natural_sorted(
+            [
+                t
+                for t in os.listdir(self.source_table_path)
+                if t.endswith(self.table_format) and not t.startswith(".")
+            ]
+        )
+        assert len(video_list) == len(table_list), (
+            "Unequal number of videos and tables. Please check your file structure"
+        )
+
+        self.tables, self.videos = {}, {}
+        for i, tab in enumerate(table_list):
+            m = re.findall("(.*?)DLC", tab)
+            key = m[0] if m else tab.split(".")[0]
+            self.tables[key] = tab
+            self.videos[key] = video_list[i]
+
+        # --- frame rate ------------------------------------------------ #
+        fpses = {}
+        for key, vid in self.videos.items():
+            cap = cv2.VideoCapture(os.path.join(self.video_path, vid))
+            fpses[key] = float(cap.get(cv2.CAP_PROP_FPS))
+            cap.release()
+        readable = {k: v for k, v in fpses.items() if v > 0}
+        if readable and max(readable.values()) - min(readable.values()) > 0.01:
+            warnings.warn(
+                "The sampling rates of your videos deviate. Proceed with caution."
+            )
+        if frame_rate is not None:
+            self.frame_rate = frame_rate
+        elif readable:
+            self.frame_rate = readable[next(iter(readable))]
+        else:
+            warnings.warn(
+                "Could not read a frame rate from the videos; defaulting to 25 fps. "
+                "Pass frame_rate explicitly to override."
+            )
+            self.frame_rate = 25.0
+
+        # --- arena dims ------------------------------------------------ #
+        self.arena = arena
+        pattern = re.compile(r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)\s+\S+")
+        if isinstance(video_scale, str) and pattern.fullmatch(video_scale):
+            value, unit = video_scale.split(" ")
+            self.arena_dims = float(value) * config.DistanceUnit[unit].value
+            if self.arena_dims < 50 or self.arena_dims > 5000:
+                warnings.warn(
+                    f"The arena dimension you entered is {self.arena_dims} mm."
+                )
+        else:
+            raise ValueError(
+                'Please enter video_scale as "[value] [unit]", e.g. "380 mm"'
+            )
+
+        self.number_of_rois = number_of_rois
+        self.ellipse_detection = None
+
+        # --- scale switches -------------------------------------------- #
+        total_frames = []
+        for key, vid in self.videos.items():
+            cap = cv2.VideoCapture(os.path.join(self.video_path, vid))
+            total_frames.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+            cap.release()
+        frames_sum, frames_max = int(np.sum(total_frames)), int(np.max(total_frames))
+        # All kernels here are XLA-compiled; run_numba is kept for API parity.
+        self.run_numba = frames_sum > fast_implementations_threshold
+        self.very_large_project = (
+            frames_max > config.VERY_LARGE_VIDEO_FRAMES
+            or frames_sum > config.VERY_LARGE_TOTAL_FRAMES
+        )
+
+        # --- bodypart renaming ----------------------------------------- #
+        rename_dict = None
+        if rename_bodyparts is not None and isinstance(rename_bodyparts, list) and "npy" not in table_format:
+            preset = {8: "deepof_8", 11: "deepof_11", 14: "deepof_14"}.get(
+                len(rename_bodyparts)
+            )
+            if preset is None:
+                raise NotImplementedError(
+                    "Number of custom bodypart names should be 8, 11 or 14."
+                )
+            nodes = connect_mouse(graph_preset=preset).nodes
+            rename_dict = {
+                custom: canonical for canonical, custom in zip(nodes, rename_bodyparts)
+            }
+        elif "npy" in table_format:
+            rename_dict = {bp: bp for bp in (rename_bodyparts or [])}
+
+        # --- the rest --------------------------------------------------- #
+        self.angles = True
+        self.animal_ids = (
+            animal_ids if animal_ids not in (None, "") else [""]
+        )
+        if isinstance(self.animal_ids, str):
+            self.animal_ids = [self.animal_ids]
+        self.areas = True
+        self.bodypart_graph = bodypart_graph
+        self.connectivity = None
+        self.distances = "all"
+        self.ego = False
+        if isinstance(exp_conditions, str):
+            from deepof_tpu.io.conditions import load_exp_conditions
+
+            self.exp_conditions = load_exp_conditions(exp_conditions)
+        else:
+            self.exp_conditions = exp_conditions
+        if isinstance(start_markers, str):
+            from deepof_tpu.io.conditions import load_start_markers
+
+            self.start_markers = load_start_markers(start_markers, self.frame_rate)
+        else:
+            self.start_markers = start_markers
+        self.remove_outliers = remove_outliers
+        self.interpolation_limit = interpolation_limit
+        self.interpolation_std = interpolation_std
+        self.likelihood_tolerance = likelihood_tol
+        self.model = model
+        self.smooth_alpha = smooth_alpha
+        self.video_format = video_format
+        self.iterative_imputation = iterative_imputation
+        self.exclude_bodyparts = exclude_bodyparts
+        self.segmentation_path = sam_checkpoint_path
+        self.rename_bodyparts_dict = rename_dict
+
+    def __str__(self):  # pragma: no cover
+        return f"deepof_tpu analysis of {len(self.videos)} videos"
+
+    __repr__ = __str__
+
+    # ------------------------------------------------------------------ #
+    # Pipeline stages
+    # ------------------------------------------------------------------ #
+
+    def set_up_project_directory(self, debug: bool = False):
+        """Create the output directory tree."""
+        root = os.path.join(self.project_path, self.project_name)
+        for sub in ("Tables", "Coordinates", "Figures", "Arena_detection", "trained_models"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    def _load_raw_tables(self) -> Dict[str, RawTable]:
+        raws = {}
+        found_individuals = None
+        for key, tab in self.tables.items():
+            raw = load_table(
+                tab,
+                self.source_table_path,
+                self.table_format,
+                self.rename_bodyparts_dict,
+                self.animal_ids,
+            )
+            if found_individuals is None:
+                found_individuals = raw.has_individuals
+            else:
+                assert raw.has_individuals == found_individuals, (
+                    f"Table {key} has inconsistent 'individuals' formatting!"
+                )
+            if raw.has_individuals and len(self.animal_ids) == 1:
+                self.animal_ids = list(raw.animal_ids)
+            raws[key] = raw
+        return raws
+
+    def _build_graph(self, bodyparts: Sequence[str]) -> BodyGraph:
+        exclude = [bp for bp in self.exclude_bodyparts if bp]
+        return build_body_graph(
+            bodyparts,
+            animal_ids=self.animal_ids,
+            graph_preset=self.bodypart_graph,
+            exclude_bodyparts=exclude or None,
+        )
+
+    def preprocess_tables(self, raws: Dict[str, RawTable]):
+        """Smoothing, outlier removal, imputation and missing-animal
+        masking — one fused jit per video (cohort-batched when lengths
+        match)."""
+        # Canonical node order: sorted graph-relevant bodyparts.
+        sample = next(iter(raws.values()))
+        graph = self._build_graph(sorted(sample.bodyparts))
+        self.body_graph = graph
+        self.connectivity = {
+            aid: connect_mouse(
+                aid if aid else None,
+                exclude_bodyparts=[bp for bp in self.exclude_bodyparts if bp] or None,
+                graph_preset=self.bodypart_graph,
+            )
+            for aid in self.animal_ids
+        }
+
+        nodes = list(graph.nodes)
+        # Per-animal contiguous column ranges in sorted node order.
+        animal_slices = []
+        for aid in self.animal_ids:
+            cols = [
+                i
+                for i, bp in enumerate(nodes)
+                if (bp.startswith(f"{aid}_") if aid else True)
+            ]
+            animal_slices.append((min(cols), max(cols) + 1))
+        self._animal_slices = tuple(animal_slices)
+
+        do_smooth = bool(self.smooth_alpha)
+        polyorder = 15 - int(self.smooth_alpha) if do_smooth else 0
+
+        tab_dict, lik_dict, presence_dict = {}, {}, {}
+        for key, raw in raws.items():
+            ordered = raw.reorder(
+                [bp for bp in nodes]
+            )
+            pos = jnp.asarray(ordered.positions, dtype=jnp.float32)
+            lik = jnp.asarray(ordered.likelihood, dtype=jnp.float32)
+            out_pos, presence = _preprocess_positions(
+                pos,
+                lik,
+                do_smooth,
+                15,
+                polyorder,
+                bool(self.remove_outliers),
+                float(self.likelihood_tolerance),
+                float(self.interpolation_std),
+                int(3),  # lin_interp_limit (deepof/utils.py:230)
+                self._animal_slices,
+            )
+            out_pos = np.asarray(out_pos, dtype=np.float64)
+            if self.iterative_imputation == "full":
+                out_pos = self._full_imputation(out_pos, np.asarray(presence))
+
+            tab_dict[key] = out_pos
+            lik_dict[key] = np.asarray(lik, dtype=np.float64)
+            presence_dict[key] = np.asarray(presence)
+
+        self._presence = presence_dict
+        return tab_dict, lik_dict
+
+    def _full_imputation(self, pos: np.ndarray, presence: np.ndarray) -> np.ndarray:
+        """Iterative ridge + Kalman/RTS + skeleton constraints for large
+        gaps (reference MouseTrackingImputer full mode,
+        deepof/utils.py:291-382)."""
+        from deepof_tpu.ops import (
+            enforce_skeleton_constraints,
+            estimate_skeleton_constraints,
+            iterative_ridge_impute,
+            kalman_rts_smooth,
+        )
+
+        graph = self.body_graph
+        for ai, aid in enumerate(self.animal_ids):
+            lo, hi = self._animal_slices[ai]
+            pres = presence[:, ai].astype(bool)
+            block = pos[pres, lo:hi]  # (Tp, Ba, 2)
+            if not np.isnan(block).any() or block.shape[0] < 2:
+                continue
+            original = np.isfinite(block)
+            t_p, b_a, _ = block.shape
+            try:
+                edges = [
+                    (int(i) - lo, int(j) - lo)
+                    for i, j in graph.edges
+                    if lo <= i < hi and lo <= j < hi
+                ]
+                constraints = estimate_skeleton_constraints(block, edges)
+            except ValueError:
+                warnings.warn(
+                    f"Animal {aid} has not enough data. Skipping full imputation."
+                )
+                continue
+            flat = block.reshape(t_p, -1)
+            imputed = np.asarray(iterative_ridge_impute(jnp.asarray(flat, jnp.float32)))
+            imputed = imputed.reshape(t_p, b_a, 2)
+            imputed[original] = block[original]
+            smoothed = np.asarray(kalman_rts_smooth(jnp.asarray(imputed, jnp.float32)))
+            smoothed[original] = block[original]
+            constrained = np.asarray(
+                enforce_skeleton_constraints(
+                    jnp.asarray(smoothed, jnp.float32),
+                    constraints,
+                    jnp.asarray(original),
+                )
+            )
+            pos[np.where(pres)[0][:, None], np.arange(lo, hi)[None, :]] = constrained
+        return pos
+
+    def get_arena(self, tables=None, test: bool = False, verbose: bool = False):
+        """Arena calibration (deepof/data.py:687 -> arena_utils.get_arenas)."""
+        return arena_mod.get_arenas(
+            self,
+            self.arena,
+            self.arena_dims,
+            self.number_of_rois,
+            self.segmentation_path,
+            self.video_path,
+            self.videos,
+            test=test,
+        )
+
+    # ------------------------------------------------------------------ #
+    # create
+    # ------------------------------------------------------------------ #
+
+    def create(
+        self, verbose: bool = True, force: bool = False, debug: bool = False,
+        test: bool = False,
+    ) -> "Coordinates":
+        """Run the full pipeline and return a Coordinates object."""
+        project_dir = os.path.join(self.project_path, self.project_name)
+        if os.path.exists(os.path.join(project_dir, "Coordinates")) and not force:
+            existing = os.listdir(os.path.join(project_dir, "Coordinates"))
+            if existing:
+                raise OSError(
+                    "Project already exists. Use force=True to overwrite."
+                )
+        self.set_up_project_directory(debug=debug)
+
+        raws = self._load_raw_tables()
+        tab_dict, lik_dict = self.preprocess_tables(raws)
+
+        scales, arena_params, roi_dicts, video_resolution = self.get_arena(test=test)
+
+        nodes = list(self.body_graph.nodes)
+        # Pixel -> mm scaling (deepof/data.py:996-1026).
+        for key in tab_dict:
+            ratio = scales[key][3] / scales[key][2]
+            tab_dict[key] = tab_dict[key] * ratio
+
+        # Kinematic features, one fused program per video.
+        pairs = tuple(map(tuple, all_pair_indices(len(nodes))))
+        bridges = tuple(map(tuple, self.body_graph.bridges))
+        poly_list, area_names = [], []
+        for aid in self.animal_ids:
+            for area_name, poly in self.body_graph.area_polys.get(aid, {}).items():
+                poly_list.append(tuple(int(i) for i in poly))
+                area_names.append(f"{aid}_{area_name}" if aid else area_name)
+        if any(
+            len(self.body_graph.area_polys.get(aid, {})) != 4
+            for aid in self.animal_ids
+        ):
+            warnings.warn(
+                "Not all areas could be computed with the available bodyparts."
+            )
+
+        dist_dict, angle_dict, area_dict = {}, {}, {}
+        for key, pos in tab_dict.items():
+            d, a, ar = _feature_pass(
+                jnp.asarray(pos, jnp.float32), pairs, bridges, tuple(poly_list)
+            )
+            dist_dict[key] = np.asarray(d, dtype=np.float64)
+            angle_dict[key] = np.asarray(a, dtype=np.float64)
+            area_dict[key] = np.asarray(ar, dtype=np.float64)
+
+        pair_names = [
+            tuple(sorted((nodes[i], nodes[j]))) for i, j in all_pair_indices(len(nodes))
+        ]
+        bridge_names = list(self.body_graph.bridge_names)
+
+        coordinates = Coordinates(
+            project_path=self.project_path,
+            project_name=self.project_name,
+            animal_ids=self.animal_ids,
+            arena=self.arena,
+            arena_dims=self.arena_dims,
+            bodypart_graph=self.bodypart_graph,
+            body_graph=self.body_graph,
+            nodes=nodes,
+            pair_names=pair_names,
+            bridge_names=bridge_names,
+            area_names=area_names,
+            path=self.project_path,
+            quality=lik_dict,
+            scales=scales,
+            frame_rate=self.frame_rate,
+            arena_params=arena_params,
+            roi_dicts=roi_dicts,
+            tables=tab_dict,
+            distances=dist_dict,
+            angles=angle_dict,
+            areas=area_dict,
+            presence=self._presence,
+            source_table_path=self.source_table_path,
+            table_paths=list(self.tables.values()),
+            trained_model_path=self.trained_path,
+            videos=self.videos,
+            video_path=self.video_path,
+            video_resolution=video_resolution,
+            connectivity=self.connectivity,
+            excluded_bodyparts=list(self.exclude_bodyparts),
+            exp_conditions=self.exp_conditions,
+            start_markers=self.start_markers,
+            number_of_rois=self.number_of_rois,
+            run_numba=self.run_numba,
+            very_large_project=self.very_large_project,
+            version=self.version,
+        )
+        coordinates.reset_supervised_parameters()
+        coordinates.save(timestamp=False)
+        if verbose:
+            print("Done!")
+        return coordinates
+
+    def extend(self, *args, **kwargs):  # pragma: no cover
+        raise NotImplementedError(
+            "Project.extend is scheduled for a later milestone of deepof_tpu."
+        )
+
+
+# --------------------------------------------------------------------------- #
+# Coordinates
+# --------------------------------------------------------------------------- #
+
+
+class Coordinates:
+    """Stores a processed project: batched keypoint tensors + metadata, with
+    reference-compatible DataFrame getters."""
+
+    def __init__(
+        self,
+        project_path,
+        project_name,
+        animal_ids,
+        arena,
+        arena_dims,
+        bodypart_graph,
+        body_graph: BodyGraph,
+        nodes: List[str],
+        pair_names: List[tuple],
+        bridge_names: List[tuple],
+        area_names: List[str],
+        path,
+        quality: Dict[str, np.ndarray],
+        scales,
+        frame_rate,
+        arena_params,
+        roi_dicts,
+        tables: Dict[str, np.ndarray],
+        distances: Dict[str, np.ndarray],
+        angles: Dict[str, np.ndarray],
+        areas: Dict[str, np.ndarray],
+        presence: Dict[str, np.ndarray],
+        source_table_path,
+        table_paths,
+        trained_model_path,
+        videos,
+        video_path,
+        video_resolution,
+        connectivity=None,
+        excluded_bodyparts=None,
+        exp_conditions=None,
+        start_markers=None,
+        number_of_rois: int = 0,
+        run_numba: bool = False,
+        very_large_project: bool = False,
+        version: str = None,
+    ):
+        self._project_path = project_path
+        self._project_name = project_name
+        self._animal_ids = animal_ids
+        self._arena = arena
+        self._arena_params = arena_params
+        self._roi_dicts = roi_dicts
+        self._arena_dims = arena_dims
+        self._bodypart_graph = bodypart_graph
+        self._body_graph = body_graph
+        self._nodes = list(nodes)
+        self._pair_names = pair_names
+        self._bridge_names = bridge_names
+        self._area_names = area_names
+        self._excluded = excluded_bodyparts
+        self._exp_conditions = exp_conditions
+        self._start_markers = start_markers
+        self._frame_rate = frame_rate
+        self._path = path
+        self._quality = quality
+        self._scales = scales
+        self._tables = tables
+        self._distances = distances
+        self._angles = angles
+        self._areas = areas
+        self._presence = presence
+        self._source_table_path = source_table_path
+        self._table_paths = table_paths
+        self._trained_model_path = trained_model_path
+        self._videos = videos
+        self._video_path = video_path
+        self._video_resolution = video_resolution
+        self._connectivity = connectivity
+        self._number_of_rois = number_of_rois
+        self._run_numba = run_numba
+        self._very_large_project = very_large_project
+        self._version = version
+        self._custom_behaviors = None
+        self._custom_continuous_behavior_names = []
+
+    def __str__(self):  # pragma: no cover
+        n = len(self._videos)
+        return f"deepof_tpu analysis of {n} video{'s' if n > 1 else ''}"
+
+    __repr__ = __str__
+
+    # ------------------------------------------------------------------ #
+    # Basic accessors
+    # ------------------------------------------------------------------ #
+
+    def get_table_keys(self):
+        return self._tables.keys()
+
+    @property
+    def _table_path(self):
+        return os.path.join(self._project_path, self._project_name, "Tables")
+
+    def _time_index(self, n: int):
+        return dutils.make_time_index(n, self._frame_rate)
+
+    def get_start_times(self, start_marker: Optional[str] = None) -> Dict[str, str]:
+        """Per-experiment start times as "HH:MM:SS(.sss)" strings."""
+        if start_marker and self._start_markers:
+            return {
+                key: str(self._start_markers[key][start_marker].iloc[0])
+                for key in self._tables
+            }
+        return {key: "00:00:00.000" for key in self._tables}
+
+    def get_table_lengths(self, tab_dict_for_binning=None) -> Dict[str, int]:
+        src = tab_dict_for_binning if tab_dict_for_binning is not None else self._tables
+        out = {}
+        for key in src.keys():
+            obj = get_dt(src, key)
+            out[key] = len(obj)
+        return out
+
+    def get_exp_conditions(self):
+        return self._exp_conditions
+
+    def load_exp_conditions(self, filepath: str):  # pragma: no cover
+        from deepof_tpu.io.conditions import load_exp_conditions
+
+        self._exp_conditions = load_exp_conditions(filepath)
+
+    def get_quality(self) -> TableDict:
+        """Tracking likelihood per bodypart as DataFrames."""
+        tabs = {}
+        for key, lik in self._quality.items():
+            df = pd.DataFrame(lik, columns=self._nodes)
+            df.index = self._time_index(len(df))
+            tabs[key] = df
+        return TableDict(
+            tabs, typ="quality", table_path=self._table_path,
+            animal_ids=self._animal_ids,
+        )
+
+    def get_arenas(self):
+        return self._arena, [self._arena_dims], self._arena_params
+
+    def get_videos(self, play: bool = False):
+        return self._videos
+
+    # ------------------------------------------------------------------ #
+    # DataFrame builders
+    # ------------------------------------------------------------------ #
+
+    def _coords_frame(self, key: str, arr: np.ndarray, polar: bool = False) -> pd.DataFrame:
+        coords = ("rho", "phi") if polar else ("x", "y")
+        cols = pd.MultiIndex.from_product([self._nodes, list(coords)])
+        df = pd.DataFrame(arr.reshape(arr.shape[0], -1), columns=cols)
+        df.index = self._time_index(len(df))
+        return df
+
+    # ------------------------------------------------------------------ #
+    # get_coords
+    # ------------------------------------------------------------------ #
+
+    def get_coords_at_key(
+        self,
+        key: str,
+        scale=None,
+        quality=None,
+        center: Union[bool, str] = False,
+        polar: bool = False,
+        speed: int = 0,
+        align: Union[bool, str] = False,
+        align_group: bool = False,
+        align_inplace: bool = True,
+        to_video: bool = False,
+        selected_id: str = None,
+        roi_number: int = None,
+        animals_in_roi=None,
+        in_roi_criterion: str = "Center",
+        invert_roi: bool = False,
+    ) -> pd.DataFrame:
+        """Coordinate getter pipeline for one experiment
+        (deepof/data.py:1936-2021): ROI filter -> animal select -> polar ->
+        center -> align -> derivative -> missing-animal NaN."""
+        if scale is None:
+            scale = self._scales[key]
+        pos = np.array(self._tables[key], dtype=np.float64)  # (T, B, 2) mm
+        nodes = self._nodes
+        presence = self._presence[key]
+
+        # ROI filter.
+        if roi_number is not None:
+            pos = self._apply_roi_mask(
+                pos, key, roi_number, animals_in_roi, in_roi_criterion, invert_roi
+            )
+
+        # Animal selection.
+        animal_ids = [selected_id] if selected_id else list(self._animal_ids)
+        node_idx = list(range(len(nodes)))
+        if selected_id:
+            node_idx = [
+                i for i, bp in enumerate(nodes) if bp.startswith(selected_id)
+            ]
+            pos = pos[:, node_idx]
+            nodes = [nodes[i] for i in node_idx]
+
+        # Polar / center / align / speed.
+        if polar:
+            polar_scale = np.array(
+                [np.hypot(scale[0], scale[1]), np.arctan2(scale[1], scale[0])]
+            )
+            work = np.asarray(to_polar(jnp.asarray(pos)))
+            if center == "arena":
+                work[..., 0] -= polar_scale[0]
+                work[..., 1] -= polar_scale[1]
+            elif isinstance(center, str) and center:
+                work = self._center_on_bodypart(work, nodes, animal_ids, center)
+            pos_out = work
+        else:
+            work = pos
+            if center == "arena":
+                work = work - np.array(scale[:2])[None, None, :]
+            elif isinstance(center, str) and center:
+                work = self._center_on_bodypart(work, nodes, animal_ids, center)
+            if to_video:
+                work = work * (scale[2] / scale[3])
+            pos_out = work
+
+        col_order = nodes
+        if align and align_inplace and not polar:
+            pos_out, col_order = self._align(pos_out, nodes, animal_ids, align, align_group)
+
+        df = pd.DataFrame(
+            pos_out.reshape(pos_out.shape[0], -1),
+            columns=pd.MultiIndex.from_product(
+                [col_order, ["rho", "phi"] if polar else ["x", "y"]]
+            ),
+        )
+        df.index = self._time_index(len(df))
+
+        if speed:
+            arr = df.to_numpy(dtype=np.float64).reshape(len(df), -1, 2)
+            sp = np.asarray(
+                rolling_speed(
+                    jnp.asarray(arr), frame_rate=self._frame_rate, deriv=speed
+                )
+            )
+            df = pd.DataFrame(sp, columns=list(col_order))
+            df.index = self._time_index(len(df))
+
+        # Missing-animal NaN.
+        df = self._set_missing_animals_frame(df, key)
+        return df
+
+    def get_coords(
+        self,
+        center: Union[bool, str] = False,
+        polar: bool = False,
+        speed: int = 0,
+        align: Union[bool, str] = False,
+        align_group: bool = False,
+        align_inplace: bool = True,
+        to_video: bool = False,
+        selected_id: str = None,
+        roi_number: int = None,
+        animals_in_roi=None,
+        in_roi_criterion: str = "Center",
+        invert_roi: bool = False,
+        file_name: str = "coords",
+        return_path: bool = False,
+    ) -> TableDict:
+        """TableDict of per-experiment coordinate DataFrames."""
+        tabs = {}
+        for key in self._tables.keys():
+            tab = self.get_coords_at_key(
+                key,
+                scale=self._scales[key],
+                center=center,
+                polar=polar,
+                speed=speed,
+                align=align,
+                align_group=align_group,
+                align_inplace=align_inplace,
+                to_video=to_video,
+                selected_id=selected_id,
+                roi_number=roi_number,
+                animals_in_roi=animals_in_roi,
+                in_roi_criterion=in_roi_criterion,
+                invert_roi=invert_roi,
+            )
+            path = os.path.join(self._table_path, key, f"{key}_{file_name}")
+            tabs[key] = save_dt(tab, path, return_path)
+        return TableDict(
+            tabs,
+            typ="coords",
+            table_path=self._table_path,
+            animal_ids=self._animal_ids,
+            arena=self._arena,
+            arena_dims=self._scales,
+            center=center,
+            connectivity=self._connectivity,
+            polar=polar,
+            exp_conditions=self._exp_conditions,
+        )
+
+    def _center_on_bodypart(self, work, nodes, animal_ids, center):
+        out = work.copy()
+        for aid in animal_ids:
+            bp_name = f"{aid}{'_' if aid else ''}{center}"
+            if bp_name not in nodes:
+                continue
+            ci = nodes.index(bp_name)
+            cols = [
+                i
+                for i, bp in enumerate(nodes)
+                if (bp.startswith(aid) if aid else True)
+            ]
+            out[:, cols, :] = out[:, cols, :] - out[:, ci : ci + 1, :]
+        return out
+
+    def _align(self, pos, nodes, animal_ids, align, align_group):
+        """Per-animal egocentric alignment with reference column-reorder
+        semantics (deepof/data.py:1884-1933): the first animal's align
+        bodypart goes first and drives its rotation; with align_group, the
+        remaining animals keep their column order and rotate about their
+        first column (reference quirk, kept for parity)."""
+        if not isinstance(animal_ids, list) or len(animal_ids) <= 1:
+            align_group = False
+        first = animal_ids[0]
+        out_blocks, col_order = [], []
+        for aid in animal_ids:
+            prefix = f"{aid}_" if aid else ""
+            bp_name = (
+                f"{first}{'_' if first else ''}{align}"
+                if align_group
+                else f"{prefix}{align}"
+            )
+            own = [bp for bp in nodes if (bp.startswith(prefix) if prefix else True)]
+            if aid == first or not align_group:
+                ordered = [bp_name] + [bp for bp in own if bp != bp_name]
+            else:
+                ordered = [bp for bp in own if bp != bp_name]
+            idx = [nodes.index(bp) for bp in ordered]
+            block = pos[:, idx, :]
+            aligned = np.array(
+                align_trajectories(jnp.asarray(block), mode="all")
+            )
+            aligned[np.abs(aligned) < 1e-5] = 0.0
+            out_blocks.append(aligned)
+            col_order.extend(ordered)
+        return np.concatenate(out_blocks, axis=1), col_order
+
+    def _apply_roi_mask(
+        self, pos, key, roi_number, animals_in_roi, in_roi_criterion, invert_roi
+    ):
+        if isinstance(animals_in_roi, str):
+            check = [animals_in_roi]
+        elif animals_in_roi:
+            check = animals_in_roi
+        else:
+            check = self._animal_ids
+        roi_polygon = np.asarray(self._roi_dicts[key][roi_number])
+        pos = pos.copy()
+        for aid in check:
+            crit = f"{aid}{'_' if aid else ''}{in_roi_criterion}"
+            if crit not in self._nodes:
+                continue
+            ci = self._nodes.index(crit)
+            base = np.array(self._tables[key], dtype=np.float64)
+            inside = np.asarray(
+                point_in_polygon(jnp.asarray(base[:, ci]), roi_polygon)
+            )
+            if invert_roi:
+                inside = ~inside
+            cols = [
+                i
+                for i, bp in enumerate(self._nodes)
+                if (bp.startswith(aid) if aid else True)
+            ]
+            pos[np.ix_(~inside, cols)] = np.nan
+        return pos
+
+    def _set_missing_animals_frame(self, df: pd.DataFrame, key: str) -> pd.DataFrame:
+        presence = self._presence[key]
+        n = min(len(df), len(presence))
+        for ai, aid in enumerate(self._animal_ids):
+            absent = presence[:n, ai] == 0
+            cols = dutils.filter_columns(df.columns, aid) if aid else list(df.columns)
+            if cols:
+                df.loc[df.index[:n][absent], cols] = np.nan
+        return df
+
+    # ------------------------------------------------------------------ #
+    # get_distances / get_angles / get_areas
+    # ------------------------------------------------------------------ #
+
+    def get_distances_at_key(
+        self,
+        key: str,
+        quality=None,
+        speed: int = 0,
+        selected_id: str = None,
+        roi_number: int = None,
+        animals_in_roi=None,
+        invert_roi: bool = False,
+        filter_on_graph: bool = True,
+    ) -> pd.DataFrame:
+        arr = np.array(self._distances[key], dtype=np.float64)
+        df = pd.DataFrame(arr, columns=self._pair_names)
+        df.index = self._time_index(len(df))
+
+        if roi_number is not None:
+            mask_df = self._roi_row_mask(key, roi_number, animals_in_roi, invert_roi)
+            for aid, rows in mask_df.items():
+                cols = [
+                    c for c in df.columns
+                    if all(str(x).startswith(aid) for x in c)
+                ] if aid else list(df.columns)
+                df.loc[rows, cols] = np.nan
+        if selected_id:
+            df = df.loc[:, dutils.filter_columns(df.columns, selected_id)]
+        if speed:
+            sp = np.asarray(
+                rolling_speed(
+                    jnp.asarray(df.to_numpy(np.float64)),
+                    frame_rate=self._frame_rate,
+                    deriv=speed + 1,
+                    is_coords=False,
+                )
+            )
+            df = pd.DataFrame(sp, columns=df.columns, index=df.index)
+        df = self._set_missing_animals_frame(df, key)
+        if filter_on_graph:
+            edges = set(self._body_graph.edge_names)
+            keep = [c for c in df.columns if tuple(sorted(c)) in edges]
+            df = df.loc[:, keep]
+        return df
+
+    def get_distances(
+        self,
+        speed: int = 0,
+        selected_id: str = None,
+        roi_number: int = None,
+        animals_in_roi=None,
+        invert_roi: bool = False,
+        filter_on_graph: bool = True,
+        file_name: str = "got_distances",
+        return_path: bool = False,
+    ) -> TableDict:
+        tabs = {}
+        for key in self._distances.keys():
+            tab = self.get_distances_at_key(
+                key,
+                speed=speed,
+                selected_id=selected_id,
+                roi_number=roi_number,
+                animals_in_roi=animals_in_roi,
+                invert_roi=invert_roi,
+                filter_on_graph=filter_on_graph,
+            )
+            path = os.path.join(self._table_path, key, f"{key}_{file_name}")
+            tabs[key] = save_dt(tab, path, return_path)
+        return TableDict(
+            tabs, typ="dists", table_path=self._table_path,
+            animal_ids=self._animal_ids, connectivity=self._connectivity,
+            exp_conditions=self._exp_conditions,
+        )
+
+    def get_angles_at_key(
+        self,
+        key: str,
+        quality=None,
+        degrees: bool = False,
+        speed: int = 0,
+        selected_id: str = None,
+        roi_number: int = None,
+        animals_in_roi=None,
+        invert_roi: bool = False,
+    ) -> pd.DataFrame:
+        arr = np.array(self._angles[key], dtype=np.float64)
+        if degrees:
+            arr = np.degrees(arr)
+        df = pd.DataFrame(arr, columns=[tuple(b) for b in self._bridge_names])
+        df.index = self._time_index(len(df))
+        if selected_id:
+            df = df.loc[:, dutils.filter_columns(df.columns, selected_id)]
+        if speed:
+            sp = np.asarray(
+                rolling_speed(
+                    jnp.asarray(df.to_numpy(np.float64)),
+                    frame_rate=self._frame_rate,
+                    deriv=speed + 1,
+                    is_coords=False,
+                )
+            )
+            df = pd.DataFrame(sp, columns=df.columns, index=df.index)
+        df = self._set_missing_animals_frame(df, key)
+        return df
+
+    def get_angles(
+        self,
+        degrees: bool = False,
+        speed: int = 0,
+        selected_id: str = None,
+        roi_number: int = None,
+        animals_in_roi=None,
+        invert_roi: bool = False,
+        file_name: str = "got_angles",
+        return_path: bool = False,
+    ) -> TableDict:
+        tabs = {}
+        for key in self._angles.keys():
+            tab = self.get_angles_at_key(
+                key, degrees=degrees, speed=speed, selected_id=selected_id,
+                roi_number=roi_number, animals_in_roi=animals_in_roi,
+                invert_roi=invert_roi,
+            )
+            path = os.path.join(self._table_path, key, f"{key}_{file_name}")
+            tabs[key] = save_dt(tab, path, return_path)
+        return TableDict(
+            tabs, typ="angles", table_path=self._table_path,
+            animal_ids=self._animal_ids, connectivity=self._connectivity,
+            exp_conditions=self._exp_conditions,
+        )
+
+    def get_areas_at_key(
+        self,
+        key: str,
+        quality=None,
+        speed: int = 0,
+        selected_id: str = "all",
+        roi_number: int = None,
+        animals_in_roi=None,
+        invert_roi: bool = False,
+    ) -> pd.DataFrame:
+        arr = np.array(self._areas[key], dtype=np.float64)
+        df = pd.DataFrame(arr, columns=self._area_names)
+        df.index = self._time_index(len(df))
+        if selected_id and selected_id != "all":
+            df = df.loc[:, [c for c in df.columns if c.startswith(selected_id)]]
+        if speed:
+            sp = np.asarray(
+                rolling_speed(
+                    jnp.asarray(df.to_numpy(np.float64)),
+                    frame_rate=self._frame_rate,
+                    deriv=speed + 1,
+                    is_coords=False,
+                )
+            )
+            df = pd.DataFrame(sp, columns=df.columns, index=df.index)
+        df = self._set_missing_animals_frame(df, key)
+        return df
+
+    def get_areas(
+        self,
+        speed: int = 0,
+        selected_id: str = "all",
+        roi_number: int = None,
+        animals_in_roi=None,
+        invert_roi: bool = False,
+        file_name: str = "got_areas",
+        return_path: bool = False,
+    ) -> TableDict:
+        tabs = {}
+        for key in self._areas.keys():
+            tab = self.get_areas_at_key(
+                key, speed=speed, selected_id=selected_id,
+                roi_number=roi_number, animals_in_roi=animals_in_roi,
+                invert_roi=invert_roi,
+            )
+            path = os.path.join(self._table_path, key, f"{key}_{file_name}")
+            tabs[key] = save_dt(tab, path, return_path)
+        return TableDict(
+            tabs, typ="areas", table_path=self._table_path,
+            animal_ids=self._animal_ids, connectivity=self._connectivity,
+            exp_conditions=self._exp_conditions,
+        )
+
+    def _roi_row_mask(self, key, roi_number, animals_in_roi, invert_roi):
+        if isinstance(animals_in_roi, str):
+            check = [animals_in_roi]
+        elif animals_in_roi:
+            check = animals_in_roi
+        else:
+            check = self._animal_ids
+        roi_polygon = np.asarray(self._roi_dicts[key][roi_number])
+        out = {}
+        base = np.array(self._tables[key], dtype=np.float64)
+        for aid in check:
+            crit = f"{aid}{'_' if aid else ''}Center"
+            if crit not in self._nodes:
+                continue
+            ci = self._nodes.index(crit)
+            inside = np.asarray(
+                point_in_polygon(jnp.asarray(base[:, ci]), roi_polygon)
+            )
+            if invert_roi:
+                inside = ~inside
+            out[aid] = self._time_index(len(base))[~inside]
+        return out
+
+    # ------------------------------------------------------------------ #
+    # Supervised parameters (deepof/data.py:2957-3031)
+    # ------------------------------------------------------------------ #
+
+    def get_supervised_parameters(self) -> dict:
+        if not hasattr(self, "_supervised_parameters"):
+            self.reset_supervised_parameters()
+        return copy.copy(self._supervised_parameters)
+
+    def reset_supervised_parameters(self):
+        self._supervised_parameters = config.default_supervised_parameters(
+            self._frame_rate
+        )
+        self.save(timestamp=False)
+
+    def set_supervised_parameters(self, hparams: dict = None):
+        params = self.get_supervised_parameters()
+        for k, v in (hparams or {}).items():
+            if k in params:
+                params[k] = v
+            else:
+                warnings.warn(
+                    "At least one parameter name does not match any supervised "
+                    "parameter name."
+                )
+        self._supervised_parameters = params
+        self.save(timestamp=False)
+
+    # ------------------------------------------------------------------ #
+    # Persistence
+    # ------------------------------------------------------------------ #
+
+    def save(self, filename: str = None, timestamp: bool = True):
+        """Pickle the Coordinates object (deepof/data.py:2612-2636)."""
+        out_dir = os.path.join(
+            self._project_path, self._project_name, "Coordinates"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        name = filename or "deepof_coordinates"
+        if timestamp:  # pragma: no cover
+            from datetime import datetime
+
+            name += datetime.now().strftime("%Y%m%d-%H%M%S")
+        with open(os.path.join(out_dir, f"{name}.pkl"), "wb") as f:
+            pickle.dump(self, f)
+
+    # ------------------------------------------------------------------ #
+    # Analysis entry points (wired to later layers)
+    # ------------------------------------------------------------------ #
+
+    def get_graph_dataset(self, *args, **kwargs):
+        from deepof_tpu.graph_dataset import get_graph_dataset as _ggd
+
+        return _ggd(self, *args, **kwargs)
+
+    def supervised_annotation(self, *args, **kwargs):
+        from deepof_tpu.annotate import supervised_annotation as _sa
+
+        return _sa(self, *args, **kwargs)
+
+    def deep_unsupervised_embedding(self, *args, **kwargs):
+        from deepof_tpu.train.harness import deep_unsupervised_embedding as _due
+
+        return _due(self, *args, **kwargs)
+
+
+def load_project(project_path: str) -> Coordinates:
+    """Load a previously saved Coordinates pickle
+    (deepof/data.py:111-239)."""
+    coord_dir = os.path.join(project_path, "Coordinates")
+    candidates = sorted(
+        f for f in os.listdir(coord_dir) if f.endswith(".pkl")
+    )
+    if not candidates:
+        raise FileNotFoundError(f"No saved coordinates found in {coord_dir}")
+    with open(os.path.join(coord_dir, candidates[-1]), "rb") as f:
+        return pickle.load(f)

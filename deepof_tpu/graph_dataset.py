@@ -1,0 +1,195 @@
+"""Graph-dataset build: features -> windowed (nodes, edges, angles) tensors.
+
+Behavioral spec from deepof/data.py:2644-2954 get_graph_dataset: merge
+arena-centered group-aligned coords + speeds + graph-filtered distances,
+preprocess (scale + window), then slice the windowed feature axis into node
+features ``[x..., y..., speed...]``, edge features (skeleton distances in
+sorted-edge order) and angle features, returning
+((train, test), metainfo, adjacency, tab_dict, global_scaler).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+
+from deepof_tpu.core.graph import connect_mouse
+from deepof_tpu.core.storage import get_dt, save_dt
+
+
+def reorder_and_reshape(data: np.ndarray) -> np.ndarray:
+    """(B, W, 3N) node-feature stack -> (B, W, N, 3) with channels
+    (x, y, speed) (cf. deepof/clustering/dataset.py:16-26)."""
+    assert data.shape[2] % 3 == 0, "Node feature count is not a multiple of 3"
+    n = data.shape[2] // 3
+    return np.stack(
+        [data[:, :, :n], data[:, :, n : 2 * n], data[:, :, 2 * n :]], axis=-1
+    )
+
+
+def get_graph_dataset(
+    coordinates,
+    animal_id: str = None,
+    window_size: int = None,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    samples_max: int = 227272,
+    precomputed_tab_dict=None,
+    center: str = False,
+    polar: bool = False,
+    align: str = None,
+    preprocess: bool = True,
+    scale: str = "standard",
+    dist_standardize: str = "per_column",
+    speed_standardize: str = "per_column",
+    coord_standardize: str = "per_column",
+    return_as_paths: bool = None,
+    **kwargs,
+):
+    """Build the training dataset for the graph-aware sequence models."""
+    if return_as_paths is None:
+        return_as_paths = coordinates._very_large_project
+    if window_size is None:
+        window_size = int(np.round(coordinates._frame_rate))
+
+    if precomputed_tab_dict is not None:  # pragma: no cover
+        tab_dict = precomputed_tab_dict
+        first_key = list(tab_dict.keys())[0]
+        dists = coordinates.get_distances_at_key(first_key, selected_id=animal_id)
+        edge_feature_names = list(dists.columns)
+        angles = coordinates.get_angles_at_key(first_key, selected_id=animal_id)
+        angle_feature_names = list(angles.columns)
+    else:
+        coords = coordinates.get_coords(
+            selected_id=animal_id,
+            center="arena",
+            align=align,
+            align_group=True,
+            polar=polar,
+            return_path=return_as_paths,
+        )
+        speeds = coordinates.get_coords(
+            selected_id=animal_id, speed=1, file_name="speed",
+            return_path=return_as_paths,
+        )
+        dists = coordinates.get_distances(
+            selected_id=animal_id, return_path=return_as_paths
+        )
+        edge_feature_names = get_dt(dists, list(dists.keys())[0], only_metainfo=True)[
+            "columns"
+        ]
+        angles = coordinates.get_angles(
+            selected_id=animal_id, return_path=return_as_paths
+        )
+        angle_feature_names = get_dt(angles, list(angles.keys())[0], only_metainfo=True)[
+            "columns"
+        ]
+        tab_dict = coords.merge(speeds, dists, save_as_paths=return_as_paths)
+
+    # The feature graph restricted to bodyparts actually present.
+    graph = connect_mouse(
+        animal_ids=(coordinates._animal_ids if animal_id is None else animal_id),
+        exclude_bodyparts=(
+            [bp for bp in (coordinates._excluded or []) if bp] or None
+        ),
+        graph_preset=coordinates._bodypart_graph,
+    )
+    present = set(coordinates._nodes)
+    for node in list(graph.nodes):
+        if node not in present:
+            graph.remove_node(node)
+    tab_dict._connectivity = graph
+
+    first_tab = get_dt(tab_dict, list(tab_dict.keys())[0])
+    feature_names = pd.Index(list(first_tab.columns))
+
+    nodes = sorted(graph.nodes())
+    edges = sorted(tuple(sorted(e)) for e in graph.edges())
+    adj_matrix = nx.adjacency_matrix(graph, nodelist=nodes).todense()
+
+    node_feature_names = (
+        [(i, "x") for i in nodes] + [(i, "y") for i in nodes] + nodes
+    )
+
+    node_sorting_indices, angle_sorting_indices, edge_sorting_indices = [], [], []
+    for n in node_feature_names:
+        for j, f in enumerate(feature_names):
+            if n == f:
+                node_sorting_indices.append(j)
+    for n in angle_feature_names:
+        for j, f in enumerate(feature_names):
+            if n == f:
+                angle_sorting_indices.append(j)
+    inner_link_bool_mask = []
+    for e in edges:
+        for j, f in enumerate(feature_names):
+            if e == f:
+                edge_sorting_indices.append(j)
+        if len(coordinates._animal_ids) > 1:
+            inner_link_bool_mask.append(
+                len({node.split("_")[0] for node in e}) == 1
+            )
+
+    metainfo = {}
+    if not preprocess:  # pragma: no cover
+        raise NotImplementedError(
+            "preprocess=False graph datasets are not yet supported."
+        )
+
+    to_preprocess, metainfo, global_scaler = tab_dict.preprocess(
+        coordinates=coordinates,
+        bin_size=bin_size,
+        bin_index=bin_index,
+        precomputed_bins=precomputed_bins,
+        samples_max=samples_max,
+        save_as_paths=return_as_paths,
+        dist_standardize=dist_standardize,
+        speed_standardize=speed_standardize,
+        coord_standardize=coord_standardize,
+        window_size=window_size,
+        scale=scale,
+        **kwargs,
+    )
+    metainfo["node_columns"] = feature_names[node_sorting_indices]
+    metainfo["edge_columns"] = feature_names[edge_sorting_indices]
+    metainfo["angle_columns"] = feature_names[angle_sorting_indices]
+    metainfo["inner_link_mask"] = np.asarray(inner_link_bool_mask, dtype=bool)
+
+    node_idx = np.asarray(node_sorting_indices, dtype=int)
+    edge_idx = np.asarray(edge_sorting_indices, dtype=int)
+    angle_idx = np.asarray(angle_sorting_indices, dtype=int)
+
+    for k, part in enumerate(to_preprocess):
+        num_rows = 0
+        dataset = None
+        for key in part.keys():
+            tab, table_path = get_dt(part, key, return_path=True)
+            tab = np.asarray(tab)
+            dataset = (
+                tab[:, :, node_idx],
+                tab[:, :, edge_idx],
+                tab[:, :, angle_idx] if len(angle_idx) else np.zeros(
+                    (tab.shape[0], tab.shape[1], 0)
+                ),
+            )
+            num_rows += tab.shape[0]
+            path = None
+            if isinstance(table_path, dict):
+                path = os.path.splitext(table_path["h5_file"])[0]
+            part[key] = save_dt(dataset, path, return_as_paths)
+        shape_key = "shape_train" if k == 0 else "shape_test"
+        if dataset is not None:
+            metainfo[shape_key] = [
+                (num_rows,) + dataset[0].shape[1:],
+                (num_rows,) + dataset[1].shape[1:],
+                (num_rows,) + dataset[2].shape[1:],
+            ]
+        elif k == 0:
+            metainfo["shape_train"] = [(0,), (0,), (0,)]
+
+    return to_preprocess, metainfo, adj_matrix, tab_dict, global_scaler

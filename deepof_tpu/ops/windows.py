@@ -1,0 +1,64 @@
+"""Sliding-window extraction for model input tensorization.
+
+The reference materializes windows with numpy stride tricks
+(deepof/utils.py:3354-3377 rolling_window) inside a per-video loop; here
+windows are a static gather index matrix applied on device, which XLA turns
+into an efficient dynamic-slice loop / gather and can fuse with the scaler
+that follows.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def sliding_window_indices(t: int, window_size: int, window_step: int) -> np.ndarray:
+    """(W, window_size) int32 frame indices; W = floor((t - size) / step) + 1
+    over the stride-tricks starts [0, step, 2*step, ...]."""
+    starts = np.arange(0, t - window_size + 1, window_step, dtype=np.int32)
+    return starts[:, None] + np.arange(window_size, dtype=np.int32)[None, :]
+
+
+def rolling_windows(
+    x: jnp.ndarray, window_size: int, window_step: int = 1
+) -> jnp.ndarray:
+    """Extract sliding windows along axis 0.
+
+    Args:
+        x: (T, ...) array.
+
+    Returns:
+        (W, window_size, ...) windows.
+    """
+    idx = sliding_window_indices(x.shape[0], window_size, window_step)
+    return jnp.take(x, jnp.asarray(idx), axis=0)
+
+
+def aggregate_windows(windows: jnp.ndarray, aggregate: str | None) -> jnp.ndarray:
+    """Window aggregation modes from the reference's extract_windows
+    (deepof/utils.py:3380-3470): None (raw), "mid", "mean".
+
+    ("wta"/"lta" operate on integer label windows and live host-side in
+    deepof_tpu.utils.)
+    """
+    if aggregate is None:
+        return windows
+    if aggregate == "mid":
+        mid = windows.shape[1] // 2
+        return windows[:, mid : mid + 1]
+    if aggregate == "mean":
+        return jnp.mean(windows, axis=1, keepdims=True)
+    raise ValueError(f"Unknown aggregate mode: {aggregate}")
+
+
+def aggregate_windows_labels(windows: np.ndarray, aggregate: str) -> np.ndarray:
+    """Host-side "wta"/"lta" label aggregation (most/least frequent row in
+    each window; deepof/utils.py:3448-3463)."""
+    n = windows.shape[0]
+    out = np.empty((n, 1, windows.shape[2]), dtype=windows.dtype)
+    for i in range(n):
+        rows, counts = np.unique(windows[i], return_counts=True, axis=0)
+        pick = np.argmax(counts) if aggregate == "wta" else np.argmin(counts)
+        out[i, 0] = rows[pick]
+    return out
