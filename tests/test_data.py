@@ -1,0 +1,156 @@
+"""End-to-end Project pipeline tests on the reference DLC fixtures."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepof_tpu.data import Project, load_project
+
+FIXTURES = "/root/reference/tests/test_examples"
+
+
+def _make_project(tmp_path, scenario="test_single_topview", fmt="h5", **kwargs):
+    src = os.path.join(FIXTURES, scenario)
+    tables = tmp_path / "Tables"
+    videos = tmp_path / "Videos"
+    tables.mkdir(exist_ok=True)
+    videos.mkdir(exist_ok=True)
+    for f in os.listdir(os.path.join(src, "Tables")):
+        if f.endswith(fmt):
+            shutil.copy(os.path.join(src, "Tables", f), tables / f)
+    for f in os.listdir(os.path.join(src, "Videos")):
+        shutil.copy(os.path.join(src, "Videos", f), videos / f)
+    return Project(
+        project_path=str(tmp_path),
+        project_name="test_proj",
+        video_path=str(videos),
+        table_path=str(tables),
+        arena="circular-autodetect",
+        video_scale="380 mm",
+        table_format=fmt,
+        frame_rate=25,
+        **kwargs,
+    )
+
+
+@pytest.fixture(scope="module")
+def single_coords(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("single")
+    proj = _make_project(tmp)
+    return proj.create(force=True, test=True, verbose=False)
+
+
+def test_create_and_getters(single_coords):
+    coords = single_coords
+    c = coords.get_coords()
+    assert set(c.keys()) == {"test", "test2"}
+    tab = c["test"]
+    assert tab.shape == (100, 28)
+    assert tab.index[0] == "00:00:00"
+    assert tab.index[1] == "00:00:00.040000"
+    assert isinstance(tab.columns[0], tuple) and tab.columns[0][1] == "x"
+
+    d = coords.get_distances()
+    assert d["test"].shape[1] == 14  # graph-filtered skeleton edges
+    d_all = coords.get_distances(filter_on_graph=False)
+    assert d_all["test"].shape[1] == 91  # all pairs of 14 bodyparts
+
+    a = coords.get_angles()
+    assert a["test"].shape[1] == 21
+    assert all(len(c) == 3 for c in a["test"].columns)
+
+    ar = coords.get_areas()
+    assert list(ar["test"].columns) == [
+        "head_area", "torso_area", "back_area", "full_area",
+    ]
+    assert (ar["test"].dropna() > 0).all().all()
+
+
+def test_coords_transform_modes(single_coords):
+    coords = single_coords
+    centered = coords.get_coords(center="arena")
+    raw = coords.get_coords()
+    # Arena centering is a pure translation.
+    diff = raw["test"].to_numpy() - centered["test"].to_numpy()
+    assert np.allclose(diff[:, 0::2], diff[0, 0], equal_nan=True)
+
+    aligned = coords.get_coords(center="arena", align="Spine_1")
+    assert aligned["test"].columns[0] == ("Spine_1", "x")
+    assert np.nanmax(np.abs(aligned["test"].iloc[:, 0])) == 0.0
+
+    polar = coords.get_coords(polar=True)
+    assert polar["test"].columns[0][1] == "rho"
+
+    speeds = coords.get_coords(speed=1)
+    assert not isinstance(speeds["test"].columns[0], tuple)
+    assert np.nanmax(speeds["test"].to_numpy()) > 0
+
+    centered_bp = coords.get_coords(center="Center")
+    assert np.nanmax(np.abs(centered_bp["test"][("Center", "x")])) == 0.0
+
+
+def test_save_and_reload(single_coords, tmp_path):
+    coords = single_coords
+    reloaded = load_project(
+        os.path.join(coords._project_path, coords._project_name)
+    )
+    assert list(reloaded.get_table_keys()) == list(coords.get_table_keys())
+    np.testing.assert_allclose(
+        np.asarray(reloaded._tables["test"]),
+        np.asarray(coords._tables["test"]),
+        equal_nan=True,
+    )
+
+
+def test_graph_dataset(single_coords):
+    coords = single_coords
+    gd, meta, adj, tabdict, scaler = coords.get_graph_dataset(window_size=10)
+    (x_train, x_test) = gd
+    key = list(x_train.keys())[0]
+    nodes_t, edges_t, angles_t = x_train[key]
+    assert nodes_t.shape == (91, 10, 42)
+    assert edges_t.shape == (91, 10, 14)
+    assert np.isfinite(nodes_t).all()
+    assert np.asarray(adj).shape == (14, 14)
+    assert scaler is not None and scaler["kind"] == "standard"
+    assert meta["shape_train"][0][0] == 182  # both videos
+
+
+def test_supervised_annotation(single_coords):
+    coords = single_coords
+    sup = coords.supervised_annotation()
+    tab = sup["test"]
+    assert tab.shape[0] == 100
+    expected = [
+        "climb-arena", "sniff-arena", "immobility", "stat-lookaround",
+        "stat-active", "stat-passive", "moving", "sniffing",
+        "distance", "cum-distance", "speed", "missing",
+    ]
+    assert list(tab.columns) == expected
+    # Binary columns are in {0, 1}.
+    binary = tab[expected[:8]]
+    assert ((binary == 0) | (binary == 1)).all().all()
+    assert (tab["cum-distance"].diff().dropna() >= 0).all()
+
+
+def test_multi_animal_project(tmp_path):
+    proj = _make_project(
+        tmp_path, scenario="test_multi_topview", fmt="h5",
+        animal_ids=["B", "W"],
+    )
+    coords = proj.create(force=True, test=True, verbose=False)
+    c = coords.get_coords()
+    key = list(c.keys())[0]
+    assert c[key].shape[1] == 2 * 14 * 2
+    assert any(bp.startswith("B_") for bp, _ in c[key].columns)
+    single = coords.get_coords(selected_id="B")
+    assert all(bp.startswith("B_") for bp, _ in single[key].columns)
+
+    sup = coords.supervised_annotation()
+    cols = list(sup[key].columns)
+    assert "B_W_nose2nose" in cols
+    assert "B_W_following" in cols and "W_B_following" in cols
+    assert "B_missing" in cols and "W_missing" in cols
