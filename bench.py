@@ -16,6 +16,7 @@ vs_baseline is the ratio against the BASELINE.json target of 50x real time
 """
 
 import json
+import os
 import sys
 import time
 
@@ -44,7 +45,7 @@ def main():
     from deepof_tpu.ops import align_trajectories, pairwise_distances, rolling_speed
 
     frame_rate = 25.0
-    duration_s = 3600
+    duration_s = int(os.environ.get("DEEPOF_TPU_BENCH_SECONDS", 3600))
     t = int(frame_rate * duration_s)
     window = 25
     batch = 4096
@@ -119,32 +120,32 @@ def main():
         sd = jnp.maximum(jnp.std(feats, axis=0, keepdims=True), 1e-6)
         return (feats - mu) / sd
 
-    def embed_all(feats):
-        """Windows at stride 1 -> encoder embeddings, batched scan."""
-        pad = n_batches * batch - n_windows
-        starts = jnp.arange(n_windows + pad).clip(0, n_windows - 1)
-        starts = starts.reshape(n_batches, batch)
-
-        def one_batch(carry, batch_starts):
-            idx = batch_starts[:, None] + jnp.arange(window)[None, :]
-            w = feats[idx]                                   # (B, W, F)
-            x = w[:, :, : 2 * n].reshape(batch, window, 2, n)
-            x = jnp.moveaxis(x, 2, 3)                        # (B, W, N, 2)
-            s = w[:, :, 2 * n : 3 * n][..., None]            # (B, W, N, 1)
-            xw = jnp.concatenate([x, s], axis=-1)
-            aw = w[:, :, 3 * n :][..., None]                 # (B, W, E, 1)
-            out = model.apply(variables, xw, aw, train=False)
-            return carry, (out["encoder_output"], out["soft_counts"])
-
-        _, (embs, counts) = jax.lax.scan(one_batch, 0, starts)
-        return embs.reshape(-1, embs.shape[-1])[:n_windows], counts.reshape(
-            -1, counts.shape[-1]
-        )[:n_windows]
+    # Two compiled programs instead of one mega-jit: the fused preprocess+
+    # feature pass, and a fixed-shape window-batch embed (reused across
+    # batches). Keeps remote compile times bounded.
+    preprocess_jit = jax.jit(preprocess_and_features)
 
     @jax.jit
+    def embed_batch(feats, batch_starts):
+        idx = batch_starts[:, None] + jnp.arange(window)[None, :]
+        w = feats[idx]                                       # (B, W, F)
+        x = w[:, :, : 2 * n].reshape(batch, window, 2, n)
+        x = jnp.moveaxis(x, 2, 3)                            # (B, W, N, 2)
+        s = w[:, :, 2 * n : 3 * n][..., None]                # (B, W, N, 1)
+        xw = jnp.concatenate([x, s], axis=-1)
+        aw = w[:, :, 3 * n :][..., None]                     # (B, W, E, 1)
+        out = model.apply(variables, xw, aw, train=False)
+        return out["encoder_output"], out["soft_counts"]
+
+    all_starts = np.arange(n_batches * batch).clip(0, n_windows - 1)
+    all_starts = jnp.asarray(all_starts.reshape(n_batches, batch))
+
     def full_pipeline(pos, lik):
-        feats = preprocess_and_features(pos, lik)
-        return embed_all(feats)
+        feats = preprocess_jit(pos, lik)
+        outs = [embed_batch(feats, all_starts[i]) for i in range(n_batches)]
+        embs = jnp.concatenate([o[0] for o in outs])[:n_windows]
+        counts = jnp.concatenate([o[1] for o in outs])[:n_windows]
+        return embs, counts
 
     pos = jnp.asarray(pos_np)
     lik = jnp.asarray(lik_np)

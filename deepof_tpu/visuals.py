@@ -1,0 +1,876 @@
+"""Visualization layer: the plot_* / export_* public surface.
+
+Behavioral spec: deepof/visuals.py (26 public functions, :80-4961) —
+heatmaps, Gantt charts, enrichment, transitions, FSTTC associations,
+stationary entropy, embeddings, embedding-quality panels, training metrics,
+skeleton animation, cluster-detector performance, SHAP swarms, annotated
+videos, between-condition distances, behavior trends, and ROI interaction
+summaries. Everything shares the time-binning engine in visuals_utils.
+
+Rendering is matplotlib; all device math (distances, assignments) happens
+upstream, so these stay thin.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from itertools import combinations
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+
+import deepof_tpu.posthoc as posthoc
+import deepof_tpu.visuals_utils as vu
+from deepof_tpu.core.storage import get_dt
+from deepof_tpu.core.table_dict import TableDict
+from deepof_tpu.evaluation import (
+    compute_compactness,
+    compute_knn_agreement,
+    compute_separability_logreg,
+)
+
+
+def _maybe_save(fig, save, default_name: str):
+    if save:
+        path = save if isinstance(save, str) else f"{default_name}.png"
+        fig.savefig(path, bbox_inches="tight")
+    return fig
+
+
+def _conditions_of(coordinates, keys):
+    conds = {}
+    exp = coordinates._exp_conditions or {}
+    for k in keys:
+        c = exp.get(k)
+        if hasattr(c, "iloc"):
+            c = str(c.iloc[0, 0])
+        conds[k] = str(c)
+    return conds
+
+
+# --------------------------------------------------------------------------- #
+# Position plots
+# --------------------------------------------------------------------------- #
+
+
+def plot_heatmaps(
+    coordinates,
+    bodyparts: List[str],
+    center: str = "arena",
+    align: str = None,
+    exp_condition: str = None,
+    condition_value: str = None,
+    display_arena: bool = True,
+    experiment_id: str = "average",
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    samples_max: int = 20000,
+    save: bool = False,
+    dpi: int = 100,
+    ax: Any = None,
+    **kwargs,
+):
+    """2D occupancy heatmaps per bodypart (visuals.py:80-246)."""
+    coords = coordinates.get_coords(center=center)
+    bin_info = vu.preprocess_time_bins(
+        coordinates, bin_size, bin_index, precomputed_bins,
+        samples_max=samples_max,
+    )
+    keys = (
+        list(coords.keys()) if experiment_id == "average" else [experiment_id]
+    )
+    if condition_value is not None:
+        conds = _conditions_of(coordinates, keys)
+        keys = [k for k in keys if conds[k] == str(condition_value)]
+
+    stacked = pd.concat([coords[k].iloc[bin_info[k]] for k in keys], axis=0)
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(dpi=dpi)
+    else:
+        fig = ax.figure
+    vu.heatmap(stacked, bodyparts, title=f"{experiment_id}", ax=ax, **kwargs)
+    if display_arena:
+        vu.plot_arena(coordinates, center, "#ffffff", ax, experiment_id)
+    return _maybe_save(fig, save, "heatmaps")
+
+
+# --------------------------------------------------------------------------- #
+# Gantt
+# --------------------------------------------------------------------------- #
+
+
+def plot_gantt(
+    coordinates,
+    experiment_id: str,
+    soft_counts: TableDict = None,
+    supervised_annotations: TableDict = None,
+    behaviors: List[str] = None,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Behavior/cluster occurrence Gantt chart for one experiment
+    (visuals.py:248-766)."""
+    bin_info = vu.preprocess_time_bins(
+        coordinates, bin_size, bin_index, precomputed_bins,
+        experiment_id=experiment_id, samples_max=None,
+    )
+    rng = bin_info[experiment_id]
+
+    if supervised_annotations is not None:
+        tab = pd.DataFrame(get_dt(supervised_annotations, experiment_id)).iloc[rng]
+        if behaviors is None:
+            behaviors = [
+                c for c in tab.columns
+                if not any(s in str(c) for s in ("speed", "distance"))
+            ]
+        series = {b: (tab[b] > 0.1).to_numpy() for b in behaviors}
+        colors = vu.get_behavior_colors(behaviors, coordinates._animal_ids)
+    else:
+        counts = np.asarray(get_dt(soft_counts, experiment_id))[rng]
+        hard = counts.argmax(axis=1)
+        clusters = sorted(np.unique(hard))
+        series = {f"Cluster {c}": hard == c for c in clusters}
+        cmap = plt.get_cmap("tab20")
+        colors = [matplotlib.colors.to_hex(cmap(i % 20)) for i in range(len(clusters))]
+
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(10, 0.4 * len(series) + 1))
+    else:
+        fig = ax.figure
+    t = np.arange(len(rng)) / coordinates._frame_rate
+    for i, (name, mask) in enumerate(series.items()):
+        starts, ends = vu.contiguous_segments(mask)
+        for s, e in zip(starts, ends):
+            ax.barh(i, (e - s) / coordinates._frame_rate,
+                    left=s / coordinates._frame_rate,
+                    color=colors[i % len(colors)], height=0.8)
+    ax.set_yticks(range(len(series)))
+    ax.set_yticklabels(list(series.keys()))
+    ax.set_xlabel("time (s)")
+    ax.set_title(experiment_id)
+    return _maybe_save(fig, save, "gantt")
+
+
+# --------------------------------------------------------------------------- #
+# Enrichment and trends
+# --------------------------------------------------------------------------- #
+
+
+def plot_enrichment(
+    coordinates,
+    embeddings: TableDict = None,
+    soft_counts: TableDict = None,
+    supervised_annotations: TableDict = None,
+    exp_condition: str = None,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    normalize: bool = True,
+    add_stats: str = "Mann-Whitney",
+    verbose: bool = False,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Boxplots of cluster/behavior usage per condition with pairwise
+    significance markers (visuals.py:979-1477)."""
+    bin_info = vu.preprocess_time_bins(
+        coordinates, bin_size, bin_index, precomputed_bins, samples_max=None,
+        tab_dict_for_binning=(supervised_annotations or soft_counts),
+    )
+    counters = posthoc.enrichment_across_conditions(
+        embedding=embeddings,
+        soft_counts=soft_counts,
+        supervised_annotations=supervised_annotations,
+        exp_conditions=coordinates._exp_conditions or {},
+        bin_info=bin_info,
+        normalize=normalize,
+    )
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(12, 5))
+    else:
+        fig = ax.figure
+    clusters = sorted(counters["cluster"].unique(), key=str)
+    conditions = sorted(counters["exp condition"].unique())
+    width = 0.8 / max(len(conditions), 1)
+    stats = {}
+    for ci, cond in enumerate(conditions):
+        sub = counters[counters["exp condition"] == cond]
+        pos, vals = [], []
+        for ki, cl in enumerate(clusters):
+            v = sub[sub["cluster"] == cl]["time on cluster"].to_numpy()
+            pos.append(ki + ci * width)
+            vals.append(v)
+        bp = ax.boxplot(
+            vals, positions=pos, widths=width * 0.9, patch_artist=True,
+            manage_ticks=False,
+        )
+        color = plt.get_cmap("tab10")(ci)
+        for box in bp["boxes"]:
+            box.set_facecolor(color)
+    if add_stats and len(conditions) == 2:
+        from scipy.stats import mannwhitneyu, ttest_ind
+
+        for ki, cl in enumerate(clusters):
+            a = counters[
+                (counters["exp condition"] == conditions[0])
+                & (counters["cluster"] == cl)
+            ]["time on cluster"]
+            b = counters[
+                (counters["exp condition"] == conditions[1])
+                & (counters["cluster"] == cl)
+            ]["time on cluster"]
+            if len(a) > 1 and len(b) > 1:
+                try:
+                    if add_stats == "Mann-Whitney":
+                        p = mannwhitneyu(a, b).pvalue
+                    else:
+                        p = ttest_ind(a, b, equal_var=False).pvalue
+                except ValueError:
+                    p = np.nan
+                stats[cl] = p
+                if p < 0.05:
+                    y = max(a.max(), b.max())
+                    ax.text(ki + width / 2, y, "*", ha="center", fontsize=14)
+    ax.set_xticks(np.arange(len(clusters)) + width * (len(conditions) - 1) / 2)
+    ax.set_xticklabels([str(c) for c in clusters], rotation=45, ha="right")
+    ax.set_ylabel("time on cluster" + (" (fraction)" if normalize else ""))
+    handles = [
+        matplotlib.patches.Patch(color=plt.get_cmap("tab10")(i), label=c)
+        for i, c in enumerate(conditions)
+    ]
+    ax.legend(handles=handles)
+    if verbose and stats:
+        print(stats)
+    return _maybe_save(fig, save, "enrichment")
+
+
+def plot_behavior_trends(
+    coordinates,
+    embeddings: TableDict = None,
+    soft_counts: TableDict = None,
+    supervised_annotations: TableDict = None,
+    behavior: str = None,
+    polar_depiction: bool = False,
+    n_time_bins: int = 24,
+    error_bars: str = "sem",
+    normalize: bool = True,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Behavior occurrence over consecutive time bins, per condition
+    (visuals.py:4093-4515)."""
+    source = supervised_annotations if supervised_annotations is not None else soft_counts
+    lengths = {k: len(np.asarray(get_dt(source, k))) for k in source.keys()}
+    l_short = min(lengths.values())
+    pairs = vu.create_bin_pairs(l_short, n_time_bins)
+    conds = _conditions_of(coordinates, list(source.keys()))
+
+    rows = []
+    for key in source.keys():
+        tab = np.asarray(get_dt(source, key))
+        for bi, (lo, hi) in enumerate(pairs):
+            seg = tab[lo:hi]
+            if supervised_annotations is not None:
+                cols = list(get_dt(source, key).columns)
+                j = cols.index(behavior)
+                val = float(np.nanmean(seg[:, j] > 0.1))
+            else:
+                hard = seg.argmax(axis=1)
+                val = float(np.mean(hard == int(behavior)))
+            rows.append({"exp id": key, "bin": bi, "value": val,
+                         "condition": conds[key]})
+    df = pd.DataFrame(rows)
+
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(
+            subplot_kw={"projection": "polar"} if polar_depiction else None
+        )
+    else:
+        fig = ax.figure
+    for ci, cond in enumerate(sorted(df["condition"].unique())):
+        sub = df[df["condition"] == cond].groupby("bin")["value"]
+        mean = sub.mean()
+        err = sub.sem() if error_bars == "sem" else sub.std()
+        x = (
+            np.linspace(0, 2 * np.pi, len(mean), endpoint=False)
+            if polar_depiction else mean.index
+        )
+        ax.plot(x, mean, label=cond)
+        ax.fill_between(x, mean - err, mean + err, alpha=0.3)
+    ax.set_title(str(behavior))
+    ax.legend()
+    return _maybe_save(fig, save, "behavior_trends")
+
+
+# --------------------------------------------------------------------------- #
+# Transitions / entropy
+# --------------------------------------------------------------------------- #
+
+
+def return_transitions(
+    coordinates,
+    soft_counts: TableDict,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    silence_diagonal: bool = False,
+    normalize: bool = True,
+    **kwargs,
+):
+    """Per-condition transition matrices (visuals.py:1479-1534)."""
+    bin_info = vu.preprocess_time_bins(
+        coordinates, bin_size, bin_index, precomputed_bins,
+        tab_dict_for_binning=soft_counts, samples_max=None,
+    )
+    mats = posthoc.compute_transition_matrix_per_condition(
+        soft_counts, coordinates._exp_conditions or {}, bin_info=bin_info,
+        aggregate=True, normalize=normalize,
+    )
+    if silence_diagonal:
+        for m in mats.values():
+            np.fill_diagonal(m, 0)
+    return mats
+
+
+def plot_transitions(
+    coordinates,
+    soft_counts: TableDict,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    visualization: str = "heatmaps",
+    silence_diagonal: bool = False,
+    save: bool = False,
+    **kwargs,
+):
+    """Transition matrices as heatmaps or directed graphs
+    (visuals.py:1536-1721)."""
+    mats = return_transitions(
+        coordinates, soft_counts, bin_size, bin_index, precomputed_bins,
+        silence_diagonal=silence_diagonal,
+    )
+    n = len(mats)
+    fig, axes = plt.subplots(1, n, figsize=(5 * n, 4), squeeze=False)
+    for ax, (cond, mat) in zip(axes[0], mats.items()):
+        if visualization == "networks":
+            import networkx as nx
+
+            g = nx.from_numpy_array(mat, create_using=nx.DiGraph)
+            pos = nx.circular_layout(g)
+            weights = [5 * g[u][v]["weight"] for u, v in g.edges]
+            nx.draw(
+                g, pos, ax=ax, with_labels=True, width=weights,
+                node_color="lightblue",
+            )
+        else:
+            im = ax.imshow(mat, cmap="viridis")
+            fig.colorbar(im, ax=ax)
+        ax.set_title(str(cond))
+    return _maybe_save(fig, save, "transitions")
+
+
+def plot_stationary_entropy(
+    coordinates,
+    soft_counts: TableDict,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Entropy of the per-condition steady-state distributions
+    (visuals.py:2126-2291)."""
+    mats = return_transitions(
+        coordinates, soft_counts, bin_size, bin_index, precomputed_bins
+    )
+    entropy = posthoc.compute_steady_state(mats, return_entropy=True)
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    ax.bar(list(map(str, entropy.keys())), list(entropy.values()))
+    ax.set_ylabel("stationary entropy (nats)")
+    return _maybe_save(fig, save, "entropy")
+
+
+# --------------------------------------------------------------------------- #
+# Associations (FSTTC)
+# --------------------------------------------------------------------------- #
+
+
+def count_all_events(supervised_annotations: TableDict) -> pd.DataFrame:
+    """Bout counts per behavior per experiment (visuals.py:1723-1828)."""
+    rows = {}
+    for key in supervised_annotations.keys():
+        tab = pd.DataFrame(get_dt(supervised_annotations, key))
+        counts = {}
+        for col in tab.columns:
+            if any(s in str(col) for s in ("speed", "distance")):
+                continue
+            starts, _ = vu.contiguous_segments((tab[col] > 0.1).to_numpy())
+            counts[col] = len(starts)
+        rows[key] = counts
+    return pd.DataFrame(rows).T.fillna(0)
+
+
+def plot_associations(
+    coordinates,
+    supervised_annotations: TableDict,
+    behaviors: List[str] = None,
+    frame_rate: float = None,
+    delta_T: float = 2.0,
+    association_metric: str = "fsttc",
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Pairwise temporal association (FSTTC / Yule's Q) between behaviors
+    (visuals.py:1830-2124)."""
+    frame_rate = frame_rate or coordinates._frame_rate
+    first = pd.DataFrame(get_dt(supervised_annotations, list(supervised_annotations.keys())[0]))
+    if behaviors is None:
+        behaviors = [
+            c for c in first.columns
+            if not any(s in str(c) for s in ("speed", "distance", "missing"))
+        ]
+    n = len(behaviors)
+    mat = np.zeros((n, n))
+    counts = np.zeros((n, n))
+    for key in supervised_annotations.keys():
+        tab = pd.DataFrame(get_dt(supervised_annotations, key))
+        for i, a in enumerate(behaviors):
+            for j, b in enumerate(behaviors):
+                if i == j:
+                    continue
+                if association_metric == "fsttc":
+                    v = vu.calculate_FSTTC(
+                        tab[a] > 0.1, tab[b] > 0.1, frame_rate, delta_T
+                    )
+                else:
+                    v = vu.calculate_simple_association(
+                        tab[a] > 0.1, tab[b] > 0.1, frame_rate
+                    )
+                if np.isfinite(v):
+                    mat[i, j] += v
+                    counts[i, j] += 1
+    mat = np.divide(mat, counts, out=np.zeros_like(mat), where=counts > 0)
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(1 + 0.5 * n, 1 + 0.5 * n))
+    else:
+        fig = ax.figure
+    im = ax.imshow(mat, cmap="coolwarm", vmin=-1, vmax=1)
+    ax.set_xticks(range(n))
+    ax.set_xticklabels(behaviors, rotation=90)
+    ax.set_yticks(range(n))
+    ax.set_yticklabels(behaviors)
+    fig.colorbar(im, ax=ax)
+    return _maybe_save(fig, save, "associations")
+
+
+# --------------------------------------------------------------------------- #
+# Embeddings
+# --------------------------------------------------------------------------- #
+
+
+def plot_embeddings(
+    coordinates,
+    embeddings: TableDict = None,
+    soft_counts: TableDict = None,
+    supervised_annotations: TableDict = None,
+    aggregate_experiments: str = None,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    samples_max: int = 5000,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """2D PCA scatter of chunk embeddings (colored by cluster) or of
+    aggregated per-experiment embeddings (colored by condition)
+    (visuals.py:2421-2862)."""
+    from sklearn.decomposition import PCA
+
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+
+    if aggregate_experiments:
+        agg = posthoc.get_aggregated_embedding(
+            embeddings, agg=aggregate_experiments,
+        )
+        reduced = PCA(n_components=2).fit_transform(agg.to_numpy(float))
+        conds = _conditions_of(coordinates, list(agg.index))
+        for cond in sorted(set(conds.values())):
+            sel = [i for i, k in enumerate(agg.index) if conds[k] == cond]
+            ax.scatter(reduced[sel, 0], reduced[sel, 1], label=cond, s=60)
+        ax.legend()
+    else:
+        chunks, labels = [], []
+        for key in embeddings.keys():
+            emb = np.asarray(get_dt(embeddings, key))
+            sc = np.asarray(get_dt(soft_counts, key)) if soft_counts else None
+            chunks.append(emb)
+            labels.append(
+                sc.argmax(axis=1) if sc is not None else np.zeros(len(emb))
+            )
+        x = np.concatenate(chunks)
+        y = np.concatenate(labels)
+        if len(x) > samples_max:
+            idx = np.random.default_rng(0).choice(len(x), samples_max, replace=False)
+            x, y = x[idx], y[idx]
+        reduced = PCA(n_components=2).fit_transform(x)
+        scat = ax.scatter(reduced[:, 0], reduced[:, 1], c=y, cmap="tab20", s=4)
+        fig.colorbar(scat, ax=ax, label="cluster")
+    ax.set_xlabel("PC 1")
+    ax.set_ylabel("PC 2")
+    return _maybe_save(fig, save, "embeddings")
+
+
+def return_embedding_evaluation(
+    embeddings: TableDict,
+    supervised_annotations: TableDict,
+    behaviors: List[str] = None,
+    window_size: int = None,
+) -> pd.DataFrame:
+    """Compactness / separability / kNN-agreement per behavior
+    (visuals.py:2864-2906 over deepof/utils.py:4122-4255)."""
+    from deepof_tpu.utils import natural_sorted
+
+    embs, sups = [], []
+    for key in embeddings.keys():
+        emb = np.asarray(get_dt(embeddings, key))
+        sup = pd.DataFrame(get_dt(supervised_annotations, key))
+        if window_size is None:
+            window_size = len(sup) - len(emb) + 1
+        center = window_size // 2
+        aligned = sup.iloc[center : center + len(emb)].reset_index(drop=True)
+        m = min(len(emb), len(aligned))
+        embs.append(emb[:m])
+        sups.append(aligned.iloc[:m])
+    z = np.concatenate(embs)
+    sup = pd.concat(sups, axis=0).reset_index(drop=True)
+    if behaviors is None:
+        behaviors = [
+            c for c in sup.columns
+            if not any(s in str(c) for s in ("speed", "distance"))
+        ]
+    rows = {}
+    for b in behaviors:
+        y = (sup[b] > 0.5).to_numpy()
+        if y.sum() < 2:
+            continue
+        row = {}
+        row.update(compute_compactness(z[y], z))
+        row.update(compute_separability_logreg(z, y))
+        row.update(compute_knn_agreement(z, y))
+        rows[b] = row
+    return pd.DataFrame(rows).T
+
+
+def plot_embedding_evaluation(
+    embeddings: TableDict,
+    supervised_annotations: TableDict,
+    behaviors: List[str] = None,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Bar panel of the embedding-quality metrics (visuals.py:2908-3000)."""
+    df = return_embedding_evaluation(embeddings, supervised_annotations, behaviors)
+    metrics = ["trace_cov_pos_norm_global", "ap_mean", "pos_knn_agree_mean"]
+    fig, axes = plt.subplots(1, len(metrics), figsize=(5 * len(metrics), 4))
+    for ax_i, metric in zip(np.atleast_1d(axes), metrics):
+        if metric in df.columns:
+            df[metric].plot.bar(ax=ax_i)
+        ax_i.set_title(metric)
+    return _maybe_save(fig, save, "embedding_evaluation")
+
+
+def plot_training_metrics(log_summary: dict, save: bool = False) -> Any:
+    """Loss curves from a training history dict (visuals.py:3001-3108)."""
+    fig, ax = plt.subplots(figsize=(8, 4))
+    for key, values in (log_summary or {}).items():
+        if isinstance(values, (list, np.ndarray)) and len(np.atleast_1d(values)) > 1:
+            ax.plot(values, label=key)
+    ax.set_xlabel("epoch")
+    ax.legend(fontsize=7)
+    return _maybe_save(fig, save, "training_metrics")
+
+
+# --------------------------------------------------------------------------- #
+# Skeleton animation
+# --------------------------------------------------------------------------- #
+
+
+def animate_skeleton(
+    coordinates,
+    experiment_id: str,
+    animal_id: str = None,
+    center: str = "arena",
+    frame_limit: int = 250,
+    cluster_assignments=None,
+    save: Optional[str] = None,
+    dpi: int = 100,
+    **kwargs,
+):
+    """Matplotlib animation of the moving skeleton (visuals.py:3110-3519)."""
+    from matplotlib.animation import FuncAnimation
+
+    coords = coordinates.get_coords_at_key(
+        key=experiment_id, scale=coordinates._scales[experiment_id],
+        center=center, selected_id=animal_id,
+    )
+    nodes = sorted({c[0] for c in coords.columns})
+    edges = [
+        (a, b) for (a, b) in coordinates._body_graph.edge_names
+        if a in nodes and b in nodes
+    ]
+    n_frames = min(frame_limit, len(coords))
+
+    fig, ax = plt.subplots(dpi=dpi)
+    x_all = coords.loc[:, (slice(None), "x")].to_numpy(float)
+    y_all = coords.loc[:, (slice(None), "y")].to_numpy(float)
+    ax.set_xlim(np.nanmin(x_all), np.nanmax(x_all))
+    ax.set_ylim(np.nanmin(y_all), np.nanmax(y_all))
+    ax.invert_yaxis()
+
+    scat = ax.scatter([], [], s=15)
+    lines = [ax.plot([], [], "k-", lw=1)[0] for _ in edges]
+    title = ax.set_title("")
+
+    def frame(i):
+        pts = np.array([[coords[(n, "x")].iloc[i], coords[(n, "y")].iloc[i]] for n in nodes])
+        scat.set_offsets(pts)
+        for line, (a, b) in zip(lines, edges):
+            line.set_data(
+                [coords[(a, "x")].iloc[i], coords[(b, "x")].iloc[i]],
+                [coords[(a, "y")].iloc[i], coords[(b, "y")].iloc[i]],
+            )
+        label = f"{experiment_id} frame {i}"
+        if cluster_assignments is not None and i < len(cluster_assignments):
+            label += f" | cluster {int(cluster_assignments[i])}"
+        title.set_text(label)
+        return [scat, *lines, title]
+
+    anim = FuncAnimation(fig, frame, frames=n_frames, interval=1000 / coordinates._frame_rate)
+    if save:
+        anim.save(save, dpi=dpi)
+    return anim
+
+
+# --------------------------------------------------------------------------- #
+# Detector performance / SHAP
+# --------------------------------------------------------------------------- #
+
+
+def plot_cluster_detection_performance(
+    chunk_stats: pd.DataFrame,
+    hard_counts: np.ndarray,
+    cluster_detector,
+    confusion: bool = True,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Confusion matrix / per-cluster accuracy of the supervised cluster
+    detectors (visuals.py:3521-3659)."""
+    from sklearn.metrics import ConfusionMatrixDisplay, confusion_matrix
+
+    preds = cluster_detector.predict(np.nan_to_num(chunk_stats.to_numpy(float)))
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    cm = confusion_matrix(hard_counts, preds, normalize="true")
+    ConfusionMatrixDisplay(cm).plot(ax=ax, colorbar=False)
+    return _maybe_save(fig, save, "cluster_detection")
+
+
+def plot_shap_swarm_per_cluster(
+    coordinates,
+    chunk_stats: pd.DataFrame,
+    shap_values,
+    cluster: Union[int, str] = "all",
+    max_display: int = 10,
+    save: bool = False,
+    **kwargs,
+):
+    """SHAP beeswarm per cluster (visuals.py:3661-3711). Requires shap."""
+    try:
+        import shap
+    except ImportError as e:
+        raise ImportError(
+            "plot_shap_swarm_per_cluster requires the optional 'shap' package."
+        ) from e
+    if cluster != "all":  # pragma: no cover
+        shap_values = shap_values[int(cluster)]
+    shap.summary_plot(  # pragma: no cover
+        shap_values, chunk_stats, max_display=max_display, show=False
+    )
+    fig = plt.gcf()  # pragma: no cover
+    return _maybe_save(fig, save, "shap_swarm")  # pragma: no cover
+
+
+# --------------------------------------------------------------------------- #
+# Condition distances / supervised summary
+# --------------------------------------------------------------------------- #
+
+
+def plot_distance_between_conditions(
+    coordinates,
+    embeddings: TableDict,
+    soft_counts: TableDict,
+    exp_condition: str = None,
+    metric: str = "auc",
+    scan_mode: str = "growing_window",
+    agg: str = "time_on_cluster",
+    start_bin: int = None,
+    step_bin: int = None,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Condition separability across growing/sliding time bins
+    (visuals.py:3932-4091)."""
+    distances = posthoc.condition_distance_binning(
+        embeddings, soft_counts, coordinates._exp_conditions or {},
+        start_bin=start_bin, step_bin=step_bin, scan_mode=scan_mode,
+        agg=agg, metric=metric,
+    )
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    ax.plot(distances, marker="o")
+    ax.set_xlabel("bin")
+    ax.set_ylabel(metric)
+    return _maybe_save(fig, save, "condition_distance")
+
+
+def return_supervised_summary(
+    coordinates, supervised_annotations: TableDict
+) -> pd.DataFrame:
+    """Per-experiment behavior summary table (visuals.py:4961-5108)."""
+    rows = {}
+    for key in supervised_annotations.keys():
+        tab = pd.DataFrame(get_dt(supervised_annotations, key))
+        summary = {}
+        for col in tab.columns:
+            if any(s in str(col) for s in ("speed", "distance")):
+                summary[f"{col}_mean"] = float(np.nanmean(tab[col]))
+            else:
+                summary[f"{col}_fraction"] = float(np.nanmean(tab[col] > 0.1))
+        rows[key] = summary
+    return pd.DataFrame(rows).T
+
+
+# --------------------------------------------------------------------------- #
+# ROI interaction
+# --------------------------------------------------------------------------- #
+
+
+def get_roi_data(
+    coordinates, roi_number: int, experiment_id: str, animal_id: str = None,
+    in_roi_criterion: str = "Center",
+):
+    """Boolean in-ROI mask for one experiment/animal (visuals.py:4868-4959)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import point_in_polygon
+
+    aid = animal_id if animal_id is not None else coordinates._animal_ids[0]
+    crit = f"{aid}{'_' if aid else ''}{in_roi_criterion}"
+    base = np.array(coordinates._tables[experiment_id], dtype=np.float64)
+    ci = coordinates._nodes.index(crit)
+    roi = np.asarray(coordinates._roi_dicts[experiment_id][roi_number])
+    return np.asarray(point_in_polygon(jnp.asarray(base[:, ci]), roi))
+
+
+def return_mouse_roi_interaction(
+    coordinates, roi_number: int = 1, in_roi_criterion: str = "Center",
+) -> pd.DataFrame:
+    """Fraction of time each animal spends inside the ROI per experiment
+    (visuals.py:4519-4612)."""
+    rows = {}
+    for key in coordinates._tables.keys():
+        row = {}
+        for aid in coordinates._animal_ids:
+            inside = get_roi_data(coordinates, roi_number, key, aid, in_roi_criterion)
+            row[aid or "animal"] = float(np.mean(inside))
+        rows[key] = row
+    return pd.DataFrame(rows).T
+
+
+def plot_mouse_roi_interaction(
+    coordinates, roi_number: int = 1, save: bool = False, ax: Any = None, **kwargs
+):
+    """Bar chart of ROI occupancy per animal/experiment
+    (visuals.py:4614-4866)."""
+    df = return_mouse_roi_interaction(coordinates, roi_number)
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    df.plot.bar(ax=ax)
+    ax.set_ylabel(f"fraction of time in ROI {roi_number}")
+    return _maybe_save(fig, save, "roi_interaction")
+
+
+def plot_normative_log_likelihood(
+    coordinates,
+    embeddings: TableDict,
+    normative_model,
+    save: bool = False,
+    ax: Any = None,
+    **kwargs,
+):
+    """Per-experiment log-likelihood under the normative GMM
+    (visuals.py:2293-2419)."""
+    agg = posthoc.get_aggregated_embedding(embeddings)
+    scores = posthoc.score_against_normative(normative_model, agg)
+    conds = _conditions_of(coordinates, list(scores.index))
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    for ci, cond in enumerate(sorted(set(conds.values()))):
+        vals = [scores[k] for k in scores.index if conds[k] == cond]
+        ax.scatter([ci] * len(vals), vals, label=cond)
+    ax.set_xticks(range(len(set(conds.values()))))
+    ax.set_xticklabels(sorted(set(conds.values())))
+    ax.set_ylabel("normative log-likelihood")
+    return _maybe_save(fig, save, "normative_ll")
+
+
+def export_annotated_video(coordinates, *args, **kwargs):
+    """Delegates to deepof_tpu.export_video (visuals.py:3713-3930)."""
+    from deepof_tpu.export_video import output_annotated_video
+
+    return output_annotated_video(coordinates, *args, **kwargs)

@@ -166,3 +166,285 @@ def preprocess_time_bins(
         bin_info = out
 
     return bin_info
+
+
+# --------------------------------------------------------------------------- #
+# Color utilities (reference: deepof/visuals_utils.py:60-176)
+# --------------------------------------------------------------------------- #
+
+
+def hex_to_BGR(hex_color):
+    h = hex_color.lstrip("#")
+    return tuple(int(h[i : i + 2], 16) for i in (4, 2, 0))
+
+
+def BGR_to_hex(bgr_color):
+    b, g, r = bgr_color
+    return f"#{r:02x}{g:02x}{b:02x}"
+
+
+def RGB_to_hex(rgb_color):
+    r, g, b = rgb_color
+    return f"#{r:02x}{g:02x}{b:02x}"
+
+
+def RGB_to_BGR(rgb_color):
+    return tuple(reversed(rgb_color))
+
+
+def BGR_to_RGB(bgr_color):
+    return tuple(reversed(bgr_color))
+
+
+def get_behavior_colors(behaviors, animal_ids=None, custom_behaviors=None):
+    """Stable color per behavior from the config color maps
+    (reference: deepof/visuals_utils.py:80-176)."""
+    import pandas as pd
+
+    from deepof_tpu import config as _cfg
+
+    if isinstance(animal_ids, pd.DataFrame):
+        candidates = set()
+        for col in animal_ids.columns:
+            name = str(col)
+            if "_" in name:
+                candidates.add(name.split("_")[0])
+        animal_ids = sorted(candidates) or None
+    if animal_ids is None:
+        animal_ids = [""]
+
+    colors = []
+    custom_map = {
+        cb.name: cb.color for cb in (custom_behaviors or []) if cb.color
+    }
+    for behavior in behaviors:
+        base = str(behavior)
+        aid_idx = 0
+        for i, aid in enumerate(animal_ids):
+            if aid and base.startswith(f"{aid}_"):
+                base = base[len(aid) + 1 :]
+                aid_idx = i
+                break
+        # Strip pair prefixes like "B_W_".
+        for single in (
+            list(_cfg.ONE_ANIMAL_COLOR_MAP) + list(_cfg.CONTINUOUS_COLOR_MAP)
+            + list(_cfg.TWO_ANIMALS_COLOR_MAP_NONDIRECTIONAL)
+            + list(_cfg.TWO_ANIMALS_COLOR_MAP_DIRECTIONAL)
+            + list(custom_map)
+        ):
+            if base.endswith(single):
+                base = single
+                break
+        if base in custom_map:
+            colors.append(custom_map[base])
+        elif base in _cfg.ONE_ANIMAL_COLOR_MAP:
+            colors.append(_cfg.ONE_ANIMAL_COLOR_MAP[base][aid_idx % 2])
+        elif base in _cfg.TWO_ANIMALS_COLOR_MAP_NONDIRECTIONAL:
+            colors.append(_cfg.TWO_ANIMALS_COLOR_MAP_NONDIRECTIONAL[base])
+        elif base in _cfg.TWO_ANIMALS_COLOR_MAP_DIRECTIONAL:
+            colors.append(_cfg.TWO_ANIMALS_COLOR_MAP_DIRECTIONAL[base][aid_idx % 2])
+        elif base in _cfg.CONTINUOUS_COLOR_MAP:
+            colors.append(_cfg.CONTINUOUS_COLOR_MAP[base][aid_idx % 2])
+        else:
+            colors.append("#7f7f7f")
+    return colors
+
+
+# --------------------------------------------------------------------------- #
+# Statistics helpers (reference: deepof/visuals_utils.py:726-1470)
+# --------------------------------------------------------------------------- #
+
+
+def create_bin_pairs(l_array: int, n_time_bins: int):
+    """Split [0, l_array) into n_time_bins (start, end) pairs."""
+    edges = np.linspace(0, l_array, n_time_bins + 1, dtype=int)
+    return list(zip(edges[:-1], edges[1:]))
+
+
+def cohend(array_a, array_b) -> float:
+    """Cohen's d effect size between two samples."""
+    a = np.asarray(array_a, float)
+    b = np.asarray(array_b, float)
+    na, nb = len(a), len(b)
+    pooled = np.sqrt(
+        ((na - 1) * np.nanvar(a, ddof=1) + (nb - 1) * np.nanvar(b, ddof=1))
+        / max(na + nb - 2, 1)
+    )
+    if pooled == 0:
+        return 0.0
+    return float((np.nanmean(a) - np.nanmean(b)) / pooled)
+
+
+def cohend_effect_size(d: float) -> int:
+    """Bucketize |d|: 3 large (>=0.8), 2 medium (>=0.5), 1 small."""
+    if abs(d) >= 0.8:
+        return 3
+    if abs(d) >= 0.5:
+        return 2
+    if abs(d) < 0.5:
+        return 1
+    return 0
+
+
+def contiguous_segments(mask: np.ndarray):
+    """(starts, ends) of True runs in a boolean array."""
+    mask = np.asarray(mask).astype(bool)
+    padded = np.concatenate([[False], mask, [False]])
+    diff = np.diff(padded.astype(int))
+    starts = np.where(diff == 1)[0]
+    ends = np.where(diff == -1)[0]
+    return starts, ends
+
+
+def calculate_FSTTC(
+    preceding_behavior, proximate_behavior, frame_rate: float, delta_T: float = 2.0
+) -> float:
+    """Forward Spike-Time Tiling Coefficient between two behavior trains
+    (reference: deepof/visuals_utils.py:1382-1424)."""
+    pre = np.asarray(preceding_behavior).astype(bool)
+    prox = np.asarray(proximate_behavior).astype(bool)
+    n = len(pre)
+    dt = int(round(delta_T * frame_rate))
+    if dt <= 0 or not pre.any() or not prox.any():
+        return 0.0
+
+    def tiled(mask):
+        out = np.zeros(n, dtype=bool)
+        starts, ends = contiguous_segments(mask)
+        for s, e in zip(starts, ends):
+            out[s : min(e + dt, n)] = True
+        return out
+
+    tile_pre = tiled(pre)
+    tile_prox = tiled(prox)
+    ta = tile_pre.mean()
+    tb = tile_prox.mean()
+    # P(prox onset inside pre tile), P(pre offset inside prox tile-before)
+    prox_starts, _ = contiguous_segments(prox)
+    p_a = tile_pre[prox_starts].mean() if len(prox_starts) else 0.0
+    pre_starts, _ = contiguous_segments(pre)
+    p_b = tile_prox[pre_starts].mean() if len(pre_starts) else 0.0
+    denom_a = 1 - p_a * ta
+    denom_b = 1 - p_b * tb
+    if denom_a == 0 or denom_b == 0:
+        return 0.0
+    return float(0.5 * ((p_a - ta) / denom_a + (p_b - tb) / denom_b))
+
+
+def calculate_simple_association(
+    behavior_a, behavior_b, frame_rate: float = 1.0, min_T: float = 10.0
+) -> float:
+    """Yule's-Q style association between two binary behavior trains."""
+    a = np.asarray(behavior_a).astype(bool)
+    b = np.asarray(behavior_b).astype(bool)
+    n11 = float(np.sum(a & b))
+    n00 = float(np.sum(~a & ~b))
+    n10 = float(np.sum(a & ~b))
+    n01 = float(np.sum(~a & b))
+    denom = n11 * n00 + n10 * n01
+    if denom == 0:
+        return 0.0
+    return float((n11 * n00 - n10 * n01) / denom)
+
+
+def scale_units(coordinates, key, data, unit: str, target_distance=None, target_time=None):
+    """Convert internal mm / seconds data to the requested display unit."""
+    from deepof_tpu.config import DistanceUnit, TimeUnit
+
+    factor = 1.0
+    if unit in DistanceUnit.__members__:
+        f = DistanceUnit[unit].value
+        if f == 0.0:  # pixel: mm -> px using the arena scale
+            scales = coordinates._scales[key]
+            factor = scales[2] / scales[3]
+        else:
+            factor = 1.0 / f
+    elif unit in TimeUnit.__members__:
+        factor = 1.0 / TimeUnit[unit].value
+    return data * factor
+
+
+def get_square_shape_for_gridlike_plot(n: int):
+    """(rows, cols) grid for n panels."""
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    return rows, cols
+
+
+def calculate_average_arena(coordinates, n_points: int = 100):
+    """Average arena polygon across videos (in mm), resampled to
+    n_points (reference: deepof/visuals_utils.py:281-358)."""
+    from deepof_tpu.ops.geometry import _close_polygon
+    from deepof_tpu.arena import extract_corners_from_arena
+
+    polys = []
+    for key, params in coordinates._arena_params.items():
+        if isinstance(params, tuple):
+            poly = extract_corners_from_arena(params, n_points=n_points)
+        else:
+            poly = _close_polygon(np.asarray(params, float))
+            # Resample along the perimeter to n_points.
+            closed = np.vstack([poly, poly[:1]])
+            seg = np.linalg.norm(np.diff(closed, axis=0), axis=1)
+            cum = np.concatenate([[0], np.cumsum(seg)])
+            targets = np.linspace(0, cum[-1], n_points, endpoint=False)
+            poly = np.stack(
+                [
+                    np.interp(targets, cum, closed[:, 0]),
+                    np.interp(targets, cum, closed[:, 1]),
+                ],
+                axis=1,
+            )
+        polys.append(poly)
+    return np.mean(np.stack(polys), axis=0)
+
+
+def plot_arena(coordinates, center, color, ax, key: str):
+    """Draw one experiment's arena (mm space) onto an axis
+    (reference: deepof/visuals_utils.py:1721-1790)."""
+    from deepof_tpu.arena import extract_corners_from_arena
+
+    if key == "average":
+        poly = calculate_average_arena(coordinates)
+    else:
+        params = coordinates._arena_params[key]
+        poly = (
+            extract_corners_from_arena(params)
+            if isinstance(params, tuple)
+            else np.asarray(params, float)
+        )
+    if center == "arena":
+        scales = coordinates._scales[
+            key if key != "average" else list(coordinates._scales)[0]
+        ]
+        poly = poly - np.asarray(scales[:2])[None, :]
+    closed = np.vstack([poly, poly[:1]])
+    ax.plot(closed[:, 0], closed[:, 1], color=color, lw=2)
+    return ax
+
+
+def heatmap(
+    dframe, bodyparts, xlim=None, ylim=None, title=None, mask=None,
+    save=False, dpi=100, ax=None, **kwargs,
+):
+    """2D position density heatmap for the given bodyparts
+    (reference: deepof/visuals_utils.py:1792-1913)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(dpi=dpi)
+    for bp in bodyparts:
+        x = np.asarray(dframe[(bp, "x")], float)
+        y = np.asarray(dframe[(bp, "y")], float)
+        valid = np.isfinite(x) & np.isfinite(y)
+        if mask is not None:
+            valid &= np.asarray(mask, bool)
+        ax.hist2d(x[valid], y[valid], bins=50, cmap="magma", **kwargs)
+    if xlim is not None:
+        ax.set_xlim(xlim)
+    if ylim is not None:
+        ax.set_ylim(ylim)
+    if title:
+        ax.set_title(title)
+    ax.invert_yaxis()
+    return ax

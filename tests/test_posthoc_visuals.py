@@ -1,0 +1,226 @@
+"""Post-hoc statistics + visuals + aux subsystem tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepof_tpu.core.table_dict import TableDict
+import deepof_tpu.posthoc as posthoc
+import deepof_tpu.visuals_utils as vu
+from deepof_tpu.evaluation import (
+    compute_compactness,
+    compute_knn_agreement,
+    compute_separability_logreg,
+    gmm_compute,
+)
+
+
+def _soft_counts(n_exps=4, n=200, k=5, seed=0):
+    rng = np.random.default_rng(seed)
+    tabs = {}
+    conditions = {}
+    for i in range(n_exps):
+        logits = rng.normal(size=(n, k)) + (2.0 if i % 2 else 0.0) * np.eye(k)[i % k]
+        p = np.exp(logits)
+        tabs[f"exp{i}"] = p / p.sum(1, keepdims=True)
+        conditions[f"exp{i}"] = pd.DataFrame({"cond": ["A" if i % 2 else "B"]})
+    return TableDict(tabs, typ="unsupervised_counts"), conditions
+
+
+def test_get_time_on_cluster():
+    sc, _ = _soft_counts()
+    toc = posthoc.get_time_on_cluster(sc)
+    assert toc.shape[0] == 4
+    np.testing.assert_allclose(toc.sum(1), 1.0, rtol=1e-6)
+    counts = posthoc.get_time_on_cluster(sc, normalize=False)
+    assert counts.sum(1).max() <= 200
+
+
+def test_enrichment_and_conditions():
+    sc, conds = _soft_counts()
+    df = posthoc.enrichment_across_conditions(
+        soft_counts=sc, exp_conditions=conds, normalize=True
+    )
+    assert set(df.columns) == {"exp id", "cluster", "time on cluster", "exp condition"}
+    assert set(df["exp condition"]) == {"A", "B"}
+
+
+def test_transitions_and_steady_state():
+    sc, conds = _soft_counts()
+    mats = posthoc.compute_transition_matrix_per_condition(sc, conds)
+    assert set(mats) == {"A", "B"}
+    for m in mats.values():
+        np.testing.assert_allclose(m.sum(1), 1.0, rtol=1e-6)
+    steady = posthoc.compute_steady_state(mats)
+    for s in steady.values():
+        np.testing.assert_allclose(s.sum(), 1.0, rtol=1e-6)
+    ent = posthoc.compute_steady_state(mats, return_entropy=True)
+    assert all(0 <= v <= np.log(5) + 1e-6 for v in ent.values())
+
+
+def test_cluster_transition_matrix_counts():
+    seq = np.array([0, 0, 1, 1, 2, 0])
+    m = posthoc.cluster_transition_matrix(seq, 3)
+    np.testing.assert_allclose(m[0], [0.5, 0.5, 0.0])
+    np.testing.assert_allclose(m[2], [1.0, 0.0, 0.0])
+
+
+def test_separation_between_conditions_auc():
+    rng = np.random.default_rng(0)
+    feats = pd.DataFrame(
+        np.concatenate([rng.normal(size=(6, 3)), rng.normal(3.0, 1, size=(6, 3))]),
+        index=[f"e{i}" for i in range(12)],
+    )
+    conds = {f"e{i}": "A" if i < 6 else "B" for i in range(12)}
+    auc = posthoc.separation_between_conditions(feats, conds, metric="auc")
+    assert auc > 0.8
+    w = posthoc.separation_between_conditions(feats, conds, metric="wasserstein")
+    assert w > 0.5
+
+
+def test_chunk_summary_statistics():
+    x = np.random.default_rng(0).normal(size=(10, 20, 3))
+    stats = posthoc.chunk_summary_statistics(x, ["a", "b", "c"])
+    assert stats.shape == (10, 33)
+    assert "a_mean" in stats.columns and "c_kurt" in stats.columns
+
+
+def test_cluster_detectors_and_recluster():
+    rng = np.random.default_rng(0)
+    x = pd.DataFrame(rng.normal(size=(120, 6)))
+    y = rng.integers(0, 3, 120)
+    x.iloc[:, 0] += y  # make it learnable
+    clf, preds, acc = posthoc.train_supervised_cluster_detectors(
+        x, y, verbose=0
+    )
+    assert acc > 0.4
+
+    embs = TableDict(
+        {"e1": rng.normal(size=(50, 4)), "e2": rng.normal(size=(50, 4))},
+        typ="unsupervised_embedding",
+    )
+    sc = posthoc.recluster(None, embs, states=3)
+    assert sc["e1"].shape == (50, 3)
+    np.testing.assert_allclose(sc["e1"].sum(1), 1.0, rtol=1e-5)
+
+
+def test_normative_model():
+    rng = np.random.default_rng(0)
+    normal = pd.DataFrame(rng.normal(size=(30, 4)))
+    model = posthoc.fit_normative_global_model(normal)
+    inliers = pd.DataFrame(rng.normal(size=(5, 4)), index=list("abcde"))
+    outliers = pd.DataFrame(rng.normal(10, 1, size=(5, 4)), index=list("fghij"))
+    s_in = posthoc.score_against_normative(model, inliers)
+    s_out = posthoc.score_against_normative(model, outliers)
+    assert s_in.mean() > s_out.mean()
+
+
+# --------------------------------------------------------------------- #
+# evaluation metrics
+# --------------------------------------------------------------------- #
+
+
+def test_embedding_metrics():
+    rng = np.random.default_rng(0)
+    z_pos = rng.normal(0, 0.3, size=(100, 4))
+    z_neg = rng.normal(3, 1.0, size=(200, 4))
+    z = np.concatenate([z_pos, z_neg])
+    y = np.concatenate([np.ones(100), np.zeros(200)])
+    comp = compute_compactness(z_pos, z)
+    assert comp["trace_cov_pos_norm_global"] < 0.5
+    sep = compute_separability_logreg(z, y)
+    assert sep["ap_mean"] > 0.9
+    # Cosine (the default) is scale-invariant, so the zero-centered positive
+    # cluster scores lower; euclidean separates cleanly.
+    knn = compute_knn_agreement(z, y, k=10, metric="euclidean")
+    assert knn["pos_knn_agree_mean"] > 0.9
+    knn_cos = compute_knn_agreement(z, y, k=10)
+    assert knn_cos["pos_knn_agree_mean"] > 0.5
+
+
+def test_gmm_compute():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.normal(size=(50, 2)), rng.normal(5, 1, size=(50, 2))])
+    model, bic = gmm_compute(x, 2, "diag")
+    assert np.isfinite(bic)
+    assert model.n_components == 2
+
+
+# --------------------------------------------------------------------- #
+# visuals_utils helpers
+# --------------------------------------------------------------------- #
+
+
+def test_color_roundtrips():
+    assert vu.hex_to_BGR("#ff0080") == (0x80, 0x00, 0xFF)
+    assert vu.BGR_to_hex((0x80, 0x00, 0xFF)) == "#ff0080"
+    assert vu.RGB_to_BGR((1, 2, 3)) == (3, 2, 1)
+
+
+def test_get_behavior_colors():
+    colors = vu.get_behavior_colors(
+        ["climb-arena", "sniffing", "speed"], animal_ids=[""]
+    )
+    assert colors[0] == "#1f77b4"
+    colors_multi = vu.get_behavior_colors(
+        ["B_climb-arena", "W_climb-arena", "B_W_nose2nose"], animal_ids=["B", "W"]
+    )
+    assert colors_multi[0] != colors_multi[1]
+    assert colors_multi[2] == "#081ee4"
+
+
+def test_fsttc_detects_temporal_coupling():
+    rng = np.random.default_rng(0)
+    a = np.zeros(1000, dtype=bool)
+    b = np.zeros(1000, dtype=bool)
+    for s in range(50, 900, 100):
+        a[s : s + 10] = True
+        b[s + 12 : s + 22] = True  # b follows a closely
+    coupled = vu.calculate_FSTTC(a, b, frame_rate=25, delta_T=1.0)
+    shuffled = vu.calculate_FSTTC(a, rng.permutation(b), frame_rate=25, delta_T=1.0)
+    assert coupled > shuffled
+
+
+def test_cohend_and_effect_size():
+    d = vu.cohend([1, 2, 3, 4], [5, 6, 7, 8])
+    assert d < -2
+    assert vu.cohend_effect_size(d) == 3
+    assert vu.cohend_effect_size(0.1) == 1
+
+
+def test_scale_units_conversions():
+    class FakeCoords:
+        _scales = {"k": [0, 0, 420.0, 380.0]}
+
+    out = vu.scale_units(FakeCoords(), "k", np.array([380.0]), "cm")
+    np.testing.assert_allclose(out, [38.0])
+    out_px = vu.scale_units(FakeCoords(), "k", np.array([380.0]), "pixel")
+    np.testing.assert_allclose(out_px, [420.0])
+
+
+def test_stage_timer():
+    from deepof_tpu.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("outer"):
+        with t.stage("inner"):
+            pass
+    assert "outer" in t.totals and "outer/inner" in t.totals
+    assert "inner" in t.report()
+
+
+def test_database_explorer(tmp_path):
+    from deepof_tpu.core.storage import save_dt
+    from deepof_tpu.database_explorer import DatabaseExplorer
+
+    df = pd.DataFrame(
+        np.arange(20.0).reshape(10, 2), columns=[("A", "x"), ("A", "y")]
+    )
+    save_dt(df, str(tmp_path / "sub" / "tab1"), return_path=True)
+    ex = DatabaseExplorer(str(tmp_path))
+    stores = ex.list_stores()
+    assert len(stores) == 1
+    head = ex.head(stores[0], n=3)
+    assert head.shape == (3, 2)
+    summary = ex.summary()
+    assert len(summary) == 1
