@@ -625,10 +625,69 @@ class Project:
             print("Done!")
         return coordinates
 
-    def extend(self, *args, **kwargs):  # pragma: no cover
-        raise NotImplementedError(
-            "Project.extend is scheduled for a later milestone of deepof_tpu."
+    def extend(
+        self,
+        project_to_extend: str,
+        video_path: str = None,
+        table_path: str = None,
+        verbose: bool = True,
+        debug: bool = False,
+        test: bool = False,
+    ) -> "Coordinates":
+        """Extend an existing project with this project's new experiments
+        (deepof/data.py:1459-1563): process only the keys absent from the
+        saved Coordinates, then merge the per-experiment stores."""
+        import shutil
+
+        previous = load_project(project_to_extend)
+        assert previous._number_of_rois == self.number_of_rois, (
+            "Cannot extend: the number of ROIs must match."
         )
+        new_keys = sorted(set(self.videos) - set(previous._videos))
+        if verbose:
+            print(f"Processing data from {len(new_keys)} new experiments...")
+        if not new_keys:
+            return previous
+
+        self.videos = {k: self.videos[k] for k in new_keys}
+        self.tables = {k: self.tables[k] for k in new_keys}
+
+        prev_vid_path = previous._video_path
+        prev_tab_path = previous._source_table_path
+        if video_path is None:
+            video_path = self.video_path
+        if table_path is None:
+            table_path = self.source_table_path
+        if os.path.abspath(video_path) != os.path.abspath(prev_vid_path):
+            for vid in self.videos.values():
+                shutil.copy2(
+                    os.path.join(video_path, vid), os.path.join(prev_vid_path, vid)
+                )
+        if os.path.abspath(table_path) != os.path.abspath(prev_tab_path):
+            for tab in self.tables.values():
+                shutil.copy2(
+                    os.path.join(table_path, tab), os.path.join(prev_tab_path, tab)
+                )
+        self.video_path = prev_vid_path
+        self.source_table_path = prev_tab_path
+
+        new_coords = self.create(verbose=verbose, force=True, debug=debug, test=test)
+
+        # Merge per-experiment stores into the previous Coordinates.
+        for attr in (
+            "_tables", "_quality", "_distances", "_angles", "_areas",
+            "_presence", "_scales", "_arena_params", "_videos",
+            "_video_resolution",
+        ):
+            getattr(previous, attr).update(getattr(new_coords, attr))
+        if previous._roi_dicts is not None and new_coords._roi_dicts is not None:
+            previous._roi_dicts.update(new_coords._roi_dicts)
+        if new_coords._exp_conditions:
+            previous._exp_conditions = {
+                **(previous._exp_conditions or {}), **new_coords._exp_conditions
+            }
+        previous.save(timestamp=False)
+        return previous
 
 
 # --------------------------------------------------------------------------- #

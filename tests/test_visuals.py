@@ -1,0 +1,183 @@
+"""Visuals tests: render every main plot on the fixture project."""
+
+import os
+import shutil
+
+import matplotlib
+import numpy as np
+import pandas as pd
+import pytest
+
+matplotlib.use("Agg")
+
+import deepof_tpu.visuals as visuals
+from deepof_tpu.core.table_dict import TableDict
+from deepof_tpu.data import Project
+
+FIXTURES = "/root/reference/tests/test_examples"
+
+
+@pytest.fixture(scope="module")
+def coords(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("viz")
+    src = os.path.join(FIXTURES, "test_single_topview")
+    (tmp / "Tables").mkdir()
+    (tmp / "Videos").mkdir()
+    for f in os.listdir(os.path.join(src, "Tables")):
+        if f.endswith("h5"):
+            shutil.copy(os.path.join(src, "Tables", f), tmp / "Tables" / f)
+    for f in os.listdir(os.path.join(src, "Videos")):
+        shutil.copy(os.path.join(src, "Videos", f), tmp / "Videos" / f)
+    proj = Project(
+        project_path=str(tmp), project_name="viz", video_path=str(tmp / "Videos"),
+        table_path=str(tmp / "Tables"), arena="circular-autodetect",
+        video_scale="380 mm", table_format="h5", frame_rate=25,
+        exp_conditions={
+            "test": pd.DataFrame({"cond": ["A"]}),
+            "test2": pd.DataFrame({"cond": ["B"]}),
+        },
+    )
+    return proj.create(force=True, test=True, verbose=False)
+
+
+@pytest.fixture(scope="module")
+def soft_counts(coords):
+    rng = np.random.default_rng(0)
+    tabs = {}
+    for key in coords._tables:
+        p = np.exp(rng.normal(size=(100, 5)))
+        tabs[key] = p / p.sum(1, keepdims=True)
+    return TableDict(tabs, typ="unsupervised_counts")
+
+
+@pytest.fixture(scope="module")
+def embeddings(coords):
+    rng = np.random.default_rng(1)
+    return TableDict(
+        {key: pd.DataFrame(rng.normal(size=(100, 6))) for key in coords._tables},
+        typ="unsupervised_embedding",
+    )
+
+
+@pytest.fixture(scope="module")
+def supervised(coords):
+    return coords.supervised_annotation()
+
+
+def test_plot_heatmaps(coords):
+    fig = visuals.plot_heatmaps(coords, ["Nose"], center="arena")
+    assert fig.axes
+
+
+def test_plot_gantt_supervised(coords, supervised):
+    fig = visuals.plot_gantt(coords, "test", supervised_annotations=supervised)
+    assert fig.axes
+
+
+def test_plot_gantt_clusters(coords, soft_counts):
+    fig = visuals.plot_gantt(coords, "test", soft_counts=soft_counts)
+    assert fig.axes
+
+
+def test_plot_enrichment(coords, soft_counts):
+    fig = visuals.plot_enrichment(coords, soft_counts=soft_counts)
+    assert fig.axes
+
+
+def test_plot_enrichment_supervised(coords, supervised):
+    fig = visuals.plot_enrichment(coords, supervised_annotations=supervised)
+    assert fig.axes
+
+
+def test_plot_transitions_and_entropy(coords, soft_counts):
+    mats = visuals.return_transitions(coords, soft_counts)
+    assert set(mats) == {"A", "B"}
+    fig = visuals.plot_transitions(coords, soft_counts)
+    assert fig.axes
+    fig = visuals.plot_transitions(coords, soft_counts, visualization="networks")
+    assert fig.axes
+    fig = visuals.plot_stationary_entropy(coords, soft_counts)
+    assert fig.axes
+
+
+def test_plot_embeddings(coords, embeddings, soft_counts):
+    fig = visuals.plot_embeddings(coords, embeddings, soft_counts)
+    assert fig.axes
+    fig = visuals.plot_embeddings(
+        coords, embeddings, soft_counts, aggregate_experiments="mean"
+    )
+    assert fig.axes
+
+
+def test_plot_associations_and_events(coords, supervised):
+    counts = visuals.count_all_events(supervised)
+    assert counts.shape[0] == 2
+    fig = visuals.plot_associations(
+        coords, supervised, behaviors=["sniffing", "moving", "stat-passive"]
+    )
+    assert fig.axes
+
+
+def test_behavior_trends(coords, supervised):
+    fig = visuals.plot_behavior_trends(
+        coords, supervised_annotations=supervised, behavior="moving",
+        n_time_bins=5,
+    )
+    assert fig.axes
+
+
+def test_embedding_evaluation(coords, embeddings, supervised):
+    df = visuals.return_embedding_evaluation(
+        embeddings, supervised, behaviors=["moving", "sniffing"], window_size=1
+    )
+    assert "ap_mean" in df.columns
+    fig = visuals.plot_embedding_evaluation(
+        embeddings, supervised, behaviors=["moving"],
+    )
+    assert fig.axes
+
+
+def test_training_metrics_plot():
+    fig = visuals.plot_training_metrics({"loss": [3, 2, 1], "val": [4, 3, 2]})
+    assert fig.axes
+
+
+def test_supervised_summary(coords, supervised):
+    summary = visuals.return_supervised_summary(coords, supervised)
+    assert "moving_fraction" in summary.columns
+    assert summary.shape[0] == 2
+
+
+def test_roi_interaction(coords):
+    df = visuals.return_mouse_roi_interaction(coords, roi_number=1)
+    assert df.shape[0] == 2
+    fig = visuals.plot_mouse_roi_interaction(coords, roi_number=1)
+    assert fig.axes
+
+
+def test_normative_plot(coords, embeddings):
+    import deepof_tpu.posthoc as posthoc
+
+    agg = posthoc.get_aggregated_embedding(embeddings)
+    model = posthoc.fit_normative_global_model(agg)
+    fig = visuals.plot_normative_log_likelihood(coords, embeddings, model)
+    assert fig.axes
+
+
+def test_animate_skeleton(coords):
+    anim = visuals.animate_skeleton(coords, "test", frame_limit=5)
+    assert anim is not None
+
+
+def test_condition_distance_plot(coords, embeddings, soft_counts):
+    fig = visuals.plot_distance_between_conditions(
+        coords, embeddings, soft_counts, metric="auc", start_bin=30, step_bin=30,
+    )
+    assert fig.axes
+
+
+def test_sanitycheck_render(coords):
+    from deepof_tpu.sanitycheck import render_frame
+
+    ax = render_frame(coords, "test", 0, show_speeds=True, show_distances=True)
+    assert ax is not None
