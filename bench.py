@@ -44,8 +44,21 @@ def main():
     from deepof_tpu.models import build_model
     from deepof_tpu.ops import align_trajectories, pairwise_distances, rolling_speed
 
+    # Persistent compilation cache: repeat runs (e.g. the driver's) skip
+    # the slow remote compile.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+    except Exception:
+        pass
+
     frame_rate = 25.0
-    duration_s = int(os.environ.get("DEEPOF_TPU_BENCH_SECONDS", 3600))
+    # Default 10 simulated minutes: throughput is T-independent once the
+    # batch pipeline is saturated, and per-dispatch latency through the
+    # remote TPU tunnel stays bounded.
+    duration_s = int(os.environ.get("DEEPOF_TPU_BENCH_SECONDS", 600))
     t = int(frame_rate * duration_s)
     window = 25
     batch = 4096
@@ -120,32 +133,36 @@ def main():
         sd = jnp.maximum(jnp.std(feats, axis=0, keepdims=True), 1e-6)
         return (feats - mu) / sd
 
-    # Two compiled programs instead of one mega-jit: the fused preprocess+
-    # feature pass, and a fixed-shape window-batch embed (reused across
-    # batches). Keeps remote compile times bounded.
+    # Two compiled programs: the fused preprocess+feature pass, and ONE
+    # scanned embed program covering all window batches (a single device
+    # dispatch per repetition — per-call latency through the remote TPU
+    # tunnel dominates if batches dispatch individually).
     preprocess_jit = jax.jit(preprocess_and_features)
 
-    @jax.jit
-    def embed_batch(feats, batch_starts):
-        idx = batch_starts[:, None] + jnp.arange(window)[None, :]
-        w = feats[idx]                                       # (B, W, F)
-        x = w[:, :, : 2 * n].reshape(batch, window, 2, n)
-        x = jnp.moveaxis(x, 2, 3)                            # (B, W, N, 2)
-        s = w[:, :, 2 * n : 3 * n][..., None]                # (B, W, N, 1)
-        xw = jnp.concatenate([x, s], axis=-1)
-        aw = w[:, :, 3 * n :][..., None]                     # (B, W, E, 1)
-        out = model.apply(variables, xw, aw, train=False)
-        return out["encoder_output"], out["soft_counts"]
-
     all_starts = np.arange(n_batches * batch).clip(0, n_windows - 1)
-    all_starts = jnp.asarray(all_starts.reshape(n_batches, batch))
+    all_starts_j = jnp.asarray(all_starts.reshape(n_batches, batch))
+
+    @jax.jit
+    def embed_all(feats):
+        def one_batch(carry, batch_starts):
+            idx = batch_starts[:, None] + jnp.arange(window)[None, :]
+            w = feats[idx]                                   # (B, W, F)
+            x = w[:, :, : 2 * n].reshape(batch, window, 2, n)
+            x = jnp.moveaxis(x, 2, 3)                        # (B, W, N, 2)
+            s = w[:, :, 2 * n : 3 * n][..., None]            # (B, W, N, 1)
+            xw = jnp.concatenate([x, s], axis=-1)
+            aw = w[:, :, 3 * n :][..., None]                 # (B, W, E, 1)
+            out = model.apply(variables, xw, aw, train=False)
+            return carry, (out["encoder_output"], out["soft_counts"])
+
+        _, (embs, counts) = jax.lax.scan(one_batch, 0, all_starts_j)
+        return (
+            embs.reshape(-1, embs.shape[-1])[:n_windows],
+            counts.reshape(-1, counts.shape[-1])[:n_windows],
+        )
 
     def full_pipeline(pos, lik):
-        feats = preprocess_jit(pos, lik)
-        outs = [embed_batch(feats, all_starts[i]) for i in range(n_batches)]
-        embs = jnp.concatenate([o[0] for o in outs])[:n_windows]
-        counts = jnp.concatenate([o[1] for o in outs])[:n_windows]
-        return embs, counts
+        return embed_all(preprocess_jit(pos, lik))
 
     pos = jnp.asarray(pos_np)
     lik = jnp.asarray(lik_np)
@@ -164,7 +181,7 @@ def main():
     frames_per_sec = t / elapsed
     target = frame_rate * 50.0  # 50x real time
     result = {
-        "metric": "frames/sec/chip preprocess->embed (1h 25fps 2-animal synthetic)",
+        "metric": f"frames/sec/chip preprocess->embed ({duration_s}s 25fps 2-animal synthetic)",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / target, 3),

@@ -109,3 +109,154 @@ def shrink_polygon(polygon: np.ndarray, factor: float) -> np.ndarray:
     poly = _close_polygon(polygon)
     centroid = poly.mean(axis=0)
     return (poly - centroid) * factor + centroid
+
+
+# --------------------------------------------------------------------------- #
+# Field-of-view cone vs ROI polygon
+# --------------------------------------------------------------------------- #
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _segments_intersect(a, b, c, d, eps=1e-10):
+    """Vectorized proper+collinear segment intersection.
+
+    a,b: (..., 2) first segment endpoints; c,d broadcastable second segment.
+    """
+    o1 = _orient(a[..., 0], a[..., 1], b[..., 0], b[..., 1], c[..., 0], c[..., 1])
+    o2 = _orient(a[..., 0], a[..., 1], b[..., 0], b[..., 1], d[..., 0], d[..., 1])
+    o3 = _orient(c[..., 0], c[..., 1], d[..., 0], d[..., 1], a[..., 0], a[..., 1])
+    o4 = _orient(c[..., 0], c[..., 1], d[..., 0], d[..., 1], b[..., 0], b[..., 1])
+    proper = (
+        ((o1 > eps) & (o2 < -eps) | (o1 < -eps) & (o2 > eps))
+        & ((o3 > eps) & (o4 < -eps) | (o3 < -eps) & (o4 > eps))
+    )
+
+    def on_seg(p, q, r):
+        collinear = jnp.abs(
+            _orient(p[..., 0], p[..., 1], q[..., 0], q[..., 1], r[..., 0], r[..., 1])
+        ) <= eps
+        within = (
+            (r[..., 0] >= jnp.minimum(p[..., 0], q[..., 0]) - eps)
+            & (r[..., 0] <= jnp.maximum(p[..., 0], q[..., 0]) + eps)
+            & (r[..., 1] >= jnp.minimum(p[..., 1], q[..., 1]) - eps)
+            & (r[..., 1] <= jnp.maximum(p[..., 1], q[..., 1]) + eps)
+        )
+        return collinear & within
+
+    touch = on_seg(a, b, c) | on_seg(a, b, d) | on_seg(c, d, a) | on_seg(c, d, b)
+    return proper | touch
+
+
+def _point_in_triangle(p, a, b, c, eps=1e-10):
+    """Same-side triangle membership, boundary included. p: (..., 2)."""
+    abp = _orient(a[..., 0], a[..., 1], b[..., 0], b[..., 1], p[..., 0], p[..., 1])
+    bcp = _orient(b[..., 0], b[..., 1], c[..., 0], c[..., 1], p[..., 0], p[..., 1])
+    cap = _orient(c[..., 0], c[..., 1], a[..., 0], a[..., 1], p[..., 0], p[..., 1])
+    has_neg = (abp < -eps) | (bcp < -eps) | (cap < -eps)
+    has_pos = (abp > eps) | (bcp > eps) | (cap > eps)
+    return ~(has_neg & has_pos)
+
+
+def in_field_of_view(
+    mouse_pts: jnp.ndarray,
+    fov_angle_deg: float,
+    roi_polygon: np.ndarray,
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """Per-frame test of whether the FOV cone intersects the ROI polygon.
+
+    Vectorized XLA rebuild of in_field_of_view_numba
+    (deepof/utils.py:1725-1870): the gaze direction is the ear-midpoint ->
+    nose perpendicular; a triangle spanning the cone (reaching past the ROI
+    bounding box) is intersected with the polygon by testing (a) cone
+    vertices inside the polygon, (b) polygon vertices inside the triangle,
+    (c) any edge-pair crossing.
+
+    Args:
+        mouse_pts: (N, 3, 2) = (left ear, nose, right ear) positions.
+        fov_angle_deg: cone opening angle in degrees, (0, 180).
+        roi_polygon: static (M, 2) polygon.
+
+    Returns:
+        (N,) float: 1.0 in-view, 0.0 not, NaN where inputs are invalid.
+    """
+    poly = _close_polygon(roi_polygon)
+    poly_j = jnp.asarray(poly)
+    n = mouse_pts.shape[0]
+    nan_out = jnp.full(n, jnp.nan)
+    if not (0.0 < fov_angle_deg < 180.0) or fov_angle_deg < 1e-6:
+        return nan_out
+
+    half = np.deg2rad(fov_angle_deg) * 0.5
+    left = mouse_pts[:, 0]
+    nose = mouse_pts[:, 1]
+    right = mouse_pts[:, 2]
+    finite = jnp.all(jnp.isfinite(mouse_pts), axis=(1, 2))
+
+    apex = 0.5 * (left + right)
+    ear = right - left
+    ear_ok = jnp.sum(ear**2, axis=1) >= eps**2
+
+    perp = jnp.stack([-ear[:, 1], ear[:, 0]], axis=1)
+    flip = jnp.sum(perp * (nose - apex), axis=1) < 0.0
+    perp = jnp.where(flip[:, None], -perp, perp)
+    norm = jnp.linalg.norm(perp, axis=1, keepdims=True)
+    fwd = perp / jnp.maximum(norm, eps)
+
+    def rot(v, ang):
+        c, s = np.cos(ang), np.sin(ang)
+        return jnp.stack(
+            [c * v[:, 0] - s * v[:, 1], s * v[:, 0] + c * v[:, 1]], axis=1
+        )
+
+    d1 = rot(fwd, +half)
+    d2 = rot(fwd, -half)
+    rays_ok = jnp.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]) >= 1e-12
+
+    # Reach past the ROI bounding box from every apex.
+    corners = np.array(
+        [
+            [poly[:, 0].min(), poly[:, 1].min()],
+            [poly[:, 0].min(), poly[:, 1].max()],
+            [poly[:, 0].max(), poly[:, 1].min()],
+            [poly[:, 0].max(), poly[:, 1].max()],
+        ]
+    )
+    d2max = jnp.max(
+        jnp.sum((jnp.asarray(corners)[None] - apex[:, None]) ** 2, axis=-1), axis=1
+    )
+    r = (1.05 * jnp.sqrt(d2max) + 1e-6) / np.cos(half)
+
+    a = apex
+    b = apex + r[:, None] * d1
+    c = apex + r[:, None] * d2
+    tri_ok = jnp.abs(
+        _orient(a[:, 0], a[:, 1], b[:, 0], b[:, 1], c[:, 0], c[:, 1])
+    ) >= 1e-12
+
+    # (a) cone vertices inside polygon.
+    vert_in = (
+        point_in_polygon(a, poly)
+        | point_in_polygon(b, poly)
+        | point_in_polygon(c, poly)
+    )
+    # (b) polygon vertices inside the triangle.
+    pv = poly_j[None, :, :]                      # (1, M, 2)
+    poly_in_tri = jnp.any(
+        _point_in_triangle(pv, a[:, None], b[:, None], c[:, None], eps), axis=1
+    )
+    # (c) triangle edges vs polygon edges.
+    p1 = poly_j[None, :, :]
+    p2 = jnp.asarray(np.roll(poly, -1, axis=0))[None, :, :]
+    edge_hits = (
+        _segments_intersect(a[:, None], b[:, None], p1, p2, eps)
+        | _segments_intersect(b[:, None], c[:, None], p1, p2, eps)
+        | _segments_intersect(c[:, None], a[:, None], p1, p2, eps)
+    )
+    intersects = vert_in | poly_in_tri | jnp.any(edge_hits, axis=1)
+
+    valid = finite & ear_ok & rays_ok & tri_ok
+    return jnp.where(valid, intersects.astype(jnp.float32), jnp.nan)
