@@ -67,7 +67,7 @@ def window_gather_standardize(
     mu: jnp.ndarray,
     sd: jnp.ndarray,
     window: int,
-    block: int = 512,
+    block: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """All stride-1 windows of ``feats``, standardized: (W_n, window, F).

@@ -1,0 +1,71 @@
+"""End-to-end: fixture project -> graph dataset -> train -> per-video
+embeddings (mirrors the reference's test_deep_unsupervised_embedding)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from deepof_tpu.data import Project
+from deepof_tpu.train.inference import embedding_per_video
+
+FIXTURES = "/root/reference/tests/test_examples"
+
+
+@pytest.fixture(scope="module")
+def coords(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    src = os.path.join(FIXTURES, "test_single_topview")
+    (tmp / "Tables").mkdir()
+    (tmp / "Videos").mkdir()
+    for f in os.listdir(os.path.join(src, "Tables")):
+        if f.endswith("h5"):
+            shutil.copy(os.path.join(src, "Tables", f), tmp / "Tables" / f)
+    for f in os.listdir(os.path.join(src, "Videos")):
+        shutil.copy(os.path.join(src, "Videos", f), tmp / "Videos" / f)
+    proj = Project(
+        project_path=str(tmp), project_name="e2e", video_path=str(tmp / "Videos"),
+        table_path=str(tmp / "Tables"), arena="circular-autodetect",
+        video_scale="380 mm", table_format="h5", frame_rate=25,
+    )
+    return proj.create(force=True, test=True, verbose=False)
+
+
+def test_train_and_embed_vqvae(coords):
+    dataset, meta, adjacency, tab_dict, scaler = coords.get_graph_dataset(
+        window_size=10
+    )
+    bundle, _, _, summary = coords.deep_unsupervised_embedding(
+        (dataset, meta, adjacency),
+        adjacency_matrix=adjacency,
+        embedding_model="VQVAE",
+        encoder_type="recurrent",
+        batch_size=32,
+        latent_dim=4,
+        epochs=1,
+        n_clusters=4,
+        save_checkpoints=False,
+        verbose=False,
+        limit_train_batches=2,
+        limit_val_batches=1,
+    )
+    assert any("total_loss" in k for k in summary)
+
+    embeddings, soft_counts = embedding_per_video(
+        coords, tab_dict, bundle, meta, global_scaler=scaler,
+    )
+    assert set(embeddings.keys()) == {"test", "test2"}
+    emb = np.asarray(embeddings["test"])
+    sc = np.asarray(soft_counts["test"])
+    # stride-1 windows over 100 frames with window 10 -> 91 chunks
+    assert emb.shape == (91, 4)
+    assert sc.shape == (91, 4)
+    np.testing.assert_allclose(sc.sum(1), 1.0, rtol=1e-4)
+
+    # Post-hoc consumes the outputs directly.
+    import deepof_tpu.posthoc as posthoc
+
+    toc = posthoc.get_time_on_cluster(soft_counts)
+    assert toc.shape[0] == 2
+    np.testing.assert_allclose(toc.sum(1), 1.0, rtol=1e-6)
