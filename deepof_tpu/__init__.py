@@ -11,6 +11,24 @@ __version__ = "0.1.0"
 
 from deepof_tpu import config, ops
 from deepof_tpu.core.graph import BodyGraph, build_body_graph, connect_mouse
+from deepof_tpu.core.table_dict import TableDict
+
+
+def __getattr__(name):
+    """Lazy submodule access (data, models, train, posthoc, visuals, ...)
+    without importing jax-heavy modules at package import."""
+    import importlib
+
+    lazy = {
+        "data", "models", "train", "annotate", "posthoc", "visuals",
+        "visuals_utils", "evaluation", "msm", "arena", "export_video",
+        "sanitycheck", "database_explorer", "legacy_compat", "profiling",
+        "parallel", "cli", "graph_dataset", "utils",
+    }
+    if name in lazy:
+        return importlib.import_module(f"deepof_tpu.{name}")
+    raise AttributeError(f"module 'deepof_tpu' has no attribute {name!r}")
+
 
 __all__ = [
     "config",
@@ -18,5 +36,6 @@ __all__ = [
     "BodyGraph",
     "build_body_graph",
     "connect_mouse",
+    "TableDict",
     "__version__",
 ]

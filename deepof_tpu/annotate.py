@@ -1012,3 +1012,32 @@ def supervised_annotation(
         arena=coordinates._arena,
         exp_conditions=coordinates._exp_conditions,
     )
+
+
+def max_behaviour(
+    behaviour_dframe: pd.DataFrame, window_size: int = 10, stepped: bool = False
+) -> np.ndarray:
+    """Most frequent behavior per sliding window
+    (annotation_utils.py:1320-1352): rolling centered sums over the binary
+    columns, argmax per window."""
+    speeds = [c for c in behaviour_dframe.columns if "speed" in str(c).lower()]
+    tab = behaviour_dframe.drop(columns=speeds).astype(float)
+    win = tab.rolling(window_size, center=True).sum()
+    if stepped:
+        win = win[::window_size]
+    # Edge windows are all-NaN under centered rolling; fill so idxmax is
+    # defined (older pandas returned NaN rows silently).
+    return np.array(win.iloc[1:].fillna(-np.inf).idxmax(axis=1))
+
+
+def frame_corners(w: int, h: int, corners: dict = None) -> dict:
+    """Text-anchor positions at the corners of a video frame
+    (annotation_utils.py:1354-1370)."""
+    defaults = {
+        "downleft": (int(w * 0.3 / 10), int(h / 1.05)),
+        "downright": (int(w * 6.5 / 10), int(h / 1.05)),
+        "upleft": (int(w * 0.3 / 10), int(h / 20)),
+        "upright": (int(w * 6.3 / 10), int(h / 20)),
+    }
+    defaults.update(corners or {})
+    return defaults

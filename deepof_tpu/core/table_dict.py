@@ -545,3 +545,67 @@ def extract_windows(
         to_window[key] = save_dt(windows, path, save_as_paths)
 
     return to_window, (out_len, window_len, n_features)
+
+
+def _sample_windows_methods(cls):
+    """Attach the window-sampling API used by plots and diagnostics
+    (deepof/data.py:3930-4045)."""
+
+    def sample_windows_from_data(
+        self,
+        time_bin_info: Dict[str, np.ndarray] = None,
+        n_windows: int = 10000,
+        no_nans: bool = False,
+        return_edges: bool = False,
+        seed: int = 0,
+    ):
+        """Sample a contiguous block of windows per experiment.
+
+        Returns (X (N, ...), a (N, ...), per-key index dict).
+        """
+        rng = np.random.default_rng(seed)
+        xs, edges, indices = [], [], {}
+        for key in self.keys():
+            main, edge = self._get_data_tables(key)
+            arr = np.asarray(main)
+            if time_bin_info and key in time_bin_info:
+                sel = np.asarray(time_bin_info[key])
+                sel = sel[sel < len(arr)]
+                arr = arr[sel]
+                base_idx = sel
+            else:
+                base_idx = np.arange(len(arr))
+            if no_nans:
+                valid = ~np.isnan(arr).any(axis=tuple(range(1, arr.ndim)))
+                arr = arr[valid]
+                base_idx = base_idx[valid]
+            take = min(n_windows, len(arr))
+            if take == 0:
+                indices[key] = np.zeros(0, dtype=int)
+                continue
+            start = rng.integers(0, max(1, len(arr) - take + 1))
+            sl = slice(start, start + take)
+            xs.append(arr[sl])
+            indices[key] = base_idx[sl]
+            if edge is not None:
+                edges.append(np.asarray(edge)[sl])
+            else:
+                edges.append(np.zeros_like(arr[sl]))
+        x = np.concatenate(xs) if xs else np.zeros((0,))
+        a = np.concatenate(edges) if edges else np.zeros((0,))
+        if return_edges:
+            return x, a, indices
+        return x, indices
+
+    def _get_data_tables(self, key):
+        raw = get_dt(self, key)
+        if isinstance(raw, tuple) and len(raw) > 0:
+            return raw[0], raw[1] if len(raw) > 1 else None
+        return raw, None
+
+    cls.sample_windows_from_data = sample_windows_from_data
+    cls._get_data_tables = _get_data_tables
+    return cls
+
+
+_sample_windows_methods(TableDict)

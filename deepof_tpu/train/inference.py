@@ -135,19 +135,56 @@ def embedding_per_video(
         if sc is not None:
             soft_counts[key] = pd.DataFrame(sc)
 
-    # Contrastive (or explicit request): extract soft counts via GMM on the
-    # pooled embeddings (model_utils_new.py:620-750 "gmm" path).
-    if (not soft_counts) or softcounts_extraction_method == "gmm":
-        from sklearn.mixture import GaussianMixture
+    # Contrastive (or explicit request): extract soft counts from the
+    # embeddings via GMM, MSM+PCCA+, or an HMM
+    # (model_utils_new.py:620-750 extraction paths).
+    k = n_components or (model.rebuild_spec.get("n_components") or 10)
+    if model_name == "Contrastive" and softcounts_extraction_method is None:
+        softcounts_extraction_method = "msm"
+    if (not soft_counts) or softcounts_extraction_method in (
+        "gmm", "msm", "hmm", "combined",
+    ):
+        method = softcounts_extraction_method or "gmm"
+        emb_arrays = {key: np.asarray(e) for key, e in embeddings.items()}
+        if method in ("msm", "combined"):
+            from deepof_tpu.msm import get_soft_counts_msm
 
-        k = n_components or (
-            model.rebuild_spec.get("n_components") or 10
-        )
-        pooled = np.concatenate([np.asarray(e) for e in embeddings.values()])
-        gmm = GaussianMixture(n_components=k, covariance_type="diag", reg_covar=1e-4)
-        gmm.fit(pooled)
-        for key, emb in embeddings.items():
-            soft_counts[key] = pd.DataFrame(gmm.predict_proba(np.asarray(emb)))
+            counts = get_soft_counts_msm(emb_arrays, n_components=k)
+        elif method == "hmm":
+            from deepof_tpu.msm import get_soft_counts_hmm
+
+            counts = get_soft_counts_hmm(emb_arrays, n_states=k)
+        else:
+            from sklearn.mixture import GaussianMixture
+
+            pooled = np.concatenate(list(emb_arrays.values()))
+            gmm = GaussianMixture(
+                n_components=k, covariance_type="diag", reg_covar=1e-4
+            ).fit(pooled)
+            counts = {
+                key: gmm.predict_proba(e) for key, e in emb_arrays.items()
+            }
+        if method == "combined":
+            # MSM first; frames whose MSM assignment is uncertain get
+            # re-assigned by a GMM fit on those frames
+            # (model_utils_new.py "combined" path).
+            from sklearn.mixture import GaussianMixture
+
+            uncertain = {
+                key: counts[key].max(1) < 0.6 for key in counts
+            }
+            pooled_unc = np.concatenate(
+                [emb_arrays[key][m] for key, m in uncertain.items() if m.any()]
+            ) if any(m.any() for m in uncertain.values()) else None
+            if pooled_unc is not None and len(pooled_unc) >= k:
+                gmm = GaussianMixture(
+                    n_components=k, covariance_type="diag", reg_covar=1e-4
+                ).fit(pooled_unc)
+                for key, m in uncertain.items():
+                    if m.any():
+                        counts[key][m] = gmm.predict_proba(emb_arrays[key][m])
+        for key, c in counts.items():
+            soft_counts[key] = pd.DataFrame(c)
 
     table_path = coordinates._table_path
     emb_td = TableDict(
