@@ -786,7 +786,7 @@ def validate_custom_behaviors(custom_behaviors=None, custom_behavior_inputs=None
 def assign_custom_behavior_colors(custom_behaviors=None):
     if custom_behaviors is None:
         return None
-    pal = cycle(list(CUSTOM_BEHAVIOR_COLOR_MAP.values()))
+    pal = cycle(pair[0] for pair in CUSTOM_BEHAVIOR_COLOR_MAP.values())
     for i, cb in enumerate(custom_behaviors):
         if not (
             cb.color and isinstance(cb.color, str)

@@ -1,0 +1,207 @@
+"""Behavior-rule unit tests, including a hand-built consistency scenario
+and the custom-behavior extension API (mirrors
+tests/test_annotation_utils.py + test_objects.py in the reference)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import deepof_tpu.annotate as annotate
+from deepof_tpu.annotate import (
+    Behavior_output,
+    Behavior_scope,
+    DeepOF_behavior,
+    calculate_close_range,
+    climb_arena,
+    close_double_contact,
+    close_single_contact,
+    detect_activity,
+    following_path,
+    rearing,
+    sniff_around,
+    sniff_object,
+    validate_custom_behaviors,
+)
+
+
+def _pos_frame(points: dict, t: int = 20) -> pd.DataFrame:
+    """Constant-position DataFrame with (bp, x/y) columns."""
+    cols, data = [], []
+    for bp, (x, y) in points.items():
+        cols += [(bp, "x"), (bp, "y")]
+        data += [np.full(t, float(x)), np.full(t, float(y))]
+    return pd.DataFrame(np.stack(data, 1), columns=pd.MultiIndex.from_tuples(cols))
+
+
+def test_close_single_contact():
+    pos = _pos_frame({"A_Nose": (0, 0), "B_Nose": (10, 0), "B_Tail_base": (100, 0)})
+    assert close_single_contact(pos, "A_Nose", "B_Nose", tol=15).all()
+    assert not close_single_contact(pos, "A_Nose", "B_Tail_base", tol=15).any()
+    # Any-of list form.
+    assert close_single_contact(pos, "A_Nose", ["B_Nose", "B_Tail_base"], 15).all()
+
+
+def test_close_double_contact_and_reverse():
+    pos = _pos_frame(
+        {
+            "A_Nose": (0, 0), "A_Tail_base": (50, 0),
+            "B_Nose": (5, 0), "B_Tail_base": (55, 0),      # side by side
+        }
+    )
+    assert close_double_contact(
+        pos, "A_Nose", "A_Tail_base", "B_Nose", "B_Tail_base", rel_tol=10
+    ).all()
+    # Reverse orientation (nose-to-tail both ways) fails here.
+    assert not close_double_contact(
+        pos, "A_Nose", "A_Tail_base", "B_Nose", "B_Tail_base", rel_tol=10, rev=True
+    ).any()
+
+
+def test_climb_and_sniff_arena_polygonal():
+    arena = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float)
+    pos_out = _pos_frame({"Nose": (130, 50)})       # far outside
+    pos_edge = _pos_frame({"Nose": (98, 50)})       # near the wall, inside
+    pos_center = _pos_frame({"Nose": (50, 50)})
+
+    assert climb_arena("polygonal-autodetect", arena, pos_out, 0.15, "", mouse_len=50).all()
+    assert not climb_arena("polygonal-autodetect", arena, pos_center, 0.15, "", mouse_len=50).any()
+
+    speeds = pd.DataFrame({"Center": np.full(20, 1.0), "Nose": np.full(20, 1.0)})
+    sniff = sniff_object(
+        speeds, arena, pos_edge, tol=5.0, tol_speed=10.0, nose="Nose",
+    )
+    assert sniff.all()
+    assert not sniff_object(
+        speeds, arena, pos_center, tol=5.0, tol_speed=10.0, nose="Nose",
+    ).any()
+
+
+def test_climb_arena_elliptical():
+    ellipse = ((50.0, 50.0), (30.0, 30.0), 0.0)
+    outside = _pos_frame({"Nose": (95, 50)})
+    inside = _pos_frame({"Nose": (55, 50)})
+    assert climb_arena("circular", ellipse, outside, 0.15, "", mouse_len=50).all()
+    assert not climb_arena("circular", ellipse, inside, 0.15, "", mouse_len=50).any()
+
+
+def test_following_path_detects_follower():
+    t = 60
+    # B walks right; A's nose tracks B's tail-base path with a short delay.
+    bx = np.linspace(0, 100, t)
+    pos = pd.DataFrame(
+        {
+            ("B_Tail_base", "x"): bx, ("B_Tail_base", "y"): np.zeros(t),
+            ("B_Nose", "x"): bx + 20, ("B_Nose", "y"): np.zeros(t),
+            ("A_Nose", "x"): bx - 5, ("A_Nose", "y"): np.zeros(t),
+            ("A_Tail_base", "x"): bx - 25, ("A_Tail_base", "y"): np.zeros(t),
+        }
+    )
+    dists = pd.DataFrame(
+        {
+            ("A_Nose", "B_Tail_base"): np.full(t, 5.0),
+            ("A_Tail_base", "B_Tail_base"): np.full(t, 25.0),
+            ("A_Nose", "B_Nose"): np.full(t, 25.0),
+        }
+    )
+    speeds = pd.DataFrame({"A_Nose": np.full(t, 50.0)})
+    follow = following_path(
+        dists, pos, speeds, follower="A", followed="B",
+        frames=10, tol=8.0, tol_speed=10.0,
+    )
+    assert follow[15:].mean() > 0.9
+
+
+def test_detect_activity_splits_states():
+    t = 300
+    rng = np.random.default_rng(0)
+    center = np.concatenate([np.full(150, 5.0), np.full(150, 80.0)])
+    speeds = pd.DataFrame(
+        {
+            "Center": center,
+            "Nose": np.full(t, 50.0),
+            "Left_fhip": np.full(t, 5.0),
+            "Right_fhip": np.full(t, 5.0),
+            "Left_bhip": np.full(t, 5.0),
+            "Right_bhip": np.full(t, 5.0),
+        }
+    )
+    lik = pd.DataFrame({c: np.ones(t) for c in speeds.columns})
+    stat_a, stat_p, moving = detect_activity(
+        speeds, lik, tol_speed=40.0, tol_likelihood=0.85, min_length=6
+    )
+    # First half: immobile but nose active; second half: moving.
+    assert stat_a[:140].mean() > 0.8
+    assert moving[160:].mean() > 0.8
+
+
+def test_sniff_around_and_rearing():
+    t = 50
+    speeds = pd.DataFrame({"Center": np.full(t, 5.0), "Nose": np.full(t, 60.0),
+                           "Tail_base": np.full(t, 5.0)})
+    lik = pd.DataFrame({"Nose": np.ones(t)})
+    assert sniff_around(speeds, lik, 40.0, 0.85).all()
+
+    pos = _pos_frame({"Nose": (0, 0), "Tail_base": (10, 0)}, t)
+    assert rearing(pos, speeds, rearing_tol=20, tol_speed=40).all()
+    pos_far = _pos_frame({"Nose": (0, 0), "Tail_base": (100, 0)}, t)
+    assert not rearing(pos_far, speeds, rearing_tol=20, tol_speed=40).any()
+
+
+def test_calculate_close_range():
+    dists = pd.DataFrame(
+        {
+            ("A_Nose", "B_Center"): [10.0, 100.0],
+            ("A_Nose", "A_Tail_base"): [5.0, 5.0],  # same-animal: ignored
+        }
+    )
+    mask = calculate_close_range(dists, "A_", "Nose", threshold=20.0)
+    np.testing.assert_array_equal(mask, [1, 0])
+
+
+# --------------------------------------------------------------------- #
+# Custom behavior extension API
+# --------------------------------------------------------------------- #
+
+
+def _custom_behavior(name="still-nose"):
+    def compute(ctx, aid):
+        return (ctx.speeds[ctx.bp(aid, "Nose")] < 10).to_numpy()
+
+    return DeepOF_behavior(
+        name=name,
+        scope=Behavior_scope.INDIVIDUAL,
+        output_type=Behavior_output.BINARY,
+        compute=compute,
+    )
+
+
+def test_validate_custom_behaviors():
+    validate_custom_behaviors([_custom_behavior()], {})
+    with pytest.raises(ValueError):
+        validate_custom_behaviors([_custom_behavior("bad_name")], {})
+    with pytest.raises(ValueError):
+        validate_custom_behaviors([_custom_behavior("moving")], {})
+    with pytest.raises(ValueError):
+        validate_custom_behaviors(
+            [_custom_behavior("dup"), _custom_behavior("dup")], {}
+        )
+
+
+def test_assign_custom_behavior_colors():
+    cbs = annotate.assign_custom_behavior_colors(
+        [_custom_behavior("one"), _custom_behavior("two")]
+    )
+    assert all(cb.color and cb.color.startswith("#") for cb in cbs)
+
+
+def test_max_behaviour_labels():
+    df = pd.DataFrame(
+        {
+            "moving": [1] * 10 + [0] * 10,
+            "sniffing": [0] * 10 + [1] * 10,
+            "speed": np.ones(20),
+        }
+    )
+    labels = annotate.max_behaviour(df, window_size=4)
+    assert labels[3] == "moving"
+    assert labels[-3] == "sniffing"
