@@ -61,7 +61,7 @@ def main():
     duration_s = int(os.environ.get("DEEPOF_TPU_BENCH_SECONDS", 600))
     t = int(frame_rate * duration_s)
     window = 25
-    batch = 4096
+    batch = int(os.environ.get("DEEPOF_TPU_BENCH_BATCH", 4096))
 
     animal_ids = ["B", "W"]
     graph = build_body_graph(

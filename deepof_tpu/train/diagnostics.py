@@ -137,3 +137,54 @@ class MetricsWriter:
     def close(self):
         if self._writer is not None and hasattr(self._writer, "close"):
             self._writer.close()
+
+
+def label_separation_score(
+    embeddings: np.ndarray,
+    labels: np.ndarray,
+    pos_thr: float = 0.5,
+    neg_thr: float = 0.5,
+    min_pos: int = 2,
+    min_neg: int = 2,
+    normalize_embeddings: bool = True,
+    eps: float = 1e-8,
+) -> float:
+    """Supervised-label separation of an embedding batch.
+
+    For each label: between-centroid distance over within-class dispersion,
+    weighted-averaged across labels with enough samples
+    (deepof/clustering/training.py:375-446).
+
+    Args:
+        embeddings: (B, H).
+        labels: (B, L) or (B, 1, L) in [0, 1].
+    """
+    x = np.asarray(embeddings, np.float64)
+    y = np.asarray(labels, np.float64)
+    if y.ndim == 3 and y.shape[1] == 1:
+        y = y[:, 0]
+    if normalize_embeddings:
+        x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+    pos = (y >= pos_thr).astype(np.float64)
+    neg = (y <= neg_thr).astype(np.float64)
+    n_pos = pos.sum(0)
+    n_neg = neg.sum(0)
+    valid = (n_pos >= min_pos) & (n_neg >= min_neg)
+    if not valid.any():
+        return 0.0
+
+    mu_pos = (pos.T @ x) / (n_pos[:, None] + eps)
+    mu_neg = (neg.T @ x) / (n_neg[:, None] + eps)
+    between = ((mu_pos - mu_neg) ** 2).sum(1)
+
+    x2 = (x**2).sum(1)
+    within = (
+        np.clip(pos.T @ x2 - n_pos * (mu_pos**2).sum(1), 0, None)
+        + np.clip(neg.T @ x2 - n_neg * (mu_neg**2).sum(1), 0, None)
+    ) / (n_pos + n_neg + eps)
+    per_label = between / (within + eps)
+    weights = n_pos + n_neg
+    return float(
+        (per_label[valid] * weights[valid]).sum() / (weights[valid].sum() + eps)
+    )
