@@ -1293,6 +1293,15 @@ class Coordinates:
             out[aid] = self._time_index(len(base))[~inside]
         return out
 
+    def get_rois(self) -> dict:
+        """ROI polygons per experiment: key -> {roi_number: (V, 2) px array}."""
+        if not self._roi_dicts:
+            return {}
+        return {
+            key: {n: np.asarray(poly) for n, poly in rois.items()}
+            for key, rois in self._roi_dicts.items()
+        }
+
     # ------------------------------------------------------------------ #
     # Supervised parameters (deepof/data.py:2957-3031)
     # ------------------------------------------------------------------ #
