@@ -52,6 +52,11 @@ from deepof_tpu.train.config import (
     TurtleTeacherCfg,
     VaDECfg,
 )
+from deepof_tpu.train.checkpoint import (
+    TrainCheckpointer,
+    make_epoch_checkpoint_hook,
+    maybe_resume,
+)
 from deepof_tpu.train.dataset import WindowDataset
 from deepof_tpu.train.losses import (
     select_contrastive_loss,
@@ -331,11 +336,12 @@ def _run_epochs(
     limit_val_batches: Optional[int] = None,
     verbose: bool = True,
     phase: str = "",
+    start_epoch: int = 0,
 ):
     """Generic epoch loop with best-val tracking; returns best val loss."""
     best_val = np.inf
     np_rng = np.random.default_rng(rng_seed)
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         logs_list = []
         for bi, (x, a, idx) in enumerate(
@@ -402,6 +408,7 @@ def fit_vqvae(
     bootstrap: bool = False,
     bootstrap_block_len: int = 250,
     verbose: bool = True,
+    checkpointer=None,
 ) -> ModelBundle:
     x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     input_shape = x0.shape[1:-1] + (x0.shape[-1],)
@@ -439,6 +446,10 @@ def fit_vqvae(
         x, a = shard_batch((x, a), mesh)
         return eval_step(_merge_variables(state["params"], state["rest"]), x, a)
 
+    start_epoch, restored = maybe_resume(checkpointer, state)
+    if restored is not None:
+        state = restored
+
     _run_epochs(
         n_epochs=common.epochs, train_ds=train_ds, val_ds=val_ds,
         batch_size=common.batch_size, mesh=mesh, rng_seed=common.seed or 0,
@@ -446,7 +457,8 @@ def fit_vqvae(
         bootstrap=bootstrap, bootstrap_block_len=bootstrap_block_len,
         limit_train_batches=common.limit_train_batches,
         limit_val_batches=common.limit_val_batches,
-        verbose=verbose,
+        verbose=verbose, start_epoch=start_epoch,
+        on_epoch_end=make_epoch_checkpoint_hook(checkpointer, lambda: state),
     )
 
     rebuild_spec = {
@@ -491,6 +503,7 @@ def fit_vade(
     bootstrap: bool = False,
     bootstrap_block_len: int = 250,
     verbose: bool = True,
+    checkpointer=None,
 ) -> ModelBundle:
     x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     raise_if_flat(x0)
@@ -514,7 +527,8 @@ def fit_vade(
     tau_star = None
     class_weight = None
 
-    def run_phase(phase_name, n_epochs, lr, pretrain, kl_schedule, lambda_schedule=None):
+    def run_phase(phase_name, n_epochs, lr, pretrain, kl_schedule, lambda_schedule=None,
+                  ckpt=None):
         nonlocal state, rng
         loss_params = vade_params_from_cfg(common, vade_cfg, teacher_cfg, pretrain)
         optimizer = _make_optimizer(lr, gmm_lr=vade_cfg.gmm_learning_rate)
@@ -524,6 +538,20 @@ def fit_vade(
         opt = {"opt_state": opt_state}
         iteration = {"t": 0}
         n_comp = common.n_components
+
+        def ckpt_state():
+            return {
+                "params": state["params"], "rest": state["rest"],
+                "opt_state": opt["opt_state"],
+            }
+
+        start_epoch = 0
+        if ckpt is not None:
+            start_epoch, restored = maybe_resume(ckpt, ckpt_state())
+            if restored is not None:
+                state.update(params=restored["params"], rest=restored["rest"])
+                opt["opt_state"] = restored["opt_state"]
+            iteration["t"] = start_epoch * n_batches
 
         def train_fn(x, a, idx, epoch):
             nonlocal rng
@@ -567,7 +595,8 @@ def fit_vade(
             bootstrap=bootstrap, bootstrap_block_len=bootstrap_block_len,
             limit_train_batches=common.limit_train_batches,
             limit_val_batches=common.limit_val_batches,
-            verbose=verbose, phase=phase_name,
+            verbose=verbose, phase=phase_name, start_epoch=start_epoch,
+            on_epoch_end=make_epoch_checkpoint_hook(ckpt, ckpt_state),
         )
 
     # Phase 1: pretrain (VAE mode, KL -> N(0, I)).
@@ -639,7 +668,8 @@ def fit_vade(
             cooldown_epochs=teacher_cfg.lambda_cooldown,
             end_weight=teacher_cfg.lambda_end_weight,
         )
-    run_phase("", common.epochs, common.learning_rate, False, kl_sched, lambda_sched)
+    run_phase("", common.epochs, common.learning_rate, False, kl_sched, lambda_sched,
+              ckpt=checkpointer)
 
     rebuild_spec = {
         "model": "VaDE",
@@ -688,6 +718,7 @@ def fit_contrastive(
     bootstrap: bool = False,
     bootstrap_block_len: int = 250,
     verbose: bool = True,
+    checkpointer=None,
 ) -> ModelBundle:
     x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     raise_if_flat(x0)
@@ -724,6 +755,10 @@ def fit_contrastive(
         state = {"params": p, "opt_state": o, "rest": r}
         return logs
 
+    start_epoch, restored = maybe_resume(checkpointer, state)
+    if restored is not None:
+        state = restored
+
     _run_epochs(
         n_epochs=common.epochs, train_ds=train_ds, val_ds=None,
         batch_size=common.batch_size, mesh=mesh, rng_seed=common.seed or 0,
@@ -731,6 +766,8 @@ def fit_contrastive(
         bootstrap=bootstrap, bootstrap_block_len=bootstrap_block_len,
         limit_train_batches=common.limit_train_batches,
         limit_val_batches=common.limit_val_batches,
+        start_epoch=start_epoch,
+        on_epoch_end=make_epoch_checkpoint_hook(checkpointer, lambda: state),
         verbose=verbose,
     )
 
@@ -808,6 +845,8 @@ def train_deepof_model(
     pretrain_epochs: Optional[int] = None,
     use_turtle_teacher: bool = False,
     verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
     **kwargs,
 ):
     """Train one of the three model families on a preprocessed dataset.
@@ -830,6 +869,12 @@ def train_deepof_model(
     val_ds = (
         _dataset_from_preprocessed(test_part)
         if test_part is not None and len(test_part) else None
+    )
+
+    checkpointer = (
+        TrainCheckpointer(checkpoint_dir, save_interval_epochs=checkpoint_every)
+        if checkpoint_dir
+        else None
     )
 
     common = CommonFitCfg(
@@ -871,6 +916,7 @@ def train_deepof_model(
             train_ds, val_ds, adjacency_matrix, common, vade_cfg, teacher_cfg,
             use_gnn=use_gnn, bootstrap=bootstrap_training,
             bootstrap_block_len=bootstrap_block_len, verbose=verbose,
+            checkpointer=checkpointer,
         )
     elif model_name in ("VQVAE", "vqvae"):
         bundle = fit_vqvae(
@@ -878,6 +924,7 @@ def train_deepof_model(
             use_gnn=use_gnn, kmeans_loss=kmeans_loss,
             bootstrap=bootstrap_training,
             bootstrap_block_len=bootstrap_block_len, verbose=verbose,
+            checkpointer=checkpointer,
         )
     elif model_name.lower() == "contrastive":
         ccfg = ContrastiveCfg(
@@ -894,9 +941,13 @@ def train_deepof_model(
             train_ds, val_ds, adjacency_matrix, common, ccfg,
             use_gnn=use_gnn, bootstrap=bootstrap_training,
             bootstrap_block_len=bootstrap_block_len, verbose=verbose,
+            checkpointer=checkpointer,
         )
     else:
         raise ValueError(f"Unknown model_name: {model_name}")
+
+    if checkpointer is not None:
+        checkpointer.close()
 
     log_summary = {k: v[-1] if v else None for k, v in bundle.history.items()}
 
