@@ -7,6 +7,7 @@ from deepof_tpu.train.config import (
     VaDECfg,
 )
 from deepof_tpu.train.harness import deep_unsupervised_embedding, train_deepof_model
+from deepof_tpu.train.tuning import tune_deepof_model
 
 __all__ = [
     "CommonFitCfg",
@@ -15,4 +16,5 @@ __all__ = [
     "VaDECfg",
     "train_deepof_model",
     "deep_unsupervised_embedding",
+    "tune_deepof_model",
 ]

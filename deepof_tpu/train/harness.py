@@ -85,6 +85,8 @@ class ModelBundle:
     variables: Dict
     rebuild_spec: Dict
     history: Dict[str, List[float]] = field(default_factory=dict)
+    best_variables: Optional[Dict] = None
+    best_val: Optional[float] = None
 
     def apply(self, *args, **kwargs):
         return self.model.apply(self.variables, *args, **kwargs)
@@ -337,8 +339,13 @@ def _run_epochs(
     verbose: bool = True,
     phase: str = "",
     start_epoch: int = 0,
+    on_best=None,
 ):
-    """Generic epoch loop with best-val tracking; returns best val loss."""
+    """Generic epoch loop with best-val tracking; returns best val loss.
+
+    `on_best(epoch, val_loss)` fires whenever the validation loss improves
+    (reference: best-val checkpoint tracking, training.py:1196-1248).
+    """
     best_val = np.inf
     np_rng = np.random.default_rng(rng_seed)
     for epoch in range(start_epoch, n_epochs):
@@ -366,7 +373,11 @@ def _run_epochs(
                     break
                 vlist.append(eval_fn(x, a, idx, epoch))
             val_logs = _epoch_mean([jax.device_get(v) for v in vlist])
-            best_val = min(best_val, val_logs.get("total_loss", np.inf))
+            epoch_val = val_logs.get("total_loss", np.inf)
+            if epoch_val < best_val:
+                best_val = epoch_val
+                if on_best is not None:
+                    on_best(epoch, float(epoch_val))
 
         for k, v in train_logs.items():
             history.setdefault(f"{phase}{k}", []).append(v)
@@ -450,6 +461,14 @@ def fit_vqvae(
     if restored is not None:
         state = restored
 
+    best = {}
+
+    def on_best(epoch, val_loss):
+        best["variables"] = jax.device_get(
+            _merge_variables(state["params"], state["rest"])
+        )
+        best["val"] = val_loss
+
     _run_epochs(
         n_epochs=common.epochs, train_ds=train_ds, val_ds=val_ds,
         batch_size=common.batch_size, mesh=mesh, rng_seed=common.seed or 0,
@@ -459,6 +478,7 @@ def fit_vqvae(
         limit_val_batches=common.limit_val_batches,
         verbose=verbose, start_epoch=start_epoch,
         on_epoch_end=make_epoch_checkpoint_hook(checkpointer, lambda: state),
+        on_best=on_best,
     )
 
     rebuild_spec = {
@@ -476,6 +496,8 @@ def fit_vqvae(
         variables=_merge_variables(state["params"], state["rest"]),
         rebuild_spec=rebuild_spec,
         history=history,
+        best_variables=best.get("variables"),
+        best_val=best.get("val"),
     )
 
 
@@ -527,8 +549,10 @@ def fit_vade(
     tau_star = None
     class_weight = None
 
+    best = {}
+
     def run_phase(phase_name, n_epochs, lr, pretrain, kl_schedule, lambda_schedule=None,
-                  ckpt=None):
+                  ckpt=None, track_best=False):
         nonlocal state, rng
         loss_params = vade_params_from_cfg(common, vade_cfg, teacher_cfg, pretrain)
         optimizer = _make_optimizer(lr, gmm_lr=vade_cfg.gmm_learning_rate)
@@ -588,6 +612,12 @@ def fit_vade(
                 jnp.float32(klw),
             )
 
+        def on_best(epoch, val_loss):
+            best["variables"] = jax.device_get(
+                _merge_variables(state["params"], state["rest"])
+            )
+            best["val"] = val_loss
+
         return _run_epochs(
             n_epochs=n_epochs, train_ds=train_ds, val_ds=val_ds,
             batch_size=common.batch_size, mesh=mesh, rng_seed=common.seed or 0,
@@ -597,6 +627,7 @@ def fit_vade(
             limit_val_batches=common.limit_val_batches,
             verbose=verbose, phase=phase_name, start_epoch=start_epoch,
             on_epoch_end=make_epoch_checkpoint_hook(ckpt, ckpt_state),
+            on_best=on_best if track_best else None,
         )
 
     # Phase 1: pretrain (VAE mode, KL -> N(0, I)).
@@ -669,7 +700,7 @@ def fit_vade(
             end_weight=teacher_cfg.lambda_end_weight,
         )
     run_phase("", common.epochs, common.learning_rate, False, kl_sched, lambda_sched,
-              ckpt=checkpointer)
+              ckpt=checkpointer, track_best=True)
 
     rebuild_spec = {
         "model": "VaDE",
@@ -686,6 +717,8 @@ def fit_vade(
         variables=_merge_variables(state["params"], state["rest"]),
         rebuild_spec=rebuild_spec,
         history=history,
+        best_variables=best.get("variables"),
+        best_val=best.get("val"),
     )
 
 
@@ -958,6 +991,13 @@ def train_deepof_model(
             f"k{n_clusters}_run{run}.ckpt"
         )
         bundle.save(os.path.join(model_dir, name))
+        if bundle.best_variables is not None:
+            ModelBundle(
+                model=bundle.model,
+                variables=bundle.best_variables,
+                rebuild_spec=bundle.rebuild_spec,
+                history=bundle.history,
+            ).save(os.path.join(model_dir, name.replace(".ckpt", "_best.ckpt")))
 
     return bundle, None, None, log_summary
 

@@ -1,5 +1,7 @@
 """Orbax checkpoint/resume tests for the training harness."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -98,3 +100,24 @@ def test_fit_resume(tmp_path, model_name):
     ck.close()
     tl = [k for k in bundle.history if k.endswith("total_loss")]
     assert tl and len(bundle.history[tl[0]]) == 1
+
+
+def test_best_val_snapshot(tmp_path):
+    """Best-val variables are tracked and saved as a *_best.ckpt."""
+    from deepof_tpu.train.harness import ModelBundle
+
+    train, test = _preprocessed()
+    test = TableDict({"v2": train["v1"]}, typ="merged")
+    bundle, _, _, _ = train_deepof_model(
+        ((train, test), {}, _adjacency()), adjacency_matrix=_adjacency(),
+        model_name="VQVAE", encoder_type="recurrent", batch_size=16,
+        latent_dim=4, epochs=2, n_clusters=3, verbose=False,
+        limit_train_batches=2, limit_val_batches=1,
+        save_weights=True, output_path=str(tmp_path),
+    )
+    assert bundle.best_variables is not None
+    assert np.isfinite(bundle.best_val)
+    best_files = [f for f in os.listdir(tmp_path / "models") if f.endswith("_best.ckpt")]
+    assert len(best_files) == 1
+    restored = ModelBundle.load(str(tmp_path / "models" / best_files[0]))
+    assert restored.rebuild_spec["model"] == "VQVAE"
