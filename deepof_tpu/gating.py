@@ -363,7 +363,13 @@ def _preprocess_gates(
     m_eff = int(M_gates)
     if not isinstance(embedding_gates, str):
         m_eff = 2 ** len(set(embedding_gates))
-    if len(animal_ids) == 1 or len(animal_ids) > 4:
+    if (
+        supervised_annotations is None
+        and (len(animal_ids) == 1 or len(animal_ids) > 4)
+    ):
+        # Distance gating needs an animal pair; behavior gating keeps its
+        # combination bins regardless of animal count (the reference
+        # collapses both, which breaks single-animal chaos gating).
         m_eff = 1
 
     series, gates = _get_gating_series_and_gates(

@@ -24,6 +24,25 @@ from deepof_tpu.core.table_dict import TableDict
 from deepof_tpu.graph_dataset import reorder_and_reshape
 
 
+def _extract_pair_to_gate_key(coordinates, extract_pair: Optional[list]):
+    """Gate key for the soft-counts dict (model_utils_new.py:494-526)."""
+    animal_ids = list(coordinates._animal_ids or [""])
+    if extract_pair is None:
+        if len(animal_ids) <= 1:
+            return ""
+        return tuple(sorted(animal_ids[:2]))
+    if extract_pair == [""]:
+        return ""
+    if not isinstance(extract_pair, (list, tuple)) or len(extract_pair) != 2:
+        raise AssertionError(
+            'extract_pair must be a two-id list, or [""] for single-animal'
+        )
+    a, b = extract_pair
+    if a not in animal_ids or b not in animal_ids:
+        raise AssertionError(f"Animal IDs {a}, {b} not in {animal_ids}")
+    return tuple(sorted([a, b]))
+
+
 def _batched_forward(bundle, x_all, a_all, model_name, batch_size: int = 256):
     emb_list, sc_list = [], []
 
@@ -69,6 +88,14 @@ def embedding_per_video(
     n_components: Optional[int] = None,
     samples_max: int = 227272,
     batch_size: int = 256,
+    extract_pair: Optional[list] = None,
+    embedding_gates: Any = "Center",
+    states_per_gate: Optional[int] = None,
+    M_gates: int = 3,
+    quality_threshold: float = 0.75,
+    frac_bps_below: float = 0.5,
+    n_micro: int = 200,
+    lagtime: int = 3,
 ):
     """Produce embeddings and soft_counts TableDicts for every experiment.
 
@@ -79,7 +106,15 @@ def embedding_per_video(
         model: a trained ModelBundle.
         meta_info: preprocessing metainfo (standardize modes).
         global_scaler: the scaler fitted at training time.
-        softcounts_extraction_method: None (model head) | "gmm".
+        softcounts_extraction_method: None (model head) | "gmm" | "msm" |
+            "hmm" | "combined". For multi-animal projects, "gmm" / "msm" /
+            "combined" run the gate-aware decoders (distance-gated per
+            animal pair; "combined" additionally overlays chaos gates from
+            tracking quality — model_utils_new.py:452-750).
+        extract_pair: which animal pair's gate to return (default: the
+            first two animal ids, or the ungated "" gate single-animal).
+        embedding_gates / states_per_gate / M_gates: gate configuration
+            forwarded to deepof_tpu.gating.
     """
     model_name = model.rebuild_spec["model"]
     window_size = model.rebuild_spec["input_shape"][0]
@@ -136,9 +171,10 @@ def embedding_per_video(
             soft_counts[key] = pd.DataFrame(sc)
 
     # Contrastive (or explicit request): extract soft counts from the
-    # embeddings via GMM, MSM+PCCA+, or an HMM
+    # embeddings via the gated GMM / MSM+PCCA+ decoders or an HMM
     # (model_utils_new.py:620-750 extraction paths).
     k = n_components or (model.rebuild_spec.get("n_components") or 10)
+    k_gate = states_per_gate or k
     if model_name == "Contrastive" and softcounts_extraction_method is None:
         softcounts_extraction_method = "msm"
     if (not soft_counts) or softcounts_extraction_method in (
@@ -146,45 +182,52 @@ def embedding_per_video(
     ):
         method = softcounts_extraction_method or "gmm"
         emb_arrays = {key: np.asarray(e) for key, e in embeddings.items()}
-        if method in ("msm", "combined"):
-            from deepof_tpu.msm import get_soft_counts_msm
-
-            counts = get_soft_counts_msm(emb_arrays, n_components=k)
-        elif method == "hmm":
+        if method == "hmm":
             from deepof_tpu.msm import get_soft_counts_hmm
 
             counts = get_soft_counts_hmm(emb_arrays, n_states=k)
         else:
-            from sklearn.mixture import GaussianMixture
+            from deepof_tpu import gating
 
-            pooled = np.concatenate(list(emb_arrays.values()))
-            gmm = GaussianMixture(
-                n_components=k, covariance_type="diag", reg_covar=1e-4
-            ).fit(pooled)
-            counts = {
-                key: gmm.predict_proba(e) for key, e in emb_arrays.items()
-            }
-        if method == "combined":
-            # MSM first; frames whose MSM assignment is uncertain get
-            # re-assigned by a GMM fit on those frames
-            # (model_utils_new.py "combined" path).
-            from sklearn.mixture import GaussianMixture
-
-            uncertain = {
-                key: counts[key].max(1) < 0.6 for key in counts
-            }
-            pooled_unc = np.concatenate(
-                [emb_arrays[key][m] for key, m in uncertain.items() if m.any()]
-            ) if any(m.any() for m in uncertain.values()) else None
-            if pooled_unc is not None and len(pooled_unc) >= k:
-                gmm = GaussianMixture(
-                    n_components=k, covariance_type="diag", reg_covar=1e-4
-                ).fit(pooled_unc)
-                for key, m in uncertain.items():
-                    if m.any():
-                        counts[key][m] = gmm.predict_proba(emb_arrays[key][m])
+            gate_key = _extract_pair_to_gate_key(coordinates, extract_pair)
+            common = dict(
+                coordinates=coordinates, embeddings=emb_arrays,
+                animal_ids=None, window_size=window_size,
+                supervised_annotations=supervised_annotations,
+                embedding_gates=embedding_gates,
+                N_clusters_per_gate=k_gate, M_gates=M_gates,
+            )
+            if method == "gmm":
+                counts_dict = gating.get_contrastive_soft_counts_gmm(**common)
+            else:  # "msm" / "combined"
+                counts_dict = gating.get_contrastive_soft_counts_msm_pcca(
+                    n_micro=n_micro, lagtime=lagtime,
+                    temporal_smooth_win=1, **common,
+                )
+                if method == "combined":
+                    chaos = gating.get_supervised_chaos(
+                        coordinates, quality_threshold, frac_bps_below
+                    )
+                    chaos_common = dict(common)
+                    chaos_common.update(
+                        supervised_annotations=chaos,
+                        embedding_gates=["anychaos"],
+                        temporal_smooth_win=1,
+                    )
+                    chaos_dict = gating.get_contrastive_soft_counts_gmm(
+                        **chaos_common
+                    )
+                    counts_dict = gating.add_chaos_gates(
+                        coordinates, counts_dict, chaos_dict, chaos,
+                        window_size,
+                    )
+            if gate_key not in counts_dict:
+                # Behavior-gated runs key on behavior names, and sorted
+                # pair keys may not match the project's id order.
+                gate_key = list(counts_dict.keys())[0]
+            counts = counts_dict[gate_key]
         for key, c in counts.items():
-            soft_counts[key] = pd.DataFrame(c)
+            soft_counts[key] = pd.DataFrame(np.asarray(c))
 
     table_path = coordinates._table_path
     emb_td = TableDict(

@@ -69,3 +69,14 @@ def test_train_and_embed_vqvae(coords):
     toc = posthoc.get_time_on_cluster(soft_counts)
     assert toc.shape[0] == 2
     np.testing.assert_allclose(toc.sum(1), 1.0, rtol=1e-6)
+
+    # Gated extraction paths (single-animal -> one ungated "" gate).
+    for method, k_expect in [("gmm", 3), ("combined", 3 + 3)]:
+        emb2, sc2 = embedding_per_video(
+            coords, tab_dict, bundle, meta, global_scaler=scaler,
+            softcounts_extraction_method=method,
+            states_per_gate=3, n_micro=12, lagtime=1,
+        )
+        p = np.asarray(sc2["test"])
+        assert p.shape == (91, k_expect)
+        np.testing.assert_allclose(p.sum(1), 1.0, rtol=1e-4)
