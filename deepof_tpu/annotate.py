@@ -977,7 +977,11 @@ def supervised_annotation(
         full_features = per_animal
 
     tabs = {}
-    for key in coordinates._tables.keys():
+    from deepof_tpu.utils import progress
+
+    for key in progress(
+        list(coordinates._tables.keys()), desc="Tagging behaviors", verbose=verbose
+    ):
         tag = supervised_tagging(
             coordinates,
             raw_coords=raw_coords,

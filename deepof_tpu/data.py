@@ -399,7 +399,7 @@ class Project:
             exclude_bodyparts=exclude or None,
         )
 
-    def preprocess_tables(self, raws: Dict[str, RawTable]):
+    def preprocess_tables(self, raws: Dict[str, RawTable], verbose: bool = False):
         """Smoothing, outlier removal, imputation and missing-animal
         masking — one fused jit per video (cohort-batched when lengths
         match)."""
@@ -431,8 +431,12 @@ class Project:
         do_smooth = bool(self.smooth_alpha)
         polyorder = 15 - int(self.smooth_alpha) if do_smooth else 0
 
+        from deepof_tpu.utils import progress
+
         tab_dict, lik_dict, presence_dict = {}, {}, {}
-        for key, raw in raws.items():
+        for key, raw in progress(
+            list(raws.items()), desc="Preprocessing tables", verbose=verbose
+        ):
             ordered = raw.reorder(
                 [bp for bp in nodes]
             )
@@ -541,7 +545,7 @@ class Project:
         self.set_up_project_directory(debug=debug)
 
         raws = self._load_raw_tables()
-        tab_dict, lik_dict = self.preprocess_tables(raws)
+        tab_dict, lik_dict = self.preprocess_tables(raws, verbose=verbose)
 
         scales, arena_params, roi_dicts, video_resolution = self.get_arena(test=test)
 
@@ -567,8 +571,13 @@ class Project:
                 "Not all areas could be computed with the available bodyparts."
             )
 
+        from deepof_tpu.utils import progress as _progress
+
         dist_dict, angle_dict, area_dict = {}, {}, {}
-        for key, pos in tab_dict.items():
+        for key, pos in _progress(
+            list(tab_dict.items()), desc="Computing distances/angles/areas",
+            verbose=verbose,
+        ):
             d, a, ar = _feature_pass(
                 jnp.asarray(pos, jnp.float32), pairs, bridges, tuple(poly_list)
             )

@@ -679,6 +679,14 @@ def fit_vade(
         params_mut["latent_space"] = ls
         state["params"] = params_mut
 
+    # Post GMM-init snapshot (reference "teacher_init" checkpoint,
+    # training.py:1701-1717) so the main phase can be re-run from here.
+    if checkpointer is not None and is_main_process():
+        with open(
+            os.path.join(checkpointer.directory, "teacher_init.pkl"), "wb"
+        ) as f:
+            pickle.dump(jax.device_get(state), f)
+
     # Phase 4: main training against the GMM prior.
     kl_sched = WeightSchedule(
         n_batches_per_epoch=n_batches,

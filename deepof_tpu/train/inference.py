@@ -122,7 +122,11 @@ def embedding_per_video(
         window_size = model.rebuild_spec["input_shape"][0]
 
     embeddings, soft_counts = {}, {}
-    for key in to_preprocess.keys():
+    from deepof_tpu.utils import progress
+
+    for key in progress(
+        list(to_preprocess.keys()), desc="Computing embeddings", verbose=True
+    ):
         single = to_preprocess.filter_videos([key])
         single[key] = get_dt(single, key)
         if hasattr(single[key], "isna") and single[key].isna().all().all():

@@ -272,3 +272,22 @@ def str2bool(v) -> bool:
     if v.lower() in ("no", "false", "f", "n", "0"):
         return False
     raise ValueError("Boolean compatible value expected.")
+
+
+def progress(iterable, desc: str = "", verbose: bool = True, total=None):
+    """tqdm progress bar with the reference's fixed-width labels
+    (deepof/config.py:12; bars wrap every per-experiment loop, e.g.
+    data.py:926). Falls back to a plain iterator when tqdm is missing or
+    verbose is False."""
+    if not verbose:
+        return iterable
+    try:
+        import tqdm as _tqdm
+
+        from deepof_tpu.config import PROGRESS_BAR_FIXED_WIDTH
+
+        return _tqdm.tqdm(
+            iterable, desc=f"{desc:<{PROGRESS_BAR_FIXED_WIDTH}}", total=total
+        )
+    except ImportError:  # pragma: no cover
+        return iterable

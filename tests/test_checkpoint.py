@@ -100,6 +100,9 @@ def test_fit_resume(tmp_path, model_name):
     ck.close()
     tl = [k for k in bundle.history if k.endswith("total_loss")]
     assert tl and len(bundle.history[tl[0]]) == 1
+    if model_name == "VaDE":
+        # Post-GMM-init snapshot saved alongside the epoch checkpoints.
+        assert os.path.exists(os.path.join(ckdir, "teacher_init.pkl"))
 
 
 def test_best_val_snapshot(tmp_path):
