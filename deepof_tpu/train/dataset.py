@@ -205,3 +205,46 @@ class WindowDataset:
     def n_batches(self, batch_size: int, n_shards: int = 1) -> int:
         per_shard = (len(self) + n_shards - 1) // n_shards
         return (per_shard + batch_size - 1) // batch_size
+
+
+class PrefetchIterator:
+    """Background-thread prefetch over a batch iterator (the reference's
+    DataLoader workers + prefetch_factor, trainers dataset.py:335; on TPU
+    the host pipeline overlaps HDF5 reads with device compute)."""
+
+    def __init__(self, iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._sentinel = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            self._thread.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch(iterator, depth: int = 2):
+    """Wrap `iterator` so the next `depth` batches load on a host thread."""
+    return PrefetchIterator(iterator, depth)

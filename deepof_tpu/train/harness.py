@@ -57,7 +57,7 @@ from deepof_tpu.train.checkpoint import (
     make_epoch_checkpoint_hook,
     maybe_resume,
 )
-from deepof_tpu.train.dataset import WindowDataset
+from deepof_tpu.train.dataset import WindowDataset, prefetch
 from deepof_tpu.train.losses import (
     select_contrastive_loss,
     soft_ce_logits,
@@ -352,9 +352,11 @@ def _run_epochs(
         t0 = time.time()
         logs_list = []
         for bi, (x, a, idx) in enumerate(
-            train_ds.batches(
-                batch_size, rng=np_rng, shuffle=True,
-                bootstrap=bootstrap, block_size=bootstrap_block_len,
+            prefetch(
+                train_ds.batches(
+                    batch_size, rng=np_rng, shuffle=True,
+                    bootstrap=bootstrap, block_size=bootstrap_block_len,
+                )
             )
         ):
             if limit_train_batches and bi >= limit_train_batches:

@@ -251,3 +251,19 @@ def test_vade_short_fit_and_roundtrip(tmp_path):
     z1 = np.asarray(bundle.embed(x, a))
     z2 = np.asarray(restored.embed(x, a))
     np.testing.assert_allclose(z1, z2, rtol=1e-5)
+
+
+def test_prefetch_iterator():
+    from deepof_tpu.train.dataset import prefetch
+
+    items = list(prefetch(iter(range(20)), depth=3))
+    assert items == list(range(20))
+
+    def boom():
+        yield 1
+        raise RuntimeError("worker failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(it)
