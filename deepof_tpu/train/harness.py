@@ -320,6 +320,23 @@ def _epoch_mean(logs_list: List[Dict]) -> Dict[str, float]:
     return {k: float(np.mean([float(l[k]) for l in logs_list])) for k in keys}
 
 
+def _chain_hooks(*hooks):
+    """Compose epoch-end hooks; any hook returning True stops training
+    (reference: optuna pruning callbacks, training.py:1224-1228)."""
+    hooks = [h for h in hooks if h is not None]
+    if not hooks:
+        return None
+
+    def combined(epoch, train_logs, val_logs):
+        stop = False
+        for h in hooks:
+            if h(epoch, train_logs, val_logs) is True:
+                stop = True
+        return stop
+
+    return combined
+
+
 def _run_epochs(
     *,
     n_epochs: int,
@@ -397,7 +414,8 @@ def _run_epochs(
                 f"({time.time() - t0:.1f}s): {msg}{vmsg}"
             )
         if on_epoch_end is not None:
-            on_epoch_end(epoch, train_logs, val_logs)
+            if on_epoch_end(epoch, train_logs, val_logs) is True:
+                break
     return best_val
 
 
@@ -422,6 +440,7 @@ def fit_vqvae(
     bootstrap_block_len: int = 250,
     verbose: bool = True,
     checkpointer=None,
+    epoch_callback=None,
 ) -> ModelBundle:
     x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     input_shape = x0.shape[1:-1] + (x0.shape[-1],)
@@ -479,7 +498,10 @@ def fit_vqvae(
         limit_train_batches=common.limit_train_batches,
         limit_val_batches=common.limit_val_batches,
         verbose=verbose, start_epoch=start_epoch,
-        on_epoch_end=make_epoch_checkpoint_hook(checkpointer, lambda: state),
+        on_epoch_end=_chain_hooks(
+            make_epoch_checkpoint_hook(checkpointer, lambda: state),
+            epoch_callback,
+        ),
         on_best=on_best,
     )
 
@@ -528,6 +550,7 @@ def fit_vade(
     bootstrap_block_len: int = 250,
     verbose: bool = True,
     checkpointer=None,
+    epoch_callback=None,
 ) -> ModelBundle:
     x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     raise_if_flat(x0)
@@ -628,7 +651,10 @@ def fit_vade(
             limit_train_batches=common.limit_train_batches,
             limit_val_batches=common.limit_val_batches,
             verbose=verbose, phase=phase_name, start_epoch=start_epoch,
-            on_epoch_end=make_epoch_checkpoint_hook(ckpt, ckpt_state),
+            on_epoch_end=_chain_hooks(
+                make_epoch_checkpoint_hook(ckpt, ckpt_state),
+                epoch_callback if track_best else None,
+            ),
             on_best=on_best if track_best else None,
         )
 
@@ -762,6 +788,7 @@ def fit_contrastive(
     bootstrap_block_len: int = 250,
     verbose: bool = True,
     checkpointer=None,
+    epoch_callback=None,
 ) -> ModelBundle:
     x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     raise_if_flat(x0)
@@ -810,7 +837,10 @@ def fit_contrastive(
         limit_train_batches=common.limit_train_batches,
         limit_val_batches=common.limit_val_batches,
         start_epoch=start_epoch,
-        on_epoch_end=make_epoch_checkpoint_hook(checkpointer, lambda: state),
+        on_epoch_end=_chain_hooks(
+            make_epoch_checkpoint_hook(checkpointer, lambda: state),
+            epoch_callback,
+        ),
         verbose=verbose,
     )
 
@@ -890,6 +920,7 @@ def train_deepof_model(
     verbose: bool = True,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
+    epoch_callback=None,
     **kwargs,
 ):
     """Train one of the three model families on a preprocessed dataset.
@@ -960,6 +991,7 @@ def train_deepof_model(
             use_gnn=use_gnn, bootstrap=bootstrap_training,
             bootstrap_block_len=bootstrap_block_len, verbose=verbose,
             checkpointer=checkpointer,
+            epoch_callback=epoch_callback,
         )
     elif model_name in ("VQVAE", "vqvae"):
         bundle = fit_vqvae(
@@ -968,6 +1000,7 @@ def train_deepof_model(
             bootstrap=bootstrap_training,
             bootstrap_block_len=bootstrap_block_len, verbose=verbose,
             checkpointer=checkpointer,
+            epoch_callback=epoch_callback,
         )
     elif model_name.lower() == "contrastive":
         ccfg = ContrastiveCfg(
@@ -985,6 +1018,7 @@ def train_deepof_model(
             use_gnn=use_gnn, bootstrap=bootstrap_training,
             bootstrap_block_len=bootstrap_block_len, verbose=verbose,
             checkpointer=checkpointer,
+            epoch_callback=epoch_callback,
         )
     else:
         raise ValueError(f"Unknown model_name: {model_name}")

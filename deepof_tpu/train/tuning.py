@@ -93,14 +93,15 @@ def tune_deepof_model(
     fixed.setdefault("save_weights", False)
     fixed.setdefault("verbose", False)
 
-    def run_trial(params: Dict[str, Any], epochs: int, ckpt: Optional[str]):
+    def run_trial(params: Dict[str, Any], epochs: int, ckpt: Optional[str],
+                  epoch_callback=None):
         kw = dict(fixed)
         kw.update(params)
         if ckpt:
             kw["checkpoint_dir"] = ckpt
         _, _, _, summary = train_deepof_model(
             preprocessed_object, adjacency_matrix=adjacency_matrix,
-            epochs=epochs, **kw,
+            epochs=epochs, epoch_callback=epoch_callback, **kw,
         )
         return _metric_from_summary(summary, metric)
 
@@ -118,11 +119,22 @@ def tune_deepof_model(
                     params[name] = trial.suggest_float(
                         name, spec["low"], spec["high"], log=bool(spec.get("log"))
                     )
-            return sign * run_trial(params, epochs_per_trial, None)
+
+            def report_and_prune(epoch, train_logs, val_logs):
+                v = val_logs.get("total_loss", train_logs.get("total_loss"))
+                if v is not None:
+                    trial.report(sign * float(v), epoch)
+                    if trial.should_prune():
+                        raise optuna.TrialPruned()
+
+            return sign * run_trial(
+                params, epochs_per_trial, None, epoch_callback=report_and_prune
+            )
 
         study = optuna.create_study(
             direction="minimize",
             sampler=optuna.samplers.TPESampler(seed=seed),
+            pruner=optuna.pruners.MedianPruner(),
         )
         study.optimize(objective, n_trials=n_trials)
         trials = [

@@ -267,3 +267,26 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="worker failed"):
         list(it)
+
+
+def test_epoch_callback_early_stop():
+    """An epoch_callback returning True stops training early
+    (optuna-pruning hook surface, training.py:1224-1228)."""
+    train, test = _preprocessed()
+    adj = _adjacency()
+
+    calls = []
+
+    def stop_after_two(epoch, train_logs, val_logs):
+        calls.append(epoch)
+        return epoch >= 1
+
+    bundle, _, _, _ = train_deepof_model(
+        ((train, test), {}, adj), adjacency_matrix=adj, model_name="VQVAE",
+        encoder_type="recurrent", batch_size=16, latent_dim=4, epochs=6,
+        n_clusters=3, save_weights=False, verbose=False,
+        limit_train_batches=2, limit_val_batches=1,
+        epoch_callback=stop_after_two,
+    )
+    assert calls == [0, 1]
+    assert len(bundle.history["total_loss"]) == 2
