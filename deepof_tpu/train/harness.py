@@ -173,6 +173,66 @@ def _make_optimizer(learning_rate: float, clip: float = 0.75, gmm_lr: Optional[f
     )
 
 
+def _make_vade_main_optimizer(
+    learning_rate: float,
+    gmm_lr: Optional[float],
+    n_batches: int,
+    freeze_gmm_epochs: int = 0,
+    freeze_decoder_epochs: int = 0,
+    clip: float = 0.75,
+):
+    """Main-phase VaDE optimizer with epoch-scheduled freezing.
+
+    Mirrors the reference requires_grad freezing + lr switch at unfreeze
+    (training.py:1746-1768): gmm/decoder lrs are 0 during their freeze
+    windows; after the GMM unfreezes the lrs drop to 5e-4 (base) / 2e-4
+    (gmm). Implemented as piecewise lr schedules so one optimizer state
+    spans the whole phase (checkpoint/resume friendly); Adam moments tick
+    during the freeze, unlike torch requires_grad.
+    """
+    fg = max(0, int(freeze_gmm_epochs)) * n_batches
+    fd = max(0, int(freeze_decoder_epochs)) * n_batches
+    g_lr = gmm_lr if gmm_lr is not None else learning_rate
+
+    def piecewise(segments):
+        # segments: list of (start_step, lr)
+        def sched(step):
+            lr = segments[0][1]
+            for s, v in segments[1:]:
+                lr = jnp.where(step >= s, v, lr)
+            return lr
+        return sched
+
+    base_sched = piecewise([(0, learning_rate)] + ([(fg, 5e-4)] if fg else []))
+    gmm_sched = piecewise(
+        [(0, 0.0 if fg else g_lr)] + ([(fg, 2e-4)] if fg else [])
+    )
+    dec_sched = piecewise(
+        [(0, 0.0 if fd else learning_rate)]
+        + ([(fd, learning_rate)] if fd else [])
+        + ([(fg, 5e-4)] if fg else [])
+    )
+
+    def adam(sched):
+        return optax.chain(optax.clip(clip), optax.adam(sched))
+
+    def label_fn(params):
+        def label(path, _):
+            names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+            if any("gmm" in n for n in names):
+                return "gmm"
+            if names and names[0] == "decoder":
+                return "decoder"
+            return "base"
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"base": adam(base_sched), "gmm": adam(gmm_sched),
+         "decoder": adam(dec_sched)},
+        label_fn,
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Step factories
 # --------------------------------------------------------------------------- #
@@ -577,10 +637,11 @@ def fit_vade(
     best = {}
 
     def run_phase(phase_name, n_epochs, lr, pretrain, kl_schedule, lambda_schedule=None,
-                  ckpt=None, track_best=False):
+                  ckpt=None, track_best=False, optimizer=None):
         nonlocal state, rng
         loss_params = vade_params_from_cfg(common, vade_cfg, teacher_cfg, pretrain)
-        optimizer = _make_optimizer(lr, gmm_lr=vade_cfg.gmm_learning_rate)
+        if optimizer is None:
+            optimizer = _make_optimizer(lr, gmm_lr=vade_cfg.gmm_learning_rate)
         opt_state = optimizer.init(state["params"])
         step = make_vade_step(model, optimizer, loss_params)
         eval_step = make_vade_eval_step(model, loss_params)
@@ -653,6 +714,7 @@ def fit_vade(
             verbose=verbose, phase=phase_name, start_epoch=start_epoch,
             on_epoch_end=_chain_hooks(
                 make_epoch_checkpoint_hook(ckpt, ckpt_state),
+                teacher_refresh_hook if track_best else None,
                 epoch_callback if track_best else None,
             ),
             on_best=on_best if track_best else None,
@@ -735,8 +797,50 @@ def fit_vade(
             cooldown_epochs=teacher_cfg.lambda_cooldown,
             end_weight=teacher_cfg.lambda_end_weight,
         )
+    def teacher_refresh_hook(epoch, train_logs, val_logs):
+        # Periodic TURTLE refresh mid-training (training.py:1770-1810):
+        # refit the teacher on current latents, optionally reinit the GMM.
+        nonlocal tau_star, class_weight
+        if not (
+            teacher_cfg.use_turtle_teacher
+            and teacher_cfg.teacher_refresh_every
+            and epoch > 0
+            and (epoch + 1) % teacher_cfg.teacher_refresh_every == 0
+            and (
+                teacher_cfg.teacher_freeze_at is None
+                or (epoch + 1) <= teacher_cfg.teacher_freeze_at
+            )
+        ):
+            return
+        from deepof_tpu.train.teacher import (
+            fit_turtle_teacher,
+            initialize_gmm_from_teacher,
+        )
+
+        if verbose and is_main_process():
+            print(f"--- Refreshing TURTLE teacher at epoch {epoch + 1} ---")
+        z = extract_latents(model, state, train_ds, common.batch_size)
+        tau_star, class_weight = fit_turtle_teacher(
+            z, train_ds, common, teacher_cfg, verbose=verbose
+        )
+        if teacher_cfg.reinit_gmm_on_refresh:
+            means, log_vars, _ = initialize_gmm_from_teacher(z, tau_star)
+            params_mut = dict(state["params"])
+            ls = dict(params_mut["latent_space"])
+            ls["gmm_means"] = jnp.asarray(means, jnp.float32)
+            ls["gmm_log_vars"] = jnp.asarray(log_vars, jnp.float32)
+            params_mut["latent_space"] = ls
+            state["params"] = params_mut
+
+    main_optimizer = None
+    if vade_cfg.freeze_gmm_epochs or vade_cfg.freeze_decoder_epochs:
+        main_optimizer = _make_vade_main_optimizer(
+            common.learning_rate, vade_cfg.gmm_learning_rate, n_batches,
+            vade_cfg.freeze_gmm_epochs, vade_cfg.freeze_decoder_epochs,
+        )
+
     run_phase("", common.epochs, common.learning_rate, False, kl_sched, lambda_sched,
-              ckpt=checkpointer, track_best=True)
+              ckpt=checkpointer, track_best=True, optimizer=main_optimizer)
 
     rebuild_spec = {
         "model": "VaDE",

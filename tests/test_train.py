@@ -290,3 +290,33 @@ def test_epoch_callback_early_stop():
     )
     assert calls == [0, 1]
     assert len(bundle.history["total_loss"]) == 2
+
+
+def test_vade_freeze_gmm_epochs():
+    """With freeze_gmm_epochs=1 and one main epoch, the GMM prior params
+    stay at their init while other params move (training.py:1746-1768)."""
+    train, test = _preprocessed()
+    adj = _adjacency()
+    bundle, _, _, _ = train_deepof_model(
+        ((train, test), {}, adj), adjacency_matrix=adj, model_name="VaDE",
+        encoder_type="recurrent", batch_size=16, latent_dim=4, epochs=1,
+        n_clusters=3, pretrain_epochs=0, save_weights=False, verbose=False,
+        limit_train_batches=2, limit_val_batches=1,
+        freeze_gmm_epochs=1,
+    )
+    hist_keys = [k for k in bundle.history if k.endswith("total_loss")]
+    assert hist_keys
+    # GMM means were initialized by the data GMM and must be untouched by
+    # the frozen main epoch: gradients reached other params though.
+    # (We can't see the pre-main snapshot here, so assert indirectly: a
+    # second run WITHOUT freezing moves the means differently.)
+    bundle2, _, _, _ = train_deepof_model(
+        ((train, test), {}, adj), adjacency_matrix=adj, model_name="VaDE",
+        encoder_type="recurrent", batch_size=16, latent_dim=4, epochs=1,
+        n_clusters=3, pretrain_epochs=0, save_weights=False, verbose=False,
+        limit_train_batches=2, limit_val_batches=1,
+    )
+    m_frozen = np.asarray(bundle.variables["params"]["latent_space"]["gmm_means"])
+    m_free = np.asarray(bundle2.variables["params"]["latent_space"]["gmm_means"])
+    # Same seeds -> same GMM init; the unfrozen run moves away from it.
+    assert not np.allclose(m_frozen, m_free)
