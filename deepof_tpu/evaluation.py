@@ -23,6 +23,7 @@ def gmm_compute(x: np.ndarray, n_components: int, cv_type: str) -> list:
         covariance_type=cv_type,
         max_iter=100000,
         init_params="kmeans",
+        random_state=0,
     )
     gmm.fit(x)
     return [gmm, gmm.bic(x)]

@@ -427,7 +427,7 @@ def fit_normative_global_model(global_normal_embeddings: pd.DataFrame):
     from sklearn.mixture import GaussianMixture
 
     gmm = GaussianMixture(
-        n_components=1, covariance_type="full", reg_covar=1e-4,
+        n_components=1, covariance_type="full", reg_covar=1e-4, random_state=0,
     )
     gmm.fit(global_normal_embeddings.to_numpy(float))
     return gmm
@@ -638,13 +638,13 @@ def recluster(
     if isinstance(states, str):  # "aic"/"bic" scan
         best, best_score = None, np.inf
         for k in range(2, 26):
-            gmm = GaussianMixture(n_components=k, covariance_type="diag").fit(pooled)
+            gmm = GaussianMixture(n_components=k, covariance_type="diag", random_state=0).fit(pooled)
             score = gmm.bic(pooled) if states == "bic" else gmm.aic(pooled)
             if score < best_score:
                 best, best_score = gmm, score
         gmm = best
     else:
-        gmm = GaussianMixture(n_components=int(states), covariance_type="diag")
+        gmm = GaussianMixture(n_components=int(states), covariance_type="diag", random_state=0)
         gmm.fit(pooled)
 
     out = {}

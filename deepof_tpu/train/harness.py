@@ -758,7 +758,7 @@ def fit_vade(
         n_fit = min(len(latents), 100_000)
         gmm = GaussianMixture(
             n_components=common.n_components, covariance_type="diag",
-            reg_covar=1e-4,
+            reg_covar=1e-4, random_state=common.seed or 0,
         ).fit(np.asarray(latents[:n_fit], np.float64))
         gmm_init = (gmm.means_, np.log(gmm.covariances_))
     if gmm_init is not None:
