@@ -448,3 +448,121 @@ def heatmap(
         ax.set_title(title)
     ax.invert_yaxis()
     return ax
+
+
+def generate_behavior_combinations(
+    animal_ids,
+    symmetric_behaviors=True,
+    asymmetric_behaviors=True,
+    single_behaviors=True,
+    continuous_behaviors=True,
+    custom_behaviors=None,
+):
+    """Full supervised column names + their plot colors for a cohort
+    (visuals_utils.py:176-278): symmetric behaviors per unordered animal
+    pair, asymmetric per ordered pair, single/continuous per animal, with
+    custom behaviors slotted by scope. Pass True for the built-in catalog
+    or a list to restrict."""
+    import itertools
+
+    from deepof_tpu.annotate import Behavior_output, Behavior_scope
+    from deepof_tpu.config import (
+        ASYMMETRIC_BEHAVIORS,
+        CONTINUOUS_BEHAVIORS,
+        CONTINUOUS_COLOR_MAP,
+        CUSTOM_BEHAVIOR_COLOR_MAP,
+        ONE_ANIMAL_COLOR_MAP,
+        SINGLE_BEHAVIORS,
+        SYMMETRIC_BEHAVIORS,
+        TWO_ANIMALS_COLOR_MAP_DIRECTIONAL,
+        TWO_ANIMALS_COLOR_MAP_NONDIRECTIONAL,
+    )
+
+    custom_behaviors = custom_behaviors or []
+    sym = list(SYMMETRIC_BEHAVIORS) if symmetric_behaviors is True else (
+        list(symmetric_behaviors) if isinstance(symmetric_behaviors, list) else []
+    )
+    asym = list(ASYMMETRIC_BEHAVIORS) if asymmetric_behaviors is True else (
+        list(asymmetric_behaviors) if isinstance(asymmetric_behaviors, list) else []
+    )
+    single = list(SINGLE_BEHAVIORS) if single_behaviors is True else (
+        list(single_behaviors) if isinstance(single_behaviors, list) else []
+    )
+    cont = list(CONTINUOUS_BEHAVIORS) if continuous_behaviors is True else (
+        list(continuous_behaviors) if isinstance(continuous_behaviors, list) else []
+    )
+
+    for b in custom_behaviors:
+        if b.scope is Behavior_scope.PAIR_NONDIRECTIONAL:
+            sym.append(b.name)
+        elif b.scope is Behavior_scope.PAIR_DIRECTIONAL:
+            asym.append(b.name)
+        elif b.output_type is Behavior_output.CONTINUOUS:
+            cont.append(b.name)
+        else:
+            single.append(b.name)
+
+    if not animal_ids or animal_ids == [""] or animal_ids == "":
+        ids = [""]
+    else:
+        ids = [f"{aid}_" for aid in animal_ids]
+    n = len(ids)
+
+    palette = itertools.cycle(CUSTOM_BEHAVIOR_COLOR_MAP.values())
+    custom_colors = {
+        b.name: (b.color if b.color is not None else next(palette))
+        for b in custom_behaviors
+    }
+
+    def _first(c):
+        return c[0] if isinstance(c, (tuple, list)) else c
+
+    result, color_dict = [], {}
+
+    for beh in sym:
+        c = custom_colors.get(beh, TWO_ANIMALS_COLOR_MAP_NONDIRECTIONAL.get(beh))
+        for a, b in itertools.combinations(ids, 2):
+            key = f"{a}{b}{beh}"
+            result.append(key)
+            color_dict[key] = _first(c)
+
+    for beh in asym:
+        c = custom_colors.get(beh, TWO_ANIMALS_COLOR_MAP_DIRECTIONAL.get(beh))
+        c0, c1 = c if isinstance(c, (tuple, list)) else (c, c)
+        remember = []
+        for a, b in itertools.permutations(ids, 2):
+            key = f"{a}{b}{beh}"
+            result.append(key)
+            color_dict[key] = c0 if b + a not in remember else c1
+            remember.append(a + b)
+
+    for i, aid in enumerate(ids):
+        for beh in single:
+            if beh == "missing":
+                continue
+            key = f"{aid}{beh}"
+            result.append(key)
+            c = custom_colors.get(beh, ONE_ANIMAL_COLOR_MAP.get(beh))
+            if isinstance(c, (tuple, list)):
+                color_dict[key] = c[0] if n <= 1 else c[i % 2]
+            else:
+                color_dict[key] = c
+
+    if "missing" in single:
+        for i, aid in enumerate(ids):
+            key = f"{aid}missing"
+            result.append(key)
+            c0, c1 = ONE_ANIMAL_COLOR_MAP["missing"]
+            color_dict[key] = c0 if n <= 1 else (c0 if i % 2 == 0 else c1)
+
+    for i, aid in enumerate(ids):
+        for beh in cont:
+            key = f"{aid}{beh}"
+            result.append(key)
+            c = custom_colors.get(beh, CONTINUOUS_COLOR_MAP.get(beh))
+            if isinstance(c, (tuple, list)):
+                color_dict[key] = c[0] if n <= 1 else c[i % 2]
+            else:
+                color_dict[key] = c
+
+    return result, color_dict

@@ -181,3 +181,18 @@ def test_sanitycheck_render(coords):
 
     ax = render_frame(coords, "test", 0, show_speeds=True, show_distances=True)
     assert ax is not None
+
+
+def test_generate_behavior_combinations():
+    from deepof_tpu.visuals_utils import generate_behavior_combinations
+
+    names, colors = generate_behavior_combinations(["B", "W"])
+    assert "B_W_nose2nose" in names
+    assert "B_W_following" in names and "W_B_following" in names
+    assert "B_climb-arena" in names and "W_climb-arena" in names
+    assert "B_speed" in names
+    assert all(n in colors for n in names)
+    # Single-animal projects drop the id prefixes and pair behaviors.
+    solo, _ = generate_behavior_combinations([""])
+    assert "climb-arena" in solo
+    assert not any("nose2nose" in n for n in solo)
