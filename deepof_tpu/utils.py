@@ -291,3 +291,282 @@ def progress(iterable, desc: str = "", verbose: bool = True, total=None):
         )
     except ImportError:  # pragma: no cover
         return iterable
+
+
+# --------------------------------------------------------------------------- #
+# Reference-parity utility surface (deepof/utils.py public functions)
+# --------------------------------------------------------------------------- #
+
+
+def row_nanargmax(arr):
+    """argmax per row ignoring NaNs; NaN for all-NaN rows (utils.py)."""
+    arr = np.asarray(arr, float)
+    mask = np.all(np.isnan(arr), axis=1)
+    result = np.nanargmax(np.where(mask[:, None], 0, arr), axis=1).astype(float)
+    result[mask] = np.nan
+    return result
+
+
+def infer_scalar_cols(df: pd.DataFrame):
+    """Speed + distance column names of a merged feature table."""
+    coord_cols = [
+        c for c in df.columns
+        if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
+    ]
+    bp_names = {c[0] for c in coord_cols}
+    speed_cols = [c for c in df.columns if isinstance(c, str) and c in bp_names]
+    dist_cols = [
+        c for c in df.columns
+        if isinstance(c, tuple) and len(c) == 2
+        and c[0] in bp_names and c[1] in bp_names
+    ]
+    return speed_cols + dist_cols
+
+
+def edges_to_weighted_adj(adj: np.ndarray, edges: np.ndarray):
+    """Edge feature matrix -> weighted adjacency (utils.py)."""
+    adj = np.repeat(np.expand_dims(adj.astype(float), axis=0), edges.shape[0], axis=0)
+    if len(edges.shape) == 3:
+        adj = np.repeat(np.expand_dims(adj, axis=1), edges.shape[1], axis=1)
+    adj[np.where(adj)] = np.concatenate([edges, edges[:, ::-1]], axis=-2).flatten()
+    return adj
+
+
+def count_events(
+    binary_behavior: np.ndarray, counting_mode: str = "Events", frame_rate: float = 1
+):
+    """Count a binary behavior trace as Frames / Time / Events / Transitions
+    (utils.py count_events)."""
+    b = np.asarray(binary_behavior)
+    if counting_mode == "Frames":
+        return np.sum(b)
+    if counting_mode == "Time":
+        return np.sum(b) / frame_rate
+    if counting_mode == "Events":
+        onsets = np.diff(b.astype(np.int8))
+        n = int(np.sum(onsets == 1))
+        if len(b) > 0 and int(b[0]) == 1:
+            n += 1
+        return n
+    if counting_mode == "Transitions":
+        return int(np.sum((b[:-1] == 1) & (b[1:] == 1)))
+    raise ValueError(f"Unknown counting_mode: {counting_mode!r}")
+
+
+def filter_short_bouts(
+    cluster_assignments: np.ndarray,
+    cluster_confidence: np.ndarray,
+    confidence_indices: np.ndarray,
+    min_confidence: float = 0.0,
+    min_bout_duration: int = None,
+):
+    """Keep-mask for cluster assignments: drop bouts shorter than
+    min_bout_duration or with mean confidence < min_confidence (utils.py)."""
+    confidence_indices = np.array(confidence_indices, bool)
+    bout_lengths = np.diff(
+        np.where(
+            np.diff(np.concatenate([[np.inf], cluster_assignments, [np.inf]])) != 0
+        )[0]
+    )
+    if min_bout_duration is None:
+        min_bout_duration = np.mean(bout_lengths)
+    confidence_indices[np.repeat(bout_lengths, bout_lengths) < min_bout_duration] = False
+
+    cum = np.concatenate([[0], np.cumsum(bout_lengths)])
+    bout_avg_conf = np.array([
+        cluster_confidence[cum[i]:cum[i + 1]].mean()
+        if np.any(confidence_indices[cum[i]:cum[i + 1]])
+        else float("nan")
+        for i in range(len(bout_lengths))
+    ])
+    return (np.repeat(bout_avg_conf, bout_lengths) >= min_confidence) & confidence_indices
+
+
+def align_embeddings_at_key(
+    embeddings, supervised_annotations, key, window_size=None,
+    alignment_mode="center",
+):
+    """Align window embeddings with frame-level supervised labels for one
+    experiment: pick the window-center label ("center") or the per-window
+    OR ("any") (utils.py align_embeddings_at_key)."""
+    from deepof_tpu.core.storage import get_dt
+
+    assert key in embeddings.keys() and key in supervised_annotations.keys(), (
+        "Key not found in at least one of both table dicts!"
+    )
+    cur_emb = get_dt(embeddings, key)
+    cur_sup = get_dt(supervised_annotations, key)
+    assert cur_emb.shape[0] <= cur_sup.shape[0], "Labels exceed windows!"
+    if window_size is None:
+        window_size = cur_sup.shape[0] - cur_emb.shape[0] + 1
+    start = window_size // 2
+    end = start + cur_emb.shape[0]
+    if alignment_mode == "center":
+        aligned = cur_sup.iloc[start:end].reset_index(drop=True)
+    elif alignment_mode == "any":
+        aligned = (
+            cur_sup.rolling(window=window_size, min_periods=window_size)
+            .max().reset_index(drop=True)
+        )
+        aligned = aligned.iloc[start:end].reset_index(drop=True)
+    else:
+        raise NotImplementedError('Only "center" and "any" modes are available')
+    assert cur_emb.shape[0] == aligned.shape[0], "Alignment unsuccessful!"
+    return cur_emb, aligned
+
+
+def get_total_Frames(video_paths) -> int:
+    """Total frame count over a {key: path} dict of videos."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        raise ImportError("get_total_Frames requires OpenCV")
+    total = 0
+    paths = video_paths.values() if isinstance(video_paths, dict) else video_paths
+    for path in paths:
+        cap = cv2.VideoCapture(str(path))
+        total += int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        cap.release()
+    return total
+
+
+def rename_track_bps(loaded_tab: pd.DataFrame, rename_bodyparts: list, animal_ids: list):
+    """Rename body parts in a loaded tracking DataFrame: maps current
+    bodypart names (order of appearance) to the provided list, preserving
+    animal-id prefixes (utils.py rename_track_bps)."""
+    tab = loaded_tab.copy()
+    prefixes = [f"{aid}_" for aid in animal_ids] if animal_ids and animal_ids != [""] else [""]
+    current = list(dict.fromkeys(tab.columns.get_level_values(0)))
+    bare = list(dict.fromkeys(
+        c[len(p):] if any(c.startswith(p) and p for p in prefixes) else c
+        for c in current
+        for p in [next((p for p in prefixes if p and c.startswith(p)), "")]
+    ))
+    mapping = dict(zip(bare, rename_bodyparts))
+    new_cols = []
+    for col in tab.columns:
+        name = col[0]
+        pref = next((p for p in prefixes if p and name.startswith(p)), "")
+        base = name[len(pref):]
+        new_cols.append((pref + mapping.get(base, base),) + tuple(col[1:]))
+    tab.columns = pd.MultiIndex.from_tuples(new_cols, names=tab.columns.names)
+    return tab
+
+
+def validate_parameter(
+    param_name, param_value, valid_options, is_list: bool = False,
+    custom_error_if_empty=None, only_one_of_many: bool = True,
+    can_be_dict: bool = False,
+):
+    """Validate a parameter against valid options with actionable errors
+    (utils.py validate_parameter)."""
+    if param_value is None or (is_list and not param_value):
+        if custom_error_if_empty:
+            raise ValueError(custom_error_if_empty)
+        return
+    if can_be_dict and isinstance(param_value, dict):
+        values = list(param_value.keys())
+    elif is_list or isinstance(param_value, (list, tuple)):
+        values = list(param_value) if isinstance(param_value, (list, tuple)) else [param_value]
+        if only_one_of_many and not is_list and len(values) > 1:
+            raise ValueError(f"{param_name} accepts a single value, got {values}")
+    else:
+        values = [param_value]
+    invalid = [v for v in values if v not in valid_options]
+    if invalid:
+        raise ValueError(
+            f"Invalid value(s) {invalid} for {param_name!r}; valid options "
+            f"are {list(valid_options)}"
+        )
+
+
+def mouse_in_roi(tab, aid, in_roi_criterion, roi_polygon, invert_roi=False,
+                 run_numba=False):
+    """Boolean in-ROI mask for an animal in a coordinate table by
+    criterion bodypart(s) or "all" (utils.py mouse_in_roi)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import point_in_polygon
+
+    if isinstance(in_roi_criterion, str):
+        in_roi_criterion = [in_roi_criterion]
+    if aid:
+        if "all" in in_roi_criterion:
+            bodyparts = [
+                c for c in tab.columns.get_level_values(0).unique()
+                if c.startswith(aid)
+            ]
+        else:
+            bodyparts = [f"{aid}_{bp}" for bp in in_roi_criterion]
+    else:
+        bodyparts = (
+            tab.columns.get_level_values(0).unique()
+            if "all" in in_roi_criterion else in_roi_criterion
+        )
+    roi_polygon = np.asarray(roi_polygon)
+    mask = np.ones(len(tab), dtype=bool)
+    for bp in bodyparts:
+        pts = np.array(tab.loc[:, pd.IndexSlice[bp, ["x", "y"]]].to_numpy())
+        mask &= np.asarray(point_in_polygon(jnp.asarray(pts), roi_polygon))
+    return np.invert(mask) if invert_roi else mask
+
+
+def get_behavior_mask_and_confidence(tab, behaviors, supervised_export: bool):
+    """Boolean mask + confidence frame for behaviors: >0.1 columns for
+    supervised tables, argmax identity for soft counts (utils.py)."""
+    if isinstance(behaviors, str):
+        behaviors = [behaviors]
+    if isinstance(tab, pd.DataFrame) and supervised_export:
+        assert all(b in list(tab.columns) for b in behaviors), (
+            "Some behavior names do not exist in the table!"
+        )
+        mask = tab[behaviors] > 0.1
+        confidence = tab[behaviors]
+    else:
+        df = pd.DataFrame(np.asarray(tab))
+        df.columns = [str(c) for c in df.columns]
+        most_likely = df.idxmax(axis=1)
+        behaviors = [str(b) for b in behaviors]
+        mask = pd.DataFrame({b: (most_likely == b) for b in behaviors})
+        confidence = df[behaviors]
+    return mask, confidence
+
+
+def get_supervised_behaviors_in_roi(cur_supervised, local_bin_info, animal_ids,
+                                    roi_mode: str = "mousewise"):
+    """NaN-out supervised detections of animals outside the ROI
+    (utils.py get_supervised_behaviors_in_roi, mousewise mode).
+
+    local_bin_info maps animal_id -> boolean in-ROI array per frame.
+    """
+    if not animal_ids:
+        return cur_supervised
+    if isinstance(animal_ids, str):
+        animal_ids = [animal_ids]
+    out = cur_supervised.copy()
+    for aid in animal_ids:
+        in_roi = np.asarray(local_bin_info[aid], bool)
+        cols = [
+            c for c in out.columns
+            if str(c).startswith(f"{aid}_") or (not aid and True)
+        ]
+        out.loc[~in_roi, cols] = np.nan
+    return out
+
+
+def get_unsupervised_behaviors_in_roi(cur_unsupervised, local_bin_info, animal_ids):
+    """Mask unsupervised assignments outside the ROI: NaN for 2D soft
+    counts, -1 for 1D hard labels (utils.py)."""
+    out = np.array(cur_unsupervised)
+    if isinstance(animal_ids, str):
+        animal_ids = [animal_ids]
+    elif animal_ids is None:
+        animal_ids = [""]
+    for aid in animal_ids:
+        bad = ~np.asarray(local_bin_info[aid], bool)
+        if out.ndim == 1:
+            out[bad] = -1
+        else:
+            out = out.astype(float)
+            out[bad] = np.nan
+    return out

@@ -386,3 +386,84 @@ def test_smooth_boolean_array():
     out = ops.smooth_boolean_array(a, scale=1)
     assert out[110:130].any()
     assert not out[300:].any()
+
+
+def test_parity_utils_batch():
+    """New reference-parity utilities (utils.py public surface)."""
+    import pandas as pd
+
+    from deepof_tpu.utils import (
+        align_embeddings_at_key,
+        count_events,
+        edges_to_weighted_adj,
+        filter_short_bouts,
+        get_behavior_mask_and_confidence,
+        get_unsupervised_behaviors_in_roi,
+        infer_scalar_cols,
+        mouse_in_roi,
+        row_nanargmax,
+        validate_parameter,
+    )
+
+    b = np.array([0, 1, 1, 0, 1, 1, 1, 0], float)
+    assert count_events(b, "Events") == 2
+    assert count_events(b, "Frames") == 5
+    assert count_events(b, "Time", frame_rate=5) == 1.0
+    assert count_events(b, "Transitions") == 3
+    assert count_events(np.array([1, 1, 0.0]), "Events") == 1  # starts active
+
+    arr = np.array([[np.nan, np.nan], [1.0, 2.0], [3.0, 0.0]])
+    got = row_nanargmax(arr)
+    assert np.isnan(got[0]) and got[1] == 1 and got[2] == 0
+
+    assigns = np.array([0, 0, 0, 1, 0, 0, 0])
+    conf = np.array([0.9, 0.9, 0.9, 0.2, 0.9, 0.9, 0.9])
+    keep = filter_short_bouts(assigns, conf, np.ones(7, bool),
+                              min_confidence=0.5, min_bout_duration=2)
+    assert not keep[3] and keep[0] and keep[-1]
+
+    adj = np.array([[0, 1], [1, 0]], float)
+    edges = np.ones((3, 1))  # 3 samples, 1 edge
+    w = edges_to_weighted_adj(adj, edges)
+    assert w.shape == (3, 2, 2) and w[0, 0, 1] == 1.0
+
+    df = pd.DataFrame({
+        ("Nose", "x"): [0.0], ("Nose", "y"): [0.0],
+        ("Center", "x"): [0.0], ("Center", "y"): [0.0],
+        "Nose": [1.0], ("Center", "Nose"): [2.0],
+    })
+    cols = infer_scalar_cols(df)
+    assert "Nose" in cols and ("Center", "Nose") in cols
+
+    # Embedding/label alignment: centers of stride-1 windows.
+    emb = pd.DataFrame(np.arange(6)[:, None])          # 6 windows
+    sup = pd.DataFrame({"beh": np.arange(10) % 2})     # 10 frames, W=5
+    e, s = align_embeddings_at_key({"k": emb}, {"k": sup}, "k")
+    assert len(e) == len(s) == 6
+    np.testing.assert_array_equal(s["beh"].to_numpy(), (np.arange(2, 8) % 2))
+
+    with pytest.raises(ValueError):
+        validate_parameter("mode", "bad", ["a", "b"])
+    validate_parameter("mode", "a", ["a", "b"])
+
+    # ROI masking of soft/hard assignments.
+    soft = np.ones((4, 2))
+    masked = get_unsupervised_behaviors_in_roi(soft, {"": [True, False, True, False]}, None)
+    assert np.isnan(masked[1]).all() and not np.isnan(masked[0]).any()
+    hard = np.array([0, 1, 1, 0])
+    masked_h = get_unsupervised_behaviors_in_roi(hard, {"": [True, False, True, True]}, "")
+    assert masked_h[1] == -1
+
+    # Behavior mask for supervised and soft tables.
+    sup_tab = pd.DataFrame({"B_moving": [0.0, 1.0], "B_speed": [3.0, 4.0]})
+    m, c = get_behavior_mask_and_confidence(sup_tab, ["B_moving"], True)
+    assert bool(m["B_moving"][1]) and not bool(m["B_moving"][0])
+
+    # mouse_in_roi over a MultiIndex coordinate table.
+    tab = pd.DataFrame({
+        ("A_Nose", "x"): [0.5, 5.0], ("A_Nose", "y"): [0.5, 5.0],
+    })
+    tab.columns = pd.MultiIndex.from_tuples(tab.columns)
+    square = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    inroi = mouse_in_roi(tab, "A", "Nose", square, invert_roi=False)
+    np.testing.assert_array_equal(inroi, [True, False])
