@@ -295,6 +295,9 @@ class Project:
         frames_sum, frames_max = int(np.sum(total_frames)), int(np.max(total_frames))
         # All kernels here are XLA-compiled; run_numba is kept for API parity.
         self.run_numba = frames_sum > fast_implementations_threshold
+        # Optional ego body part: restrict distances to pairs involving it
+        # (deepof/data.py:475,1089); set project.ego = "Nose" before create().
+        self.ego = False
         self.very_large_project = (
             frames_max > config.VERY_LARGE_VIDEO_FRAMES
             or frames_sum > config.VERY_LARGE_TOTAL_FRAMES
@@ -626,6 +629,7 @@ class Project:
             number_of_rois=self.number_of_rois,
             run_numba=self.run_numba,
             very_large_project=self.very_large_project,
+            ego=self.ego,
             version=self.version,
         )
         coordinates.reset_supervised_parameters()
@@ -745,6 +749,7 @@ class Coordinates:
         number_of_rois: int = 0,
         run_numba: bool = False,
         very_large_project: bool = False,
+        ego=False,
         version: str = None,
     ):
         self._project_path = project_path
@@ -782,6 +787,7 @@ class Coordinates:
         self._number_of_rois = number_of_rois
         self._run_numba = run_numba
         self._very_large_project = very_large_project
+        self._ego = ego
         self._version = version
         self._custom_behaviors = None
         self._custom_continuous_behavior_names = []
@@ -825,6 +831,156 @@ class Coordinates:
 
     def get_exp_conditions(self):
         return self._exp_conditions
+
+    def get_condition_values(self, exp_cond):
+        """Unique values of one experimental condition across experiments
+        (deepof/data.py:2458)."""
+        conditions = []
+        for key in (self._exp_conditions or {}):
+            df = self._exp_conditions[key]
+            if hasattr(df, "columns") and exp_cond in df.columns:
+                conditions.append(df[exp_cond].iloc[0])
+        assert len(conditions) > 0, (
+            f"Given experiment condition {exp_cond} not in experiment conditions!"
+        )
+        return list(np.unique(conditions))
+
+    @property
+    def get_start_markers(self):
+        """Stored start markers per experiment (deepof/data.py:2454)."""
+        return self._start_markers
+
+    def get_start_marker_values(self, start_marker, return_frames: bool = True):
+        """Start marker per experiment, as frame index or time string
+        (deepof/data.py:2466)."""
+        starts = {}
+        markers = self._start_markers or {}
+        for key, df in markers.items():
+            assert start_marker in df, (
+                f"given start_marker is missing at key {key}"
+            )
+            value = df[start_marker].iloc[0]
+            if return_frames:
+                starts[key] = int(
+                    np.round(dutils.time_to_seconds(value) * self._frame_rate)
+                )
+            else:
+                starts[key] = value
+        return starts
+
+    def get_end_times(self):
+        """End timestamp per experiment table (deepof/data.py:2410)."""
+        return {
+            key: dutils.seconds_to_time(
+                (len(self._tables[key]) - 1) / self._frame_rate,
+                cut_milliseconds=False,
+            )
+            for key in self._tables
+        }
+
+    def get_table_lengths(self, tab_dict_for_binning=None, start_marker=None):
+        """Frame count per experiment, optionally measured on another
+        TableDict and shortened by a start marker (deepof/data.py:2419)."""
+        if tab_dict_for_binning is None:
+            lengths = {key: len(self._tables[key]) for key in self._tables}
+        else:
+            lengths = {
+                k: int(np.asarray(get_dt(tab_dict_for_binning, k)).shape[0])
+                for k in tab_dict_for_binning.keys()
+            }
+        if start_marker is None:
+            return lengths
+        out = {}
+        for key, full in lengths.items():
+            start_time = self._start_markers[key][start_marker].iloc[0]
+            start_frame = np.round(
+                dutils.time_to_seconds(start_time) * self._frame_rate
+            )
+            short = int(np.round(full - start_frame))
+            assert short > 0, (
+                f"start marker {start_marker} at experiment {key} is exceeding "
+                "the length of the experiment table!"
+            )
+            out[key] = short
+        return out
+
+    def edit_arenas(
+        self, video_keys: list = None, arena_type: str = None,
+        verbose: bool = True, test: bool = False,
+    ):
+        """Re-annotate arenas for selected videos and persist the result
+        (deepof/data.py:2510-2575). Autodetect types are re-run; manual
+        types need an interactive display (or test=True for the fixture
+        path). Updated parameters overwrite the stored arena pickle."""
+        import deepof_tpu.arena as arena_mod
+
+        if video_keys is None:
+            video_keys = list(self._videos.keys())
+        if arena_type is None:
+            arena_type = self._arena
+        unknown = [k for k in video_keys if k not in self._videos]
+        assert not unknown, f"Unknown video keys: {unknown}"
+        if verbose:
+            print(f"Editing {len(video_keys)} arena(s)")
+
+        scales, arena_params, roi_dicts, video_resolution = arena_mod.get_arenas(
+            self, arena_type, self._arena_dims, self._number_of_rois,
+            None, self._video_path,
+            {k: self._videos[k] for k in video_keys}, test=test,
+        )
+        self._scales.update(scales)
+        self._arena_params.update(arena_params)
+        if roi_dicts:
+            (self._roi_dicts or {}).update(roi_dicts)
+        self.save(timestamp=False)
+
+    def save_arena_data(
+        self, arena_path: str, arena_params: dict = None, roi_dicts: dict = None,
+        scales: dict = None, video_resolution: dict = None,
+    ) -> None:
+        """Persist arena parameters / ROIs / scales as one pickle
+        (deepof/data.py:588-615)."""
+        arena_params = arena_params if arena_params is not None else self._arena_params
+        roi_dicts = roi_dicts if roi_dicts is not None else self._roi_dicts
+        scales = scales if scales is not None else self._scales
+        video_resolution = (
+            video_resolution if video_resolution is not None
+            else self._video_resolution
+        )
+        os.makedirs(os.path.dirname(os.path.abspath(arena_path)), exist_ok=True)
+        payload = {
+            "roi_dicts": roi_dicts, "arena_params": arena_params,
+            "scales": scales, "video_resolution": video_resolution,
+        }
+        with open(arena_path, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load_arena_data(self, arena_path: str, load_also_rois: bool = False):
+        """Load (roi_dicts, arena_params, scales, video_resolution) from a
+        pickle with key-consistency checks (deepof/data.py:618-683)."""
+        if not os.path.isfile(arena_path):
+            raise FileNotFoundError(f"Arena file not found: {arena_path}")
+        with open(arena_path, "rb") as f:
+            data = pickle.load(f)
+        if isinstance(data, dict) and {
+            "roi_dicts", "arena_params", "scales"
+        } <= set(data.keys()):
+            roi_dicts = data["roi_dicts"]
+            arena_params = data["arena_params"]
+            scales = data["scales"]
+            video_resolution = data.get("video_resolution")
+        elif isinstance(data, (tuple, list)) and len(data) == 4:
+            roi_dicts, arena_params, scales, video_resolution = data
+        else:
+            raise ValueError("Invalid arena pickle format.")
+        expected = set(arena_params.keys())
+        assert expected == set(self._tables.keys()), (
+            "Keys of Arena objects do not match project keys, could not load "
+            "arena info"
+        )
+        if not load_also_rois:
+            return None, arena_params, scales, video_resolution
+        return roi_dicts, arena_params, scales, video_resolution
 
     def load_exp_conditions(self, filepath: str):  # pragma: no cover
         from deepof_tpu.io.conditions import load_exp_conditions
@@ -1111,6 +1267,12 @@ class Coordinates:
         arr = np.array(self._distances[key], dtype=np.float64)
         df = pd.DataFrame(arr, columns=self._pair_names)
         df.index = self._time_index(len(df))
+
+        if getattr(self, "_ego", False):
+            # Keep only distances involving the ego body part
+            # (deepof/data.py:1089-1092).
+            keep = [c for c in df.columns if any(self._ego in str(x) for x in c)]
+            df = df.loc[:, keep]
 
         if roi_number is not None:
             mask_df = self._roi_row_mask(key, roi_number, animals_in_roi, invert_roi)

@@ -154,3 +154,33 @@ def test_multi_animal_project(tmp_path):
     assert "B_W_nose2nose" in cols
     assert "B_W_following" in cols and "W_B_following" in cols
     assert "B_missing" in cols and "W_missing" in cols
+
+
+def test_coordinates_metadata_api(tmp_path):
+    """get_end_times / get_table_lengths / arena save-load / ego distances
+    (deepof/data.py:2410-2533, 588-683, 1089)."""
+    import pickle
+
+    proj = _make_project(tmp_path, scenario="test_single_topview", fmt="h5")
+    proj.ego = "Nose"
+    coords = proj.create(force=True, test=True, verbose=False)
+
+    # Ego mode keeps only distances involving the ego body part.
+    d = coords.get_distances()
+    key = list(d.keys())[0]
+    assert all(any("Nose" in str(x) for x in c) for c in d[key].columns)
+
+    ends = coords.get_end_times()
+    assert set(ends) == set(coords._tables)
+    assert all(isinstance(v, str) and ":" in v for v in ends.values())
+
+    lengths = coords.get_table_lengths()
+    assert lengths[key] == len(coords._tables[key])
+
+    arena_pkl = tmp_path / "arena.pkl"
+    coords.save_arena_data(str(arena_pkl))
+    rois, params, scales, res = coords.load_arena_data(
+        str(arena_pkl), load_also_rois=True
+    )
+    assert set(params) == set(coords._tables)
+    assert scales[key][3] == coords._scales[key][3]
