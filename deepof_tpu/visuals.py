@@ -277,8 +277,9 @@ def plot_behavior_trends(
     (visuals.py:4093-4515)."""
     source = supervised_annotations if supervised_annotations is not None else soft_counts
     lengths = {k: len(np.asarray(get_dt(source, k))) for k in source.keys()}
-    l_short = min(lengths.values())
-    pairs = vu.create_bin_pairs(l_short, n_time_bins)
+    pairs = vu.build_valid_multibins(
+        lengths, n_time_bins, kwargs.pop("custom_time_bins", None)
+    )
     conds = _conditions_of(coordinates, list(source.keys()))
 
     rows = []
@@ -297,25 +298,38 @@ def plot_behavior_trends(
                          "condition": conds[key]})
     df = pd.DataFrame(rows)
 
-    own_fig = ax is None
-    if own_fig:
-        fig, ax = plt.subplots(
-            subplot_kw={"projection": "polar"} if polar_depiction else None
+    mean_values, error_values, conditions = vu.process_df(
+        df, error_bars=error_bars
+    )
+    if not normalize:
+        scale = np.array([hi - lo for lo, hi in pairs], float)
+        mean_values = {c: m * scale for c, m in mean_values.items()}
+        error_values = {c: e * scale for c, e in error_values.items()}
+    geom = vu.get_binned_geometry([hi - lo for lo, hi in pairs])
+    fig, ax, _created = vu.ensure_axis(ax, polar_depiction)
+
+    if polar_depiction:
+        handles = vu.plot_binned_groups(
+            ax, geom["centers"], mean_values, error_values, conditions,
         )
+        vu.add_polar_bin_labels(ax, geom)
     else:
-        fig = ax.figure
-    for ci, cond in enumerate(sorted(df["condition"].unique())):
-        sub = df[df["condition"] == cond].groupby("bin")["value"]
-        mean = sub.mean()
-        err = sub.sem() if error_bars == "sem" else sub.std()
-        x = (
-            np.linspace(0, 2 * np.pi, len(mean), endpoint=False)
-            if polar_depiction else mean.index
-        )
-        ax.plot(x, mean, label=cond)
-        ax.fill_between(x, mean - err, mean + err, alpha=0.3)
-    ax.set_title(str(behavior))
-    ax.legend()
+        handles = {}
+        for i, cond in enumerate(conditions):
+            handles[cond] = vu.plot_binned_line(
+                ax, np.arange(len(pairs)), mean_values[cond],
+                yerr=error_values[cond], color=f"C{i}", label=str(cond),
+            )
+    max_val = float(np.nanmax([np.nanmax(m) for m in mean_values.values()]))
+    vu.format_time_binned_axis(
+        ax, geom, polar_depiction, max_val,
+        title=str(behavior), xlabel="time bin", ylabel="occurrence",
+    )
+    vu.annotate_binwise_stats(
+        ax, vu.binwise_group_tests(df), geom=geom,
+        polar_depiction=polar_depiction,
+    )
+    vu.add_binned_legends(ax, handles, polar_depiction=polar_depiction)
     return _maybe_save(fig, save, "behavior_trends")
 
 

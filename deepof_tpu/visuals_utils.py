@@ -566,3 +566,213 @@ def generate_behavior_combinations(
                 color_dict[key] = c
 
     return result, color_dict
+
+
+# --------------------------------------------------------------------------- #
+# Binned-trend plot machinery (visuals_utils.py:2337-2860)
+# --------------------------------------------------------------------------- #
+
+
+def build_valid_multibins(table_lengths, n_time_bins: int = 24,
+                          custom_time_bins=None):
+    """Consecutive (start, end) frame bins shared by all experiments
+    (visuals_utils.py:768-840): defaults to N equal bins over the shortest
+    table; custom bins are validated for order and bounds."""
+    l_short = min(table_lengths.values()) if isinstance(table_lengths, dict) \
+        else int(min(table_lengths))
+    if not custom_time_bins:
+        return create_bin_pairs(l_short, n_time_bins)
+    pairs = [tuple(map(int, p)) for p in custom_time_bins]
+    assert all(a < b for a, b in pairs), "custom_time_bins must be ordered"
+    assert all(
+        pairs[i][1] <= pairs[i + 1][0] for i in range(len(pairs) - 1)
+    ), "custom_time_bins must not overlap"
+    assert pairs[-1][1] <= l_short, "custom_time_bins exceed the shortest table"
+    return pairs
+
+
+def ensure_axis(ax=None, polar_depiction: bool = False):
+    """(fig, ax, created) with in-place polar conversion when needed
+    (visuals_utils.py:2577-2605)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig, ax = plt.subplots(
+            subplot_kw={"projection": "polar"} if polar_depiction else None
+        )
+        return fig, ax, True
+    if polar_depiction and ax.name != "polar":
+        fig = ax.figure
+        pos = ax.get_position()
+        ax.remove()
+        ax = fig.add_axes(pos, projection="polar")
+        return fig, ax, False
+    return ax.figure, ax, False
+
+
+def get_binned_geometry(bin_lengths):
+    """Polar geometry of consecutive bins: centers/widths/edges in radians
+    proportional to bin length, plus 1..N labels
+    (visuals_utils.py:2607-2626)."""
+    bl = np.asarray(bin_lengths, dtype=float)
+    if bl.ndim != 1 or bl.size == 0:
+        raise ValueError("bin_lengths must be a 1D non-empty sequence")
+    total = bl.sum()
+    widths = 2 * np.pi * bl / total
+    edges = np.concatenate([[0.0], np.cumsum(widths)])
+    centers = (edges[:-1] + edges[1:]) / 2
+    return {
+        "centers": centers,
+        "widths": widths,
+        "edges": edges,
+        "labels": [str(i + 1) for i in range(len(bl))],
+    }
+
+
+def format_time_binned_axis(ax, geom, polar_depiction, max_value,
+                            title=None, xlabel=None, ylabel=None):
+    """Shared axis formatting for binned trend plots
+    (visuals_utils.py:2628-2675)."""
+    if polar_depiction:
+        ax.set_xticks(geom["centers"])
+        ax.set_xticklabels([])
+        ax.set_theta_zero_location("N")
+        ax.set_theta_direction(-1)
+        if max_value and np.isfinite(max_value):
+            ax.set_rmax(max_value * 1.05)
+    else:
+        ax.set_xticks(np.arange(len(geom["labels"])))
+        ax.set_xticklabels(geom["labels"])
+        if xlabel:
+            ax.set_xlabel(xlabel)
+        if ylabel:
+            ax.set_ylabel(ylabel)
+    if title:
+        ax.set_title(title)
+
+
+def add_polar_bin_labels(ax, geom, radius_factor: float = 1.166):
+    """Bin-number labels outside the polar plot; call after plotting so
+    rmax is final (visuals_utils.py:2677-2681)."""
+    r = ax.get_rmax() * radius_factor
+    for theta, label in zip(geom["centers"], geom["labels"]):
+        ax.text(theta, r, label, ha="center", va="center")
+
+
+def plot_binned_line(ax, x, y, yerr=None, hide_time_bins=None, color="C0",
+                     label=None, polar_depiction=False):
+    """One condition's binned trend line with an error band, with hidden
+    bins masked out (visuals_utils.py:2439-2575)."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    if hide_time_bins is not None:
+        y = np.where(np.asarray(hide_time_bins, bool), np.nan, y)
+    if polar_depiction and len(x):
+        x = np.concatenate([x, x[:1] + 2 * np.pi])
+        y = np.concatenate([y, y[:1]])
+        if yerr is not None:
+            yerr = np.concatenate([np.asarray(yerr, float), np.asarray(yerr, float)[:1]])
+    (line,) = ax.plot(x, y, color=color, label=label)
+    if yerr is not None:
+        ax.fill_between(x, y - yerr, y + yerr, color=color, alpha=0.3)
+    return line
+
+
+def plot_binned_groups(ax, x_radians, mean_values, error_values,
+                       condition_values, hide_time_bins=None, colors=None):
+    """All conditions' trend lines on a polar axis
+    (visuals_utils.py:2684-2721). Returns {condition: line handle}."""
+    handles = {}
+    for i, cond in enumerate(condition_values):
+        color = (colors or {}).get(cond, f"C{i}")
+        handles[cond] = plot_binned_line(
+            ax, x_radians, mean_values[cond],
+            yerr=None if error_values is None else error_values.get(cond),
+            hide_time_bins=hide_time_bins, color=color, label=str(cond),
+            polar_depiction=True,
+        )
+    return handles
+
+
+def annotate_binwise_stats(ax, test_dict, geom=None, polar_depiction=False,
+                           alpha: float = 0.05):
+    """Significance markers per bin from a {bin_index: p_value} dict
+    (visuals_utils.py:2776-2812)."""
+    if not test_dict:
+        return
+    if polar_depiction:
+        yt = ax.get_yticks()
+        y = yt[-1] + (yt[-1] - yt[-2]) * 1.166 if len(yt) >= 2 else ax.get_rmax()
+        xs = geom["centers"]
+    else:
+        y = ax.get_ylim()[1]
+        xs = np.arange(len(test_dict))
+    for bi, p in test_dict.items():
+        if p is None or not np.isfinite(p):
+            continue
+        mark = "***" if p < 0.001 else "**" if p < 0.01 else "*" if p < alpha else ""
+        if mark:
+            x = xs[bi] if bi < len(xs) else bi
+            ax.text(x, y, mark, ha="center", va="bottom")
+
+
+def add_binned_legends(ax, condition_handles, condition_labels=None,
+                       effect_handles=None, polar_depiction=False,
+                       show_histogram=True):
+    """Condition (and optional effect-size) legends placed clear of a
+    polar plot (visuals_utils.py:2814-2860)."""
+    handles = (
+        list(condition_handles.values())
+        if isinstance(condition_handles, dict) else list(condition_handles)
+    )
+    labels = condition_labels or (
+        list(condition_handles.keys())
+        if isinstance(condition_handles, dict) else None
+    )
+    loc = "upper left"
+    anchor = (1.12, 1.1) if polar_depiction else (1.02, 1.0)
+    leg = ax.legend(handles, labels, loc=loc, bbox_to_anchor=anchor)
+    if effect_handles:
+        ax.add_artist(leg)
+        ax.legend(
+            handles=effect_handles, loc="lower left",
+            bbox_to_anchor=(anchor[0], 0.0), title="effect size",
+        )
+    return leg
+
+
+def process_df(df, value_col: str = "value", bin_col: str = "bin",
+               cond_col: str = "condition", error_bars: str = "sem"):
+    """Per-condition mean and error arrays over consecutive bins
+    (visuals_utils.py:2337-2437)."""
+    conditions = sorted(df[cond_col].astype(str).unique())
+    n_bins = int(df[bin_col].max()) + 1
+    mean_values, error_values = {}, {}
+    for cond in conditions:
+        sub = df[df[cond_col].astype(str) == cond].groupby(bin_col)[value_col]
+        mean = sub.mean().reindex(range(n_bins))
+        err = (sub.sem() if error_bars == "sem" else sub.std()).reindex(range(n_bins))
+        mean_values[cond] = mean.to_numpy(float)
+        error_values[cond] = np.nan_to_num(err.to_numpy(float))
+    return mean_values, error_values, conditions
+
+
+def binwise_group_tests(df, value_col: str = "value", bin_col: str = "bin",
+                        cond_col: str = "condition"):
+    """Mann-Whitney p-value per bin between exactly two conditions; empty
+    dict otherwise."""
+    from scipy.stats import mannwhitneyu
+
+    conditions = sorted(df[cond_col].astype(str).unique())
+    if len(conditions) != 2:
+        return {}
+    out = {}
+    for bi in sorted(df[bin_col].unique()):
+        a = df[(df[bin_col] == bi) & (df[cond_col].astype(str) == conditions[0])][value_col]
+        b = df[(df[bin_col] == bi) & (df[cond_col].astype(str) == conditions[1])][value_col]
+        if len(a) > 0 and len(b) > 0 and (a.nunique() > 1 or b.nunique() > 1):
+            try:
+                out[int(bi)] = float(mannwhitneyu(a, b).pvalue)
+            except ValueError:
+                out[int(bi)] = np.nan
+    return out

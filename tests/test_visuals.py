@@ -196,3 +196,48 @@ def test_generate_behavior_combinations():
     solo, _ = generate_behavior_combinations([""])
     assert "climb-arena" in solo
     assert not any("nose2nose" in n for n in solo)
+
+
+def test_behavior_trends_polar(coords, supervised):
+    fig = visuals.plot_behavior_trends(
+        coords, supervised_annotations=supervised, behavior="moving",
+        n_time_bins=5, polar_depiction=True,
+    )
+    assert fig.axes and fig.axes[0].name == "polar"
+
+
+def test_binned_trend_helpers():
+    import matplotlib.pyplot as plt
+
+    from deepof_tpu import visuals_utils as vu
+
+    pairs = vu.build_valid_multibins({"a": 100, "b": 120}, n_time_bins=4)
+    assert pairs[-1][1] <= 100 and len(pairs) == 4
+    custom = vu.build_valid_multibins({"a": 100}, custom_time_bins=[(0, 50), (50, 100)])
+    assert custom == [(0, 50), (50, 100)]
+    with pytest.raises(AssertionError):
+        vu.build_valid_multibins({"a": 100}, custom_time_bins=[(0, 60), (50, 100)])
+
+    geom = vu.get_binned_geometry([10, 10, 20])
+    np.testing.assert_allclose(geom["edges"][-1], 2 * np.pi)
+    assert geom["widths"][2] == pytest.approx(2 * geom["widths"][0])
+
+    df = pd.DataFrame({
+        "bin": [0, 1, 0, 1, 0, 1, 0, 1],
+        "value": [1.0, 2.0, 1.2, 2.2, 5.0, 6.0, 5.2, 6.3],
+        "condition": ["x", "x", "x", "x", "y", "y", "y", "y"],
+    })
+    means, errs, conds = vu.process_df(df)
+    assert conds == ["x", "y"]
+    np.testing.assert_allclose(means["x"], [1.1, 2.1])
+    tests = vu.binwise_group_tests(df)
+    assert set(tests) == {0, 1}
+
+    fig, ax, created = vu.ensure_axis(None, polar_depiction=True)
+    assert created and ax.name == "polar"
+    vu.plot_binned_groups(ax, geom["centers"],
+                          {c: np.ones(3) * (i + 1) for i, c in enumerate(conds)},
+                          None, conds)
+    vu.format_time_binned_axis(ax, geom, True, 2.0, title="t")
+    vu.add_polar_bin_labels(ax, geom)
+    plt.close(fig)
