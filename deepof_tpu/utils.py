@@ -570,3 +570,130 @@ def get_unsupervised_behaviors_in_roi(cur_unsupervised, local_bin_info, animal_i
             out = out.astype(float)
             out[bad] = np.nan
     return out
+
+
+def _compute_transition_matrices(
+    extended_behaviors: np.ndarray,
+    frame_rate: float,
+    diagonal_behavior_counting: str,
+    normalize_events: bool,
+):
+    """(associations, paired_events) from (K, T) extended detections
+    (utils.py _compute_transition_matrices): off-diagonal [i, j] counts
+    onsets of j while i is active; diagonal uses count_events in the
+    requested mode. Onset detection and the active-at-onset sums are
+    vectorized over all behavior pairs."""
+    eb = np.nan_to_num(np.asarray(extended_behaviors, float))
+    k, t = eb.shape
+    onsets = np.zeros_like(eb, dtype=np.int8)
+    onsets[:, :-1] = np.diff(eb.astype(np.int8), axis=1)
+    onset_mask = (onsets == 1).astype(float)
+    # associations[i, j] = sum over t of eb[i, t] * onset_j[t]
+    associations = eb @ onset_mask.T
+    for i in range(k):
+        associations[i, i] = count_events(
+            eb[i], counting_mode=diagonal_behavior_counting,
+            frame_rate=frame_rate,
+        )
+    paired_events = np.zeros((k, k))
+    if normalize_events:
+        ev = np.array([count_events(eb[i], "Events") for i in range(k)], float)
+        paired_events = ev[:, None] + ev[None, :]
+    return associations, paired_events
+
+
+def count_transitions(
+    tab_dict,
+    exp_conditions: dict,
+    bin_info: dict = None,
+    animals_in_roi: list = None,
+    delta_T: float = 0.5,
+    frame_rate: float = 1,
+    silence_diagonal: bool = False,
+    aggregate: bool = True,
+    normalize: bool = True,
+    diagonal_behavior_counting: str = "Transitions",
+    custom_continuous_behavior_names: list = (),
+):
+    """Behavior-to-behavior transition matrices over supervised tables or
+    soft counts (utils.py count_transitions).
+
+    Supervised DataFrames keep their binary columns (continuous behaviors
+    dropped) and each bout is extended by delta_T seconds before counting;
+    soft-count arrays are argmax-hardened into Cluster_i indicators.
+    Returns (transitions_dict keyed by condition or experiment, columns,
+    combined "A-x-B" pair names).
+    """
+    import jax.numpy as jnp
+
+    from deepof_tpu.config import CONTINUOUS_BEHAVIORS
+    from deepof_tpu.core.storage import get_dt
+    from deepof_tpu.ops.bouts import extend_behaviors
+
+    transitions_dict, paired_events_dict = {}, {}
+    first = get_dt(tab_dict, list(tab_dict.keys())[0])
+    is_pandas = isinstance(first, pd.DataFrame)
+    normalize_events = bool(is_pandas and normalize)
+    drop_suffixes = tuple(CONTINUOUS_BEHAVIORS) + tuple(
+        custom_continuous_behavior_names
+    )
+
+    columns = None
+    combined_columns = None
+    for z, key in enumerate(tab_dict.keys()):
+        tab = get_dt(tab_dict, key)
+        if bin_info is not None and key in bin_info:
+            idx = bin_info[key]["time"] if isinstance(bin_info[key], dict) \
+                else bin_info[key]
+            tab = tab.iloc[idx] if hasattr(tab, "iloc") else np.asarray(tab)[idx]
+        if isinstance(tab, np.ndarray) or not hasattr(tab, "columns"):
+            arr = np.asarray(tab)
+            hard = np.zeros_like(arr, dtype=int)
+            hard[np.arange(arr.shape[0]), arr.argmax(1)] = 1
+            cols = [f"Cluster_{i}" for i in range(arr.shape[1])]
+            tab = pd.DataFrame(hard, columns=cols)
+        keep = [c for c in tab.columns if not str(c).endswith(drop_suffixes)]
+        tab = tab[keep]
+        columns = list(tab.columns)
+        combined_columns = [f"{a}-x-{b}" for a in columns for b in columns]
+
+        eb = np.asarray(
+            extend_behaviors(
+                jnp.asarray(np.nan_to_num(tab.to_numpy(float)).T > 0),
+                delta_T, frame_rate,
+            )
+        ).astype(float)
+
+        if z == 0 and aggregate:
+            n = len(columns)
+            for cond in set(map(str, exp_conditions.values())):
+                transitions_dict[cond] = np.zeros((n, n))
+                paired_events_dict[cond] = np.zeros((n, n))
+
+        associations, paired_events = _compute_transition_matrices(
+            eb, frame_rate=frame_rate,
+            diagonal_behavior_counting=diagonal_behavior_counting,
+            normalize_events=normalize_events,
+        )
+        if silence_diagonal:
+            np.fill_diagonal(associations, 0)
+
+        if aggregate:
+            cond = str(exp_conditions[key])
+            transitions_dict[cond] += associations
+            paired_events_dict[cond] += paired_events
+        else:
+            transitions_dict[key] = associations
+            paired_events_dict[key] = paired_events
+
+    if normalize and not normalize_events:
+        transitions_dict = {
+            k: np.nan_to_num(v / v.sum(axis=1, keepdims=True))
+            for k, v in transitions_dict.items()
+        }
+    elif normalize_events:
+        transitions_dict = {
+            k: np.nan_to_num(v / (paired_events_dict[k] - 1))
+            for k, v in transitions_dict.items()
+        }
+    return transitions_dict, columns, combined_columns

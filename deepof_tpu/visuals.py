@@ -340,19 +340,39 @@ def plot_behavior_trends(
 
 def return_transitions(
     coordinates,
-    soft_counts: TableDict,
+    soft_counts: TableDict = None,
+    supervised_annotations: TableDict = None,
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
     silence_diagonal: bool = False,
     normalize: bool = True,
+    delta_T: float = 0.0,
+    diagonal_behavior_counting: str = "Transitions",
     **kwargs,
 ):
-    """Per-condition transition matrices (visuals.py:1479-1534)."""
+    """Per-condition transition matrices for cluster sequences or
+    supervised behavior tables (visuals.py:1479-1534)."""
+    source = (
+        supervised_annotations if supervised_annotations is not None
+        else soft_counts
+    )
     bin_info = vu.preprocess_time_bins(
         coordinates, bin_size, bin_index, precomputed_bins,
-        tab_dict_for_binning=soft_counts, samples_max=None,
+        tab_dict_for_binning=source, samples_max=None,
     )
+    if supervised_annotations is not None:
+        from deepof_tpu.utils import count_transitions
+
+        conds = _conditions_of(coordinates, list(source.keys()))
+        mats, _, _ = count_transitions(
+            supervised_annotations, conds, bin_info=bin_info,
+            delta_T=delta_T, frame_rate=coordinates._frame_rate,
+            silence_diagonal=silence_diagonal, aggregate=True,
+            normalize=normalize,
+            diagonal_behavior_counting=diagonal_behavior_counting,
+        )
+        return mats
     mats = posthoc.compute_transition_matrix_per_condition(
         soft_counts, coordinates._exp_conditions or {}, bin_info=bin_info,
         aggregate=True, normalize=normalize,
@@ -365,7 +385,8 @@ def return_transitions(
 
 def plot_transitions(
     coordinates,
-    soft_counts: TableDict,
+    soft_counts: TableDict = None,
+    supervised_annotations: TableDict = None,
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
@@ -377,8 +398,9 @@ def plot_transitions(
     """Transition matrices as heatmaps or directed graphs
     (visuals.py:1536-1721)."""
     mats = return_transitions(
-        coordinates, soft_counts, bin_size, bin_index, precomputed_bins,
-        silence_diagonal=silence_diagonal,
+        coordinates, soft_counts, supervised_annotations,
+        bin_size, bin_index, precomputed_bins,
+        silence_diagonal=silence_diagonal, **kwargs,
     )
     n = len(mats)
     fig, axes = plt.subplots(1, n, figsize=(5 * n, 4), squeeze=False)

@@ -241,3 +241,16 @@ def test_binned_trend_helpers():
     vu.format_time_binned_axis(ax, geom, True, 2.0, title="t")
     vu.add_polar_bin_labels(ax, geom)
     plt.close(fig)
+
+
+def test_supervised_transitions(coords, supervised):
+    mats = visuals.return_transitions(
+        coordinates=coords, supervised_annotations=supervised, delta_T=0.2,
+    )
+    assert set(mats) == {"A", "B"}
+    m = list(mats.values())[0]
+    assert m.shape[0] == m.shape[1] and np.isfinite(m).all()
+    fig = visuals.plot_transitions(
+        coords, supervised_annotations=supervised, silence_diagonal=True,
+    )
+    assert fig.axes
