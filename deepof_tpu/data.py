@@ -39,6 +39,7 @@ from deepof_tpu.ops import (
     polygon_areas,
     remove_outliers,
     rolling_speed,
+    savgol_edges_host,
     savgol_smooth,
     to_polar,
 )
@@ -74,6 +75,7 @@ CURRENT_VERSION = "0.1.0"
 def _preprocess_positions(
     pos: jnp.ndarray,
     lik: jnp.ndarray,
+    smooth_edges,
     do_smooth: bool,
     smooth_window: int,
     smooth_polyorder: int,
@@ -101,7 +103,9 @@ def _preprocess_positions(
 
     if do_smooth:
         flat = pos.reshape(t, b * 2)
-        pos = savgol_smooth(flat, smooth_window, smooth_polyorder).reshape(t, b, 2)
+        pos = savgol_smooth(
+            flat, smooth_window, smooth_polyorder, edges=smooth_edges
+        ).reshape(t, b, 2)
 
     if do_outliers:
         pos, _ = remove_outliers(pos, lik, likelihood_tol, lag=5, n_std=n_std, mode="or")
@@ -199,7 +203,10 @@ class Project:
         number_of_rois: int = 0,
         frame_rate: float = None,
         fast_implementations_threshold: int = 50000,
+        precision: str = "auto",
     ):
+        assert precision in ("auto", "float32", "float64"), precision
+        self.precision = precision
         self.version = CURRENT_VERSION
         self.project_path = project_path
         self.project_name = project_name
@@ -213,13 +220,23 @@ class Project:
         if self.table_format != "analysis.h5":
             self.table_format = self.table_format.replace(".", "")
         if self.table_format == "autodetect":
-            first = [
+            known = ("analysis.h5", "h5", "csv", "npy", "slp")
+            candidates = [
                 f
                 for f in os.listdir(self.source_table_path)
                 if os.path.isfile(os.path.join(self.source_table_path, f))
                 and not f.startswith(".")
-            ][0]
-            self.table_format = first.split(".")[-1]
+                and f.endswith(known)
+            ]
+            if not candidates:
+                raise ValueError(
+                    f"No tracking tables ({'/'.join(known)}) found in "
+                    f"{self.source_table_path}"
+                )
+            first = candidates[0]
+            self.table_format = next(
+                ext for ext in known if first.endswith(ext)
+            )
 
         video_list = natural_sorted(
             [
@@ -436,6 +453,18 @@ class Project:
 
         from deepof_tpu.utils import progress
 
+        # Preprocess dtype: float64 matches the reference's pandas numerics
+        # bit-for-bit (parity), float32 keeps the TPU path fast. "auto"
+        # resolves by platform: f64 on CPU, f32 on accelerators (TPU f64 is
+        # emulated and slow).
+        if self.precision == "auto":
+            use_f64 = (
+                jax.default_backend() == "cpu" and jax.config.jax_enable_x64
+            )
+        else:
+            use_f64 = self.precision == "float64"
+        dtype = jnp.float64 if use_f64 else jnp.float32
+
         tab_dict, lik_dict, presence_dict = {}, {}, {}
         for key, raw in progress(
             list(raws.items()), desc="Preprocessing tables", verbose=verbose
@@ -443,11 +472,24 @@ class Project:
             ordered = raw.reorder(
                 [bp for bp in nodes]
             )
-            pos = jnp.asarray(ordered.positions, dtype=jnp.float32)
-            lik = jnp.asarray(ordered.likelihood, dtype=jnp.float32)
+            pos = jnp.asarray(ordered.positions, dtype=dtype)
+            lik = jnp.asarray(ordered.likelihood, dtype=dtype)
+            smooth_edges = None
+            if do_smooth:
+                # scipy-exact edge rows, computed on host (ops/smoothing.py:
+                # savgol_edges_host) — required for 1e-5 parity with the
+                # reference at its default alpha=1 (polyorder 14).
+                t_total = ordered.positions.shape[0]
+                flat_np = ordered.positions.reshape(t_total, -1)
+                e_start, e_end = savgol_edges_host(flat_np, 15, polyorder)
+                smooth_edges = (
+                    jnp.asarray(e_start, dtype=dtype),
+                    jnp.asarray(e_end, dtype=dtype),
+                )
             out_pos, presence = _preprocess_positions(
                 pos,
                 lik,
+                smooth_edges,
                 do_smooth,
                 15,
                 polyorder,
@@ -582,7 +624,7 @@ class Project:
             verbose=verbose,
         ):
             d, a, ar = _feature_pass(
-                jnp.asarray(pos, jnp.float32), pairs, bridges, tuple(poly_list)
+                jnp.asarray(pos), pairs, bridges, tuple(poly_list)
             )
             dist_dict[key] = np.asarray(d, dtype=np.float64)
             angle_dict[key] = np.asarray(a, dtype=np.float64)

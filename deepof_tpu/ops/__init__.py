@@ -14,6 +14,7 @@ from deepof_tpu.ops.interp import (
 from deepof_tpu.ops.smoothing import (
     binary_moving_median,
     moving_average,
+    savgol_edges_host,
     savgol_smooth,
 )
 from deepof_tpu.ops.outliers import mask_outliers, remove_outliers
@@ -50,6 +51,7 @@ __all__ = [
     "nearest_valid_distances",
     "binary_moving_median",
     "moving_average",
+    "savgol_edges_host",
     "savgol_smooth",
     "mask_outliers",
     "remove_outliers",

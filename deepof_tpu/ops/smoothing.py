@@ -39,11 +39,42 @@ def _savgol_operators(window: int, polyorder: int):
     return central, e_start, e_end
 
 
-def savgol_smooth(x: jnp.ndarray, window: int = 15, polyorder: int = 13) -> jnp.ndarray:
+def savgol_edges_host(x_np: np.ndarray, window: int, polyorder: int):
+    """scipy-exact edge rows of a mode='interp' Savitzky-Golay filter.
+
+    The first/last ``window // 2`` output rows depend only on the first/last
+    ``window`` input samples, so we run scipy's own filter on those slices.
+    This matters at high polyorder (the reference's default ``smooth_alpha=1``
+    means polyorder 14 at window 15): the edge polyfit is so ill-conditioned
+    that any reimplementation differs from scipy by ~1e-3 in pixel units, so
+    bit-parity requires scipy's literal float path. Cost: 2*window rows on
+    host, negligible.
+
+    Returns (start_rows (window//2, F), end_rows (window//2, F)) float64.
+    """
+    x_np = np.asarray(x_np, dtype=np.float64)
+    half = window // 2
+    head = savgol_filter(x_np[:window], window, polyorder, axis=0)
+    tail = savgol_filter(x_np[-window:], window, polyorder, axis=0)
+    return head[:half], tail[window - half:]
+
+
+def savgol_smooth(
+    x: jnp.ndarray,
+    window: int = 15,
+    polyorder: int = 13,
+    edges=None,
+) -> jnp.ndarray:
     """Savitzky-Golay smooth along axis 0 of (T, F), scipy 'interp' edges.
 
     The reference calls this with ``polyorder = window - alpha`` where alpha
     is the Project's ``smooth_alpha`` (deepof/utils.py:3477-3500).
+
+    Args:
+        edges: optional (start_rows, end_rows) precomputed on host via
+            :func:`savgol_edges_host` for scipy-bit-exact edge values; when
+            None the edges use precomputed linear operators (identical in
+            exact arithmetic, ~1e-3 off at polyorder close to window).
     """
     central, e_start, e_end = _savgol_operators(window, polyorder)
     central_j = jnp.asarray(central, dtype=x.dtype)
@@ -64,8 +95,14 @@ def savgol_smooth(x: jnp.ndarray, window: int = 15, polyorder: int = 13) -> jnp.
         lhs, rhs, window_strides=(1,), padding="VALID"
     )[:, 0, :].T  # (T - window + 1, F)
 
-    start = jnp.asarray(e_start, dtype=x.dtype) @ x[:window]       # (half, F)
-    end = jnp.asarray(e_end, dtype=x.dtype) @ x[t - window:]       # (half, F)
+    if edges is not None:
+        start = jnp.asarray(edges[0], dtype=x.dtype)
+        end = jnp.asarray(edges[1], dtype=x.dtype)
+        if squeeze and start.ndim == 1:
+            start, end = start[:, None], end[:, None]
+    else:
+        start = jnp.asarray(e_start, dtype=x.dtype) @ x[:window]   # (half, F)
+        end = jnp.asarray(e_end, dtype=x.dtype) @ x[t - window:]   # (half, F)
 
     out = jnp.concatenate([start, interior, end], axis=0)
     return out[:, 0] if squeeze else out

@@ -33,14 +33,12 @@ STUB_MODULES = (
     "catboost",
     "deeptime",
     "duckdb",
-    "natsort",
     "optuna",
     "ot",
     "pomegranate",
     "seglearn",
     "segment_anything",
     "shap",
-    "shapely",
     "sleap_io",
     "spektral",
     "statannotations",
@@ -104,6 +102,170 @@ class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         pass
 
 
+def _make_natsort_shim() -> types.ModuleType:
+    """Real (tiny) natural-sort implementation — file ordering is load-bearing."""
+    import re
+
+    ns = types.ModuleType("natsort")
+
+    def _key(s):
+        return [
+            int(tok) if tok.isdigit() else tok.lower()
+            for tok in re.split(r"(\d+)", str(s))
+        ]
+
+    def natsorted(seq, key=None):
+        if key is None:
+            return sorted(seq, key=_key)
+        return sorted(seq, key=lambda x: _key(key(x)))
+
+    ns.natsorted = natsorted
+    ns.os_sorted = natsorted
+    ns.__path__ = []
+    return ns
+
+
+def _make_shapely_shim() -> types.ModuleType:
+    """Pure-numpy stand-ins for the small shapely surface the reference uses.
+
+    Covers Polygon (.area shoelace, .exterior.coords, .contains, .bounds,
+    .distance) and Point (.distance, .x/.y). Operations with no exact cheap
+    equivalent (buffer, simplify, intersection) raise NotImplementedError so
+    a test that needs them fails loudly instead of silently diverging.
+    """
+    import numpy as np
+
+    shapely = types.ModuleType("shapely")
+    geometry = types.ModuleType("shapely.geometry")
+    polygon_mod = types.ModuleType("shapely.geometry.polygon")
+
+    class _Coords:
+        def __init__(self, pts):
+            self._pts = [tuple(p) for p in pts]
+
+        def __iter__(self):
+            return iter(self._pts)
+
+        def __len__(self):
+            return len(self._pts)
+
+        @property
+        def xy(self):
+            a = np.asarray(self._pts, dtype=float)
+            return a[:, 0], a[:, 1]
+
+    class Point:
+        def __init__(self, *args):
+            if len(args) == 1:
+                args = tuple(np.asarray(args[0], dtype=float).ravel())
+            self.x, self.y = float(args[0]), float(args[1])
+
+        @property
+        def coords(self):
+            return _Coords([(self.x, self.y)])
+
+        def distance(self, other):
+            if isinstance(other, Point):
+                return float(np.hypot(self.x - other.x, self.y - other.y))
+            return other.distance(self)
+
+    class _Exterior:
+        def __init__(self, pts):
+            self.coords = _Coords(pts)
+
+    class Polygon:
+        def __init__(self, shell):
+            pts = np.asarray([tuple(p) for p in shell], dtype=float)
+            if len(pts) and not np.allclose(pts[0], pts[-1]):
+                closed = np.vstack([pts, pts[:1]])
+            else:
+                closed = pts
+            self._pts = pts
+            self._closed = closed
+            self.exterior = _Exterior(closed.tolist())
+
+        @property
+        def area(self):
+            x, y = self._closed[:-1, 0], self._closed[:-1, 1]
+            xn, yn = self._closed[1:, 0], self._closed[1:, 1]
+            return float(abs(np.sum(x * yn - xn * y)) / 2.0)
+
+        @property
+        def bounds(self):
+            p = self._pts
+            return (
+                float(p[:, 0].min()),
+                float(p[:, 1].min()),
+                float(p[:, 0].max()),
+                float(p[:, 1].max()),
+            )
+
+        @property
+        def centroid(self):
+            x, y = self._closed[:-1, 0], self._closed[:-1, 1]
+            xn, yn = self._closed[1:, 0], self._closed[1:, 1]
+            cross = x * yn - xn * y
+            a = np.sum(cross) / 2.0
+            if abs(a) < 1e-12:
+                return Point(float(x.mean()), float(y.mean()))
+            cx = np.sum((x + xn) * cross) / (6.0 * a)
+            cy = np.sum((y + yn) * cross) / (6.0 * a)
+            return Point(float(cx), float(cy))
+
+        def contains(self, point):
+            # even-odd crossing rule, matching the reference's numba kernel
+            # (reference utils.py:1417-1476)
+            x, y = point.x, point.y
+            pts = self._closed
+            inside = False
+            for i in range(len(pts) - 1):
+                x1, y1 = pts[i]
+                x2, y2 = pts[i + 1]
+                if (y1 > y) != (y2 > y):
+                    xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+                    if x < xin:
+                        inside = not inside
+            return inside
+
+        def distance(self, point):
+            if self.contains(point):
+                return 0.0
+            p = np.array([point.x, point.y])
+            a = self._closed[:-1]
+            b = self._closed[1:]
+            ab = b - a
+            t = np.clip(
+                np.einsum("ij,ij->i", p - a, ab)
+                / np.maximum(np.einsum("ij,ij->i", ab, ab), 1e-30),
+                0.0,
+                1.0,
+            )
+            proj = a + t[:, None] * ab
+            return float(np.sqrt(((p - proj) ** 2).sum(1).min()))
+
+        def buffer(self, *a, **k):
+            raise NotImplementedError("shapely shim: buffer")
+
+        def simplify(self, *a, **k):
+            raise NotImplementedError("shapely shim: simplify")
+
+        def intersection(self, *a, **k):
+            raise NotImplementedError("shapely shim: intersection")
+
+    geometry.Point = Point
+    geometry.Polygon = Polygon
+    polygon_mod.Polygon = Polygon
+    geometry.polygon = polygon_mod
+    shapely.geometry = geometry
+    shapely.Point = Point
+    shapely.Polygon = Polygon
+    shapely.__path__ = []
+    geometry.__path__ = []
+    sys.modules["shapely.geometry"] = geometry
+    sys.modules["shapely.geometry.polygon"] = polygon_mod
+    return shapely
+
+
 def _make_numba_shim() -> types.ModuleType:
     nb = types.ModuleType("numba")
 
@@ -123,6 +285,54 @@ def _make_numba_shim() -> types.ModuleType:
     return nb
 
 
+def _read_hdf_via_h5py(path, *args, **kwargs):
+    """pytables-free replacement for pd.read_hdf, enough for DLC 'fixed' frames.
+
+    Reconstructs the (T, C) float block + n-level column MultiIndex (with
+    level names) + row index directly from the HDF5 datasets pandas writes
+    in 'fixed' format.
+    """
+    import h5py
+    import numpy as np
+    import pandas as pd
+
+    def _dec(a):
+        return [x.decode() if isinstance(x, bytes) else x for x in a]
+
+    with h5py.File(path, "r") as f:
+        g = f[next(iter(f.keys()))]
+        nlevels = int(g.attrs.get("axis0_nlevels", 1))
+        levels, labels, names = [], [], []
+        for lvl in range(nlevels):
+            ds = g[f"axis0_level{lvl}"]
+            levels.append(_dec(ds[:]))
+            labels.append(g[f"axis0_label{lvl}"][:].astype(int))
+            nm = ds.attrs.get("name")
+            names.append(nm.decode() if isinstance(nm, bytes) else nm)
+        columns = pd.MultiIndex.from_tuples(
+            [
+                tuple(levels[lvl][labels[lvl][c]] for lvl in range(nlevels))
+                for c in range(len(labels[0]))
+            ],
+            names=names,
+        )
+        values = np.asarray(g["block0_values"][:], dtype=np.float64)
+        if "block0_items_label0" in g:
+            bl_levels, bl_labels = [], []
+            for lvl in range(nlevels):
+                bl_levels.append(_dec(g[f"block0_items_level{lvl}"][:]))
+                bl_labels.append(g[f"block0_items_label{lvl}"][:].astype(int))
+            block_items = [
+                tuple(bl_levels[lvl][bl_labels[lvl][c]] for lvl in range(nlevels))
+                for c in range(len(bl_labels[0]))
+            ]
+            col_tuples = list(columns)
+            if block_items != col_tuples:
+                values = values[:, [block_items.index(c) for c in col_tuples]]
+        index = _dec(g["axis1"][:]) if "axis1" in g else None
+    return pd.DataFrame(values, columns=columns, index=index)
+
+
 _installed = False
 
 
@@ -133,6 +343,10 @@ def install() -> None:
         return
     if "numba" not in sys.modules:
         sys.modules["numba"] = _make_numba_shim()
+    if "natsort" not in sys.modules:
+        sys.modules["natsort"] = _make_natsort_shim()
+    if "shapely" not in sys.modules:
+        sys.modules["shapely"] = _make_shapely_shim()
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
         sys.meta_path.insert(0, _StubFinder())
     # torch is installed but tensorboard may not be importable under it.
@@ -142,9 +356,61 @@ def install() -> None:
         tb = _StubModule("torch.utils.tensorboard")
         tb.SummaryWriter = _AutoStub("SummaryWriter")
         sys.modules["torch.utils.tensorboard"] = tb
+    # pandas.read_hdf needs pytables, which is absent here; DLC .h5 fixture
+    # loading goes through it (reference utils.py:2213).
+    try:
+        importlib.import_module("tables")
+    except Exception:
+        import pandas as pd
+
+        pd.read_hdf = _read_hdf_via_h5py
     if REFERENCE_ROOT not in sys.path:
         sys.path.append(REFERENCE_ROOT)
     _installed = True
+
+
+def _apply_compat_patches() -> None:
+    """Monkeypatch reference functions that are broken by pandas 3.0.
+
+    Each patch preserves the reference's exact semantics; it only changes
+    the pandas idiom used (old pandas silently coerced dtypes where 3.0
+    raises). The reference tree itself is never modified.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ref_utils = sys.modules["deepof.utils"]
+
+    # reference utils.py:3584-3629 builds the outlier mask by assigning bool
+    # arrays into a float frame copy (TypeError under pandas 3.0). Identical
+    # semantics, bool frame from the start.
+    _mask_outliers = ref_utils.mask_outliers
+
+    def full_outlier_mask(
+        experiment, likelihood, likelihood_tolerance, exclude, lag, n_std, mode
+    ):
+        body_parts = experiment.columns.levels[0]
+        cols = [c for c in experiment.columns if not (exclude and c[0] == exclude)]
+        full_mask = pd.DataFrame(
+            False,
+            index=experiment.index,
+            columns=pd.MultiIndex.from_tuples(cols, names=experiment.columns.names),
+        )
+        for bpart in body_parts:
+            if bpart != exclude:
+                mask = _mask_outliers(
+                    experiment[bpart],
+                    likelihood[bpart],
+                    likelihood_tolerance,
+                    lag,
+                    n_std,
+                    mode,
+                )
+                full_mask.loc[:, (bpart, "x")] = np.asarray(mask)
+                full_mask.loc[:, (bpart, "y")] = np.asarray(mask)
+        return full_mask
+
+    ref_utils.full_outlier_mask = full_outlier_mask
 
 
 def load_reference():
@@ -153,6 +419,7 @@ def load_reference():
     # deepof.utils and deepof.data import each other; importing data first
     # resolves the cycle the same way the package's own __init__ does.
     importlib.import_module("deepof.data")
+    _apply_compat_patches()
     return importlib.import_module("deepof")
 
 

@@ -1,0 +1,143 @@
+"""A/B parity against the actual upstream reference implementation.
+
+The north-star acceptance criterion (BASELINE.md) is outputs matching the
+reference within 1e-5. These tests run the REAL reference package (from
+/root/reference, imported through reference_shim's dependency stubs) and
+deepof_tpu side by side on the reference's own bundled fixtures, and pin
+the max absolute difference of every feature-pipeline output.
+
+Measured headroom (2026-08-16, float64 CPU): coords/distances/angles agree
+to ~1e-13, areas to ~5e-11 — the pinned tolerance is 1e-8 to stay far from
+flakiness while proving way-beyond-target parity. Model-forward parity via
+torch->flax weight transplant lives in test_reference_model_parity.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/deepof"),
+    reason="upstream reference tree not available",
+)
+
+TOL = 1e-8
+FIXROOT = "/root/reference/tests/test_examples"
+
+
+def _copy_fixture(src: str, dst: str) -> None:
+    os.makedirs(f"{dst}/Tables")
+    os.makedirs(f"{dst}/Videos")
+    for f in os.listdir(f"{src}/Tables"):
+        if f.endswith(".h5") and not f.endswith("analysis.h5"):
+            shutil.copy(f"{src}/Tables/{f}", f"{dst}/Tables/{f}")
+    for f in os.listdir(f"{src}/Videos"):
+        shutil.copy(f"{src}/Videos/{f}", f"{dst}/Videos/{f}")
+
+
+def _project_kwargs(root: str) -> dict:
+    return dict(
+        project_name="p",
+        video_path=f"{root}/Videos",
+        table_path=f"{root}/Tables",
+        arena="circular-autodetect",
+        video_scale="380 mm",
+        table_format="h5",
+        frame_rate=25,
+    )
+
+
+@pytest.fixture(scope="module", params=["single", "multi"])
+def ab_coords(request, tmp_path_factory):
+    """(reference Coordinates, deepof_tpu Coordinates, ref get_dt) pair."""
+    from reference_shim import load_reference
+
+    deepof_ref = load_reference()
+    from deepof.data_loading import get_dt
+
+    from deepof_tpu.data import Project as TpuProject
+
+    name = request.param
+    src = f"{FIXROOT}/test_{name}_topview"
+    animal_ids = ["B", "W"] if name == "multi" else None
+
+    ref_root = str(tmp_path_factory.mktemp(f"ref_{name}"))
+    tpu_root = str(tmp_path_factory.mktemp(f"tpu_{name}"))
+    _copy_fixture(src, ref_root)
+    _copy_fixture(src, tpu_root)
+
+    ref_proj = deepof_ref.data.Project(
+        project_path=ref_root, animal_ids=animal_ids, **_project_kwargs(ref_root)
+    )
+    ref_coords = ref_proj.create(force=True, test=True, verbose=False)
+
+    tpu_proj = TpuProject(
+        project_path=tpu_root, animal_ids=animal_ids, **_project_kwargs(tpu_root)
+    )
+    tpu_coords = tpu_proj.create(force=True, test=True, verbose=False)
+
+    return ref_coords, tpu_coords, get_dt
+
+
+def _assert_tables_match(ref_td, tpu_td, get_dt, tol=TOL):
+    keys = sorted(ref_td.keys())
+    assert sorted(tpu_td.keys()) == keys
+    for k in keys:
+        rdf = get_dt(ref_td, k)
+        tdf = tpu_td[k]
+        rcols = list(map(str, rdf.columns))
+        tmap = {str(c): c for c in tdf.columns}
+        assert set(rcols) == set(tmap), (
+            f"{k}: column sets differ: ref-only "
+            f"{sorted(set(rcols) - set(tmap))[:5]}, tpu-only "
+            f"{sorted(set(tmap) - set(rcols))[:5]}"
+        )
+        r = rdf.to_numpy(dtype=float)
+        t = tdf[[tmap[c] for c in rcols]].to_numpy(dtype=float)
+        assert r.shape == t.shape
+        # NaN patterns must agree exactly (missing-animal semantics).
+        assert (np.isnan(r) == np.isnan(t)).all(), f"{k}: NaN pattern mismatch"
+        d = np.abs(r - t)
+        d[np.isnan(r)] = 0.0
+        assert d.max() < tol, f"{k}: max|delta| = {d.max():.3e} >= {tol}"
+
+
+def test_coords_parity(ab_coords):
+    ref, tpu, get_dt = ab_coords
+    _assert_tables_match(ref.get_coords(), tpu.get_coords(), get_dt)
+
+
+def test_coords_centered_aligned_parity(ab_coords):
+    ref, tpu, get_dt = ab_coords
+    _assert_tables_match(
+        ref.get_coords(center="arena", align="Spine_1"),
+        tpu.get_coords(center="arena", align="Spine_1"),
+        get_dt,
+    )
+
+
+def test_speeds_parity(ab_coords):
+    ref, tpu, get_dt = ab_coords
+    _assert_tables_match(
+        ref.get_coords(speed=1), tpu.get_coords(speed=1), get_dt
+    )
+
+
+def test_distances_parity(ab_coords):
+    ref, tpu, get_dt = ab_coords
+    _assert_tables_match(ref.get_distances(), tpu.get_distances(), get_dt)
+
+
+def test_angles_parity(ab_coords):
+    ref, tpu, get_dt = ab_coords
+    _assert_tables_match(ref.get_angles(), tpu.get_angles(), get_dt)
+
+
+def test_areas_parity(ab_coords):
+    ref, tpu, get_dt = ab_coords
+    # areas go through a shoelace at f64; slightly looser than coords
+    _assert_tables_match(ref.get_areas(), tpu.get_areas(), get_dt, tol=1e-8)
