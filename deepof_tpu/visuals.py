@@ -435,7 +435,8 @@ def plot_stationary_entropy(
     """Entropy of the per-condition steady-state distributions
     (visuals.py:2126-2291)."""
     mats = return_transitions(
-        coordinates, soft_counts, bin_size, bin_index, precomputed_bins
+        coordinates, soft_counts, bin_size=bin_size, bin_index=bin_index,
+        precomputed_bins=precomputed_bins,
     )
     entropy = posthoc.compute_steady_state(mats, return_entropy=True)
     own_fig = ax is None

@@ -254,3 +254,24 @@ def test_supervised_transitions(coords, supervised):
         coords, supervised_annotations=supervised, silence_diagonal=True,
     )
     assert fig.axes
+
+
+def test_binned_plots_nondefault_bins(coords, supervised, soft_counts,
+                                      embeddings):
+    """Every bin_size-accepting plot with non-default bin_size/bin_index.
+
+    Regression guard for the positional-arg bug where
+    plot_stationary_entropy passed bin_size into return_transitions'
+    supervised_annotations slot.
+    """
+    kw = dict(bin_size=2, bin_index=1)
+    assert visuals.plot_heatmaps(coords, ["Nose"], center="arena", **kw).axes
+    assert visuals.plot_gantt(
+        coords, "test", supervised_annotations=supervised, **kw
+    ).axes
+    assert visuals.plot_enrichment(coords, soft_counts=soft_counts, **kw).axes
+    mats = visuals.return_transitions(coords, soft_counts, **kw)
+    assert set(mats) == {"A", "B"}
+    assert visuals.plot_transitions(coords, soft_counts, **kw).axes
+    assert visuals.plot_stationary_entropy(coords, soft_counts, **kw).axes
+    assert visuals.plot_embeddings(coords, embeddings, soft_counts, **kw).axes
