@@ -44,6 +44,7 @@ def get_graph_dataset(
     polar: bool = False,
     align: str = None,
     preprocess: bool = True,
+    include_angles: bool = True,
     scale: str = "standard",
     dist_standardize: str = "per_column",
     speed_standardize: str = "per_column",
@@ -89,7 +90,12 @@ def get_graph_dataset(
         angle_feature_names = get_dt(angles, list(angles.keys())[0], only_metainfo=True)[
             "columns"
         ]
-        tab_dict = coords.merge(speeds, dists, save_as_paths=return_as_paths)
+        # The reference computes angle names but leaves angles out of the
+        # merge (deepof/data.py:2742-2747, commented out); here they are
+        # merged by default so the windowed dataset's third tensor is
+        # populated (teacher angle views + optional encoder angle stream).
+        to_merge = [speeds] + ([angles] if include_angles else []) + [dists]
+        tab_dict = coords.merge(*to_merge, save_as_paths=return_as_paths)
 
     # The feature graph restricted to bodyparts actually present.
     graph = connect_mouse(

@@ -28,10 +28,26 @@ from deepof_tpu.models.blocks import (
 from deepof_tpu.models.gnn import CensNetConv, censnet_operators
 
 
+def _has_angles(angles) -> bool:
+    """Whether an optional angles tensor carries features (static shapes
+    under trace, so this is a compile-time branch)."""
+    return angles is not None and angles.shape[-2] > 0
+
+
+def _flatten_angles(angles: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, A[, F]) -> (B, T, A*F) time-major angle features."""
+    b, t = angles.shape[:2]
+    return angles.reshape(b, t, -1)
+
+
 class RecurrentEncoder(nn.Module):
     """Conv1D -> stacked BiGRU per node/edge stream -> CensNet -> Dense.
 
-    Call: x (B, T, N, F_node), a (B, T, E, F_edge) -> (B, latent_dim).
+    Call: x (B, T, N, F_node), a (B, T, E, F_edge),
+    optional angles (B, T, A, 1) -> (B, latent_dim). The angles stream
+    (bridge angles of the body graph, reference contract
+    deepof/clustering/dataset.py:16-26) runs its own recurrent summary and
+    concatenates before the final projection.
     """
 
     latent_dim: int
@@ -40,7 +56,10 @@ class RecurrentEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, a: jnp.ndarray, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, a: jnp.ndarray,
+        angles: Optional[jnp.ndarray] = None, train: bool = False,
+    ):
         b, t, n, f_node = x.shape
 
         if self.use_gnn:
@@ -68,6 +87,12 @@ class RecurrentEncoder(nn.Module):
             flat = x.reshape(b, t, n * f_node)
             enc = RecurrentBlock(self.latent_dim, dtype=self.dtype)(flat)
 
+        if _has_angles(angles):
+            ang_emb = RecurrentBlock(self.latent_dim, dtype=self.dtype)(
+                _flatten_angles(angles)
+            )
+            enc = jnp.concatenate([enc, ang_emb], axis=-1)
+
         return nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(enc)
 
 
@@ -89,7 +114,10 @@ class TCNEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, a: jnp.ndarray, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, a: jnp.ndarray,
+        angles: Optional[jnp.ndarray] = None, train: bool = False,
+    ):
         b, t, n, f_node = x.shape
         tcn_kwargs = dict(
             conv_filters=self.conv_filters,
@@ -120,6 +148,10 @@ class TCNEncoder(nn.Module):
             )
         else:
             enc = TCN(**tcn_kwargs)(x.reshape(b, t, n * f_node), train=train)
+
+        if _has_angles(angles):
+            ang_emb = TCN(**tcn_kwargs)(_flatten_angles(angles), train=train)
+            enc = jnp.concatenate([enc, ang_emb], axis=-1)
 
         # MLP head with the reference's numeric guards (models_new.py:648-668).
         h = rms_stabilize(enc)
@@ -178,7 +210,10 @@ class TransformerEncoder(nn.Module):
         return h[:, -1, :]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, a: jnp.ndarray, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, a: jnp.ndarray,
+        angles: Optional[jnp.ndarray] = None, train: bool = False,
+    ):
         b, t, n, f_node = x.shape
         key_dim = self.key_dim or max(self.num_heads * 8, self.latent_dim)
         key_dim = (key_dim // self.num_heads) * self.num_heads
@@ -201,5 +236,9 @@ class TransformerEncoder(nn.Module):
             )
         else:
             enc = self._core(x.reshape(b, t, n * f_node), key_dim, train)
+
+        if _has_angles(angles):
+            ang_emb = self._core(_flatten_angles(angles), key_dim, train)
+            enc = jnp.concatenate([enc, ang_emb], axis=-1)
 
         return nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(enc)

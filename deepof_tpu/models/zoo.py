@@ -91,10 +91,11 @@ class VQVAE(nn.Module):
             kmeans_loss=self.kmeans_loss,
         )
 
-    def __call__(self, x, a, train: bool = False, return_losses: bool = True):
+    def __call__(self, x, a, angles=None, train: bool = False,
+                 return_losses: bool = True):
         """Returns dict with both reconstruction distributions, latents,
         soft counts, and VQ losses."""
-        enc = self.encoder(x, a, train=train)
+        enc = self.encoder(x, a, angles=angles, train=train)
         quantized, soft_counts, vq_losses = self.vq_layer(enc, return_losses)
         b, t, n, f = x.shape
         x_flat = x.reshape(b, t, n * f)
@@ -109,11 +110,11 @@ class VQVAE(nn.Module):
             "vq_losses": vq_losses,
         }
 
-    def encode(self, x, a):
-        return self.encoder(x, a, train=False)
+    def encode(self, x, a, angles=None):
+        return self.encoder(x, a, angles=angles, train=False)
 
-    def group(self, x, a):
-        enc = self.encoder(x, a, train=False)
+    def group(self, x, a, angles=None):
+        enc = self.encoder(x, a, angles=angles, train=False)
         _, soft_counts, _ = self.vq_layer(enc, return_losses=False)
         return soft_counts
 
@@ -146,10 +147,11 @@ class VaDE(nn.Module):
             kmeans=self.kmeans_loss,
         )
 
-    def __call__(self, x, a, train: bool = False, rng: Optional[jax.Array] = None):
+    def __call__(self, x, a, angles=None, train: bool = False,
+                 rng: Optional[jax.Array] = None):
         """Returns dict: reconstruction, latent z, categorical, kmeans_loss,
         z_mean, z_log_var, gmm params."""
-        enc = self.encoder(x, a, train=train)
+        enc = self.encoder(x, a, angles=angles, train=train)
         latent = self.latent_space(enc, train=train, rng=rng)
         b, t, n, f = x.shape
         x_flat = x.reshape(b, t, n * f)
@@ -169,12 +171,12 @@ class VaDE(nn.Module):
             "encoder_output": enc,
         }
 
-    def embed(self, x, a):
-        enc = self.encoder(x, a, train=False)
+    def embed(self, x, a, angles=None):
+        enc = self.encoder(x, a, angles=angles, train=False)
         return self.latent_space(enc, train=False)["z"]
 
-    def group(self, x, a):
-        enc = self.encoder(x, a, train=False)
+    def group(self, x, a, angles=None):
+        enc = self.encoder(x, a, angles=angles, train=False)
         return self.latent_space(enc, train=False)["categorical"]
 
 
@@ -198,9 +200,9 @@ class Contrastive(nn.Module):
             self.encoder_type, self.latent_dim, self.adjacency, self.use_gnn, self.dtype
         )
 
-    def __call__(self, x, a, train: bool = False):
+    def __call__(self, x, a, angles=None, train: bool = False):
         """Encode a half-window: x (B, T/2, N, F) -> (B, latent_dim)."""
-        return self.encoder(x, a, train=train)
+        return self.encoder(x, a, angles=angles, train=train)
 
 
 def build_model(

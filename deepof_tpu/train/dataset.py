@@ -150,10 +150,28 @@ class WindowDataset:
             with h5py.File(self._h5_path, "r") as f:
                 xs = f["x"][idx[order]]
                 as_ = f["a"][idx[order]]
+                ang_ds = f["ang"]
+                angs = (
+                    ang_ds[idx[order]]
+                    if all(d > 0 for d in ang_ds.shape[1:])
+                    else np.zeros((len(idx),) + ang_ds.shape[1:], np.float32)
+                )
             inv = np.empty_like(order)
             inv[order] = np.arange(len(order))
-            return xs[inv], as_[inv]
-        return self.x[idx], self.a[idx]
+            return xs[inv], as_[inv], angs[inv]
+        return self.x[idx], self.a[idx], self.angles[idx]
+
+    @property
+    def angles(self) -> np.ndarray:
+        """Full angles tensor (teacher PCA views read it densely)."""
+        if self._h5_path is not None:
+            with h5py.File(self._h5_path, "r") as f:
+                return np.asarray(f["ang"], np.float32)
+        return self._angles
+
+    @angles.setter
+    def angles(self, value):
+        self._angles = value
 
     def batches(
         self,
@@ -165,8 +183,8 @@ class WindowDataset:
         shard_id: int = 0,
         n_shards: int = 1,
         drop_last: bool = False,
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """Yield (x, a, idx) batches.
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (x, a, angles, idx) batches.
 
         Block shuffling keeps HDF5 reads sequential within blocks
         (dataset.py:417-620); bootstrap resamples moving blocks with
@@ -199,8 +217,8 @@ class WindowDataset:
             batch_idx = indices[start : start + batch_size]
             if drop_last and len(batch_idx) < batch_size:
                 break
-            x, a = self._read(batch_idx)
-            yield x, a, batch_idx
+            x, a, ang = self._read(batch_idx)
+            yield x, a, ang, batch_idx
 
     def n_batches(self, batch_size: int, n_shards: int = 1) -> int:
         per_shard = (len(self) + n_shards - 1) // n_shards

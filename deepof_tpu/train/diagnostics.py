@@ -21,11 +21,11 @@ import numpy as np
 # --------------------------------------------------------------------------- #
 
 
-def get_q(bundle, x, a) -> np.ndarray:
+def get_q(bundle, x, a, angles=None) -> np.ndarray:
     """Soft cluster assignments (B, K) for any model bundle."""
     model_name = bundle.rebuild_spec["model"]
     if model_name in ("VaDE", "VQVAE"):
-        q = np.asarray(bundle.group(x, a))
+        q = np.asarray(bundle.group(x, a, angles))
     else:
         # Contrastive has no native head; group() via a GMM requires
         # inference-time reclustering — use posthoc.recluster for that.

@@ -91,24 +91,32 @@ class ModelBundle:
     def apply(self, *args, **kwargs):
         return self.model.apply(self.variables, *args, **kwargs)
 
-    def encode(self, x, a):
+    def _ang(self, angles):
+        return None if angles is None else jnp.asarray(angles)
+
+    def encode(self, x, a, angles=None):
         method = "encode" if hasattr(self.model, "encode") else None
         if method:
             return self.model.apply(
-                self.variables, jnp.asarray(x), jnp.asarray(a), method=method
+                self.variables, jnp.asarray(x), jnp.asarray(a),
+                self._ang(angles), method=method,
             )
-        return self.model.apply(self.variables, jnp.asarray(x), jnp.asarray(a))
+        return self.model.apply(
+            self.variables, jnp.asarray(x), jnp.asarray(a), self._ang(angles)
+        )
 
-    def embed(self, x, a):
+    def embed(self, x, a, angles=None):
         if hasattr(self.model, "embed"):
             return self.model.apply(
-                self.variables, jnp.asarray(x), jnp.asarray(a), method="embed"
+                self.variables, jnp.asarray(x), jnp.asarray(a),
+                self._ang(angles), method="embed",
             )
-        return self.encode(x, a)
+        return self.encode(x, a, angles)
 
-    def group(self, x, a):
+    def group(self, x, a, angles=None):
         return self.model.apply(
-            self.variables, jnp.asarray(x), jnp.asarray(a), method="group"
+            self.variables, jnp.asarray(x), jnp.asarray(a),
+            self._ang(angles), method="group",
         )
 
     def save(self, path: str):
@@ -126,15 +134,24 @@ class ModelBundle:
         with open(path, "rb") as f:
             payload = pickle.load(f)
         spec = payload["rebuild_spec"]
-        model = build_model(**{k: v for k, v in spec.items() if k != "adjacency"},
+        skip = {"adjacency", "use_angles", "angle_feature_shape"}
+        model = build_model(**{k: v for k, v in spec.items() if k not in skip},
                             adjacency=np.asarray(spec["adjacency"]))
         x = jnp.zeros((1,) + tuple(spec["input_shape"]), jnp.float32)
         a = jnp.zeros((1,) + tuple(spec["edge_feature_shape"]), jnp.float32)
+        ang = None
+        if spec.get("use_angles") and spec.get("angle_feature_shape"):
+            ang = jnp.zeros(
+                (1,) + tuple(spec["angle_feature_shape"]), jnp.float32
+            )
         if spec["model"] in ("Contrastive", "contrastive"):
             half = spec["input_shape"][0] // 2
             x = x[:, :half]
             a = a[:, :half]
-        variables = model.init({"params": jax.random.PRNGKey(0)}, x, a, train=False)
+            ang = None if ang is None else ang[:, :half]
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, x, a, ang, train=False
+        )
         variables = flax.serialization.from_bytes(variables, payload["variables"])
         return cls(model=model, variables=variables, rebuild_spec=spec,
                    history=payload.get("history", {}))
@@ -240,11 +257,11 @@ def _make_vade_main_optimizer(
 
 def make_vqvae_step(model, optimizer):
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, rest_vars, x, a, rng):
+    def step(params, opt_state, rest_vars, x, a, rng, ang=None):
         def loss_fn(p):
             variables = _merge_variables(p, rest_vars)
             out, new_rest = model.apply(
-                variables, x, a, train=True,
+                variables, x, a, ang, train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng},
             )
             b, t = x.shape[:2]
@@ -273,8 +290,8 @@ def make_vqvae_step(model, optimizer):
 
 def make_vqvae_eval_step(model):
     @jax.jit
-    def step(variables, x, a):
-        out = model.apply(variables, x, a, train=False)
+    def step(variables, x, a, ang=None):
+        out = model.apply(variables, x, a, ang, train=False)
         b, t = x.shape[:2]
         x_flat = x.reshape(b, t, -1)
         enc_rec = -jnp.mean(out["encoding_reconstruction"].log_prob(x_flat))
@@ -288,13 +305,13 @@ def make_vqvae_eval_step(model):
 def make_vade_step(model, optimizer, loss_params):
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
     def step(params, opt_state, rest_vars, x, a, rng, kl_weight, lambda_distill,
-             tau_star_batch, class_weight=None):
+             tau_star_batch, class_weight=None, ang=None):
         rng_model, rng_loss = jax.random.split(rng)
 
         def loss_fn(p):
             variables = _merge_variables(p, rest_vars)
             out, new_rest = model.apply(
-                variables, x, a, train=True, rng=rng_model,
+                variables, x, a, ang, train=True, rng=rng_model,
                 mutable=["batch_stats"], rngs={"dropout": rng_model},
             )
             losses = vade_loss(
@@ -315,8 +332,8 @@ def make_vade_step(model, optimizer, loss_params):
 
 def make_vade_eval_step(model, loss_params):
     @jax.jit
-    def step(variables, x, a, rng, kl_weight):
-        out = model.apply(variables, x, a, train=False)
+    def step(variables, x, a, rng, kl_weight, ang=None):
+        out = model.apply(variables, x, a, ang, train=False)
         losses = vade_loss(out, x, loss_params, kl_weight, rng)
         return losses
 
@@ -428,7 +445,7 @@ def _run_epochs(
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
         logs_list = []
-        for bi, (x, a, idx) in enumerate(
+        for bi, (x, a, ang, idx) in enumerate(
             prefetch(
                 train_ds.batches(
                     batch_size, rng=np_rng, shuffle=True,
@@ -438,19 +455,19 @@ def _run_epochs(
         ):
             if limit_train_batches and bi >= limit_train_batches:
                 break
-            logs = train_fn(x, a, idx, epoch)
+            logs = train_fn(x, a, ang, idx, epoch)
             logs_list.append(logs)
         train_logs = _epoch_mean([jax.device_get(l) for l in logs_list])
 
         val_logs = {}
         if val_ds is not None and len(val_ds) > 0 and eval_fn is not None:
             vlist = []
-            for bi, (x, a, idx) in enumerate(
+            for bi, (x, a, ang, idx) in enumerate(
                 val_ds.batches(batch_size, rng=np_rng, shuffle=False)
             ):
                 if limit_val_batches and bi >= limit_val_batches:
                     break
-                vlist.append(eval_fn(x, a, idx, epoch))
+                vlist.append(eval_fn(x, a, ang, idx, epoch))
             val_logs = _epoch_mean([jax.device_get(v) for v in vlist])
             epoch_val = val_logs.get("total_loss", np.inf)
             if epoch_val < best_val:
@@ -479,9 +496,12 @@ def _run_epochs(
     return best_val
 
 
-def _init_model(model, sample_x, sample_a, seed: int):
+def _init_model(model, sample_x, sample_a, seed: int, sample_ang=None):
     rngs = {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)}
-    return model.init(rngs, jnp.asarray(sample_x), jnp.asarray(sample_a), train=False)
+    ang = None if sample_ang is None else jnp.asarray(sample_ang)
+    return model.init(
+        rngs, jnp.asarray(sample_x), jnp.asarray(sample_a), ang, train=False
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -496,16 +516,19 @@ def fit_vqvae(
     common: CommonFitCfg,
     use_gnn: bool = True,
     kmeans_loss: float = 0.0,
+    use_angles: bool = False,
     bootstrap: bool = False,
     bootstrap_block_len: int = 250,
     verbose: bool = True,
     checkpointer=None,
     epoch_callback=None,
 ) -> ModelBundle:
-    x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
+    x0, a0, ang0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     input_shape = x0.shape[1:-1] + (x0.shape[-1],)
     # reorder: stored as (B, W, 3N); model wants (B, W, N, 3)
     raise_if_flat(x0)
+    use_angles = bool(use_angles) and ang0.size > 0
+    ang0 = ang0 if use_angles else None
 
     model = build_model(
         "VQVAE", x0.shape[1:], a0.shape[1:], adjacency,
@@ -513,7 +536,7 @@ def fit_vqvae(
         encoder_type=common.encoder_type, use_gnn=use_gnn,
         kmeans_loss=kmeans_loss,
     )
-    variables = _init_model(model, x0, a0, common.seed or 0)
+    variables = _init_model(model, x0, a0, common.seed or 0, sample_ang=ang0)
     params, rest = _split_variables(variables)
     optimizer = _make_optimizer(common.learning_rate)
     opt_state = optimizer.init(params)
@@ -526,17 +549,24 @@ def fit_vqvae(
 
     history: Dict[str, List[float]] = {}
 
-    def train_fn(x, a, idx, epoch):
+    def train_fn(x, a, ang, idx, epoch):
         nonlocal state, rng
         rng, sub = jax.random.split(rng)
-        x, a = shard_batch((x, a), mesh)
-        p, o, r, logs = step(state["params"], state["opt_state"], state["rest"], x, a, sub)
+        ang = ang if use_angles else None
+        x, a, ang = shard_batch((x, a, ang), mesh)
+        p, o, r, logs = step(
+            state["params"], state["opt_state"], state["rest"], x, a, sub,
+            ang=ang,
+        )
         state = {"params": p, "opt_state": o, "rest": r}
         return logs
 
-    def eval_fn(x, a, idx, epoch):
-        x, a = shard_batch((x, a), mesh)
-        return eval_step(_merge_variables(state["params"], state["rest"]), x, a)
+    def eval_fn(x, a, ang, idx, epoch):
+        ang = ang if use_angles else None
+        x, a, ang = shard_batch((x, a, ang), mesh)
+        return eval_step(
+            _merge_variables(state["params"], state["rest"]), x, a, ang=ang
+        )
 
     start_epoch, restored = maybe_resume(checkpointer, state)
     if restored is not None:
@@ -574,6 +604,10 @@ def fit_vqvae(
         "n_components": common.n_components,
         "encoder_type": common.encoder_type,
         "use_gnn": use_gnn,
+        "use_angles": use_angles,
+        "angle_feature_shape": (
+            list(ang0.shape[1:]) if use_angles else None
+        ),
     }
     return ModelBundle(
         model=model,
@@ -606,14 +640,17 @@ def fit_vade(
     vade_cfg: VaDECfg,
     teacher_cfg: TurtleTeacherCfg,
     use_gnn: bool = True,
+    use_angles: bool = False,
     bootstrap: bool = False,
     bootstrap_block_len: int = 250,
     verbose: bool = True,
     checkpointer=None,
     epoch_callback=None,
 ) -> ModelBundle:
-    x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
+    x0, a0, ang0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     raise_if_flat(x0)
+    use_angles = bool(use_angles) and ang0.size > 0
+    ang0 = ang0 if use_angles else None
 
     model = build_model(
         "VaDE", x0.shape[1:], a0.shape[1:], adjacency,
@@ -621,7 +658,7 @@ def fit_vade(
         encoder_type=common.encoder_type, use_gnn=use_gnn,
         kmeans_loss=common.kmeans_loss,
     )
-    variables = _init_model(model, x0, a0, common.seed or 0)
+    variables = _init_model(model, x0, a0, common.seed or 0, sample_ang=ang0)
     params, rest = _split_variables(variables)
 
     mesh = create_mesh()
@@ -663,7 +700,7 @@ def fit_vade(
                 opt["opt_state"] = restored["opt_state"]
             iteration["t"] = start_epoch * n_batches
 
-        def train_fn(x, a, idx, epoch):
+        def train_fn(x, a, ang, idx, epoch):
             nonlocal rng
             rng, sub = jax.random.split(rng)
             klw = kl_schedule.weight_at(iteration["t"]) if kl_schedule else 0.0
@@ -674,7 +711,8 @@ def fit_vade(
             else:
                 tau_b = np.zeros((x.shape[0], n_comp), np.float32)
                 lam = 0.0
-            x, a, tau_b = shard_batch((x, a, tau_b), mesh)
+            ang = ang if use_angles else None
+            x, a, ang, tau_b = shard_batch((x, a, ang, tau_b), mesh)
             cw = (
                 jnp.asarray(class_weight)
                 if (class_weight is not None and tau_star is not None)
@@ -682,20 +720,21 @@ def fit_vade(
             )
             p, o, r, logs = step(
                 state["params"], opt["opt_state"], state["rest"], x, a, sub,
-                jnp.float32(klw), jnp.float32(lam), tau_b, cw,
+                jnp.float32(klw), jnp.float32(lam), tau_b, cw, ang=ang,
             )
             state.update(params=p, rest=r)
             opt["opt_state"] = o
             return logs
 
-        def eval_fn(x, a, idx, epoch):
+        def eval_fn(x, a, ang, idx, epoch):
             nonlocal rng
             rng, sub = jax.random.split(rng)
             klw = kl_schedule.weight_at(iteration["t"]) if kl_schedule else 0.0
-            x, a = shard_batch((x, a), mesh)
+            ang = ang if use_angles else None
+            x, a, ang = shard_batch((x, a, ang), mesh)
             return eval_step(
                 _merge_variables(state["params"], state["rest"]), x, a, sub,
-                jnp.float32(klw),
+                jnp.float32(klw), ang=ang,
             )
 
         def on_best(epoch, val_loss):
@@ -737,7 +776,9 @@ def fit_vade(
     if teacher_cfg.use_turtle_teacher:
         from deepof_tpu.train.teacher import fit_turtle_teacher
 
-        latents = extract_latents(model, state, train_ds, common.batch_size)
+        latents = extract_latents(
+            model, state, train_ds, common.batch_size, use_angles=use_angles
+        )
         tau_star, class_weight = fit_turtle_teacher(
             latents, train_ds, common, teacher_cfg
         )
@@ -745,7 +786,9 @@ def fit_vade(
     # Phase 3: GMM init of the mixture prior — from teacher assignments when
     # available (teacher_model.py:394), else from a data GMM fit
     # (models_new.py:1907-1944).
-    latents = extract_latents(model, state, train_ds, common.batch_size)
+    latents = extract_latents(
+        model, state, train_ds, common.batch_size, use_angles=use_angles
+    )
     gmm_init = None
     if tau_star is not None and latents.shape[0] == tau_star.shape[0]:
         from deepof_tpu.train.teacher import initialize_gmm_from_teacher
@@ -819,7 +862,9 @@ def fit_vade(
 
         if verbose and is_main_process():
             print(f"--- Refreshing TURTLE teacher at epoch {epoch + 1} ---")
-        z = extract_latents(model, state, train_ds, common.batch_size)
+        z = extract_latents(
+            model, state, train_ds, common.batch_size, use_angles=use_angles
+        )
         tau_star, class_weight = fit_turtle_teacher(
             z, train_ds, common, teacher_cfg, verbose=verbose
         )
@@ -851,6 +896,10 @@ def fit_vade(
         "n_components": common.n_components,
         "encoder_type": common.encoder_type,
         "use_gnn": use_gnn,
+        "use_angles": use_angles,
+        "angle_feature_shape": (
+            list(ang0.shape[1:]) if use_angles else None
+        ),
     }
     return ModelBundle(
         model=model,
@@ -862,17 +911,20 @@ def fit_vade(
     )
 
 
-def extract_latents(model, state, ds: WindowDataset, batch_size: int) -> np.ndarray:
+def extract_latents(
+    model, state, ds: WindowDataset, batch_size: int, use_angles: bool = False
+) -> np.ndarray:
     """Encoder-mean latents for the full dataset (training.py:1665-1694)."""
     variables = _merge_variables(state["params"], state["rest"])
 
     @jax.jit
-    def embed(x, a):
-        return model.apply(variables, x, a, method="embed")
+    def embed(x, a, ang=None):
+        return model.apply(variables, x, a, ang, method="embed")
 
     outs = []
-    for x, a, _ in ds.batches(batch_size, shuffle=False):
-        outs.append(np.asarray(embed(jnp.asarray(x), jnp.asarray(a))))
+    for x, a, ang, _ in ds.batches(batch_size, shuffle=False):
+        ang_in = jnp.asarray(ang) if use_angles else None
+        outs.append(np.asarray(embed(jnp.asarray(x), jnp.asarray(a), ang_in)))
     return np.concatenate(outs, axis=0) if outs else np.zeros((0, 1))
 
 
@@ -894,7 +946,7 @@ def fit_contrastive(
     checkpointer=None,
     epoch_callback=None,
 ) -> ModelBundle:
-    x0, a0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
+    x0, a0, _ang0, _ = next(train_ds.batches(min(common.batch_size, max(len(train_ds), 1)), shuffle=False))
     raise_if_flat(x0)
 
     model = build_model(
@@ -921,7 +973,7 @@ def fit_contrastive(
     rng = jax.random.PRNGKey(common.seed or 0)
     history: Dict[str, List[float]] = {}
 
-    def train_fn(x, a, idx, epoch):
+    def train_fn(x, a, ang, idx, epoch):
         nonlocal state, rng
         rng, sub = jax.random.split(rng)
         (x,) = shard_batch((x,), mesh)
@@ -981,11 +1033,14 @@ def _dataset_from_preprocessed(part, reorder: bool = True) -> WindowDataset:
         nodes, edges, angles = _get(part, key)
         nodes = np.asarray(nodes, np.float32)
         edges = np.asarray(edges, np.float32)
+        angles = np.asarray(angles, np.float32)
         if reorder and nodes.ndim == 3:
             nodes = reorder_and_reshape(nodes)
         if edges.ndim == 3:
             edges = edges[..., None]
-        shaped[key] = (nodes, edges, np.asarray(angles, np.float32))
+        if angles.ndim == 3:
+            angles = angles[..., None]
+        shaped[key] = (nodes, edges, angles)
     return WindowDataset(shaped)
 
 
@@ -1019,6 +1074,7 @@ def train_deepof_model(
     bootstrap_block_len: int = 250,
     random_seed: int = 0,
     use_gnn: bool = True,
+    use_angles: bool = False,
     pretrain_epochs: Optional[int] = None,
     use_turtle_teacher: bool = False,
     verbose: bool = True,
@@ -1092,7 +1148,7 @@ def train_deepof_model(
                 setattr(teacher_cfg, k, v)
         bundle = fit_vade(
             train_ds, val_ds, adjacency_matrix, common, vade_cfg, teacher_cfg,
-            use_gnn=use_gnn, bootstrap=bootstrap_training,
+            use_gnn=use_gnn, use_angles=use_angles, bootstrap=bootstrap_training,
             bootstrap_block_len=bootstrap_block_len, verbose=verbose,
             checkpointer=checkpointer,
             epoch_callback=epoch_callback,
@@ -1100,7 +1156,7 @@ def train_deepof_model(
     elif model_name in ("VQVAE", "vqvae"):
         bundle = fit_vqvae(
             train_ds, val_ds, adjacency_matrix, common,
-            use_gnn=use_gnn, kmeans_loss=kmeans_loss,
+            use_gnn=use_gnn, kmeans_loss=kmeans_loss, use_angles=use_angles,
             bootstrap=bootstrap_training,
             bootstrap_block_len=bootstrap_block_len, verbose=verbose,
             checkpointer=checkpointer,

@@ -221,7 +221,7 @@ def fit_turtle_teacher(
     n = len(train_ds)
     x_all = train_ds.x if hasattr(train_ds, "x") else None
     if x_all is None:  # pragma: no cover - h5-spilled datasets
-        xs = [x for x, _, _ in train_ds.batches(4096, shuffle=False)]
+        xs = [x for x, _, _, _ in train_ds.batches(4096, shuffle=False)]
         x_all = np.concatenate(xs)
     views = build_views(
         np.asarray(x_all),

@@ -163,7 +163,7 @@ def test_window_dataset_batches_cover_all():
     ds = _dataset_from_preprocessed(train)
     assert len(ds) == 48
     seen = []
-    for x, a, idx in ds.batches(16, shuffle=True, rng=np.random.default_rng(0)):
+    for x, a, ang, idx in ds.batches(16, shuffle=True, rng=np.random.default_rng(0)):
         assert x.shape[1:] == (W, N, 3)
         assert a.shape[1:] == (W, E, 1)
         seen.extend(idx.tolist())
@@ -178,8 +178,8 @@ def test_window_dataset_bootstrap_and_shards():
     rng = np.random.default_rng(0)
     boot = list(ds.batches(16, rng=rng, bootstrap=True, block_size=8))
     assert len(boot) >= 1
-    s0 = [i for _, _, idx in ds.batches(16, shard_id=0, n_shards=2, block_size=8) for i in idx]
-    s1 = [i for _, _, idx in ds.batches(16, shard_id=1, n_shards=2, block_size=8) for i in idx]
+    s0 = [i for *_, idx in ds.batches(16, shard_id=0, n_shards=2, block_size=8) for i in idx]
+    s1 = [i for *_, idx in ds.batches(16, shard_id=1, n_shards=2, block_size=8) for i in idx]
     assert not set(s0) & set(s1)
     assert len(s0) + len(s1) == 48
 
@@ -197,7 +197,7 @@ def test_window_dataset_h5_spill(tmp_path):
         shaped, dataset_folder=str(tmp_path), dataset_name="t", spill_to_disk=True
     )
     assert len(ds) == 48
-    x, a, idx = next(ds.batches(8, shuffle=False))
+    x, a, ang, idx = next(ds.batches(8, shuffle=False))
     assert x.shape == (8, W, N, 3)
     # Rebuild detection: same data -> reuses file.
     ds2 = WindowDataset(
@@ -320,3 +320,67 @@ def test_vade_freeze_gmm_epochs():
     m_free = np.asarray(bundle2.variables["params"]["latent_space"]["gmm_means"])
     # Same seeds -> same GMM init; the unfrozen run moves away from it.
     assert not np.allclose(m_frozen, m_free)
+
+
+def _preprocessed_with_angles(n_train=48, n_test=24, seed=0, n_angles=5):
+    rng = np.random.default_rng(seed)
+
+    def mk(n):
+        return (
+            rng.normal(size=(n, W, 3 * N)).astype(np.float32),
+            rng.normal(size=(n, W, E)).astype(np.float32),
+            rng.normal(size=(n, W, n_angles)).astype(np.float32),
+        )
+
+    train = TableDict({"v1": mk(n_train // 2), "v2": mk(n_train // 2)}, typ="merged")
+    test = TableDict({"v3": mk(n_test)}, typ="merged")
+    return train, test
+
+
+def test_vade_with_angle_stream(tmp_path):
+    """Training with use_angles=True changes the encoder params and the
+    embedding, and round-trips through save/load."""
+    train, test = _preprocessed_with_angles()
+    adj = _adjacency()
+    bundle, _, _, _ = train_deepof_model(
+        ((train, test), {}, adj), adjacency_matrix=adj, model_name="VaDE",
+        encoder_type="recurrent", batch_size=16, latent_dim=4, epochs=1,
+        n_clusters=3, pretrain_epochs=0, save_weights=False, verbose=False,
+        use_angles=True, limit_train_batches=2, limit_val_batches=1,
+    )
+    assert bundle.rebuild_spec["use_angles"] is True
+    assert bundle.rebuild_spec["angle_feature_shape"] == [W, 5, 1]
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, W, N, 3)).astype(np.float32)
+    a = rng.normal(size=(3, W, E, 1)).astype(np.float32)
+    ang = rng.normal(size=(3, W, 5, 1)).astype(np.float32)
+    z = np.asarray(bundle.embed(x, a, ang))
+    assert z.shape == (3, 4)
+    # Angles actually influence the embedding.
+    z2 = np.asarray(bundle.embed(x, a, ang + 1.0))
+    assert np.abs(z - z2).max() > 1e-6
+
+    path = str(tmp_path / "vade_ang.ckpt")
+    bundle.save(path)
+    restored = ModelBundle.load(path)
+    np.testing.assert_allclose(
+        z, np.asarray(restored.embed(x, a, ang)), rtol=1e-5
+    )
+
+
+def test_angles_default_off_is_identical_shape():
+    """Without use_angles, an angles-bearing dataset trains the plain model."""
+    train, test = _preprocessed_with_angles(seed=1)
+    adj = _adjacency()
+    bundle, _, _, _ = train_deepof_model(
+        ((train, test), {}, adj), adjacency_matrix=adj, model_name="VQVAE",
+        encoder_type="recurrent", batch_size=16, latent_dim=4, epochs=1,
+        n_clusters=3, save_weights=False, verbose=False,
+        limit_train_batches=2, limit_val_batches=1,
+    )
+    assert bundle.rebuild_spec["use_angles"] is False
+    x = np.zeros((2, W, N, 3), np.float32)
+    a = np.zeros((2, W, E, 1), np.float32)
+    z = bundle.encode(x, a)
+    assert np.asarray(z).shape == (2, 4)
