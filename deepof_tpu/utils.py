@@ -28,25 +28,36 @@ SCALERS = {"standard": StandardScaler, "minmax": MinMaxScaler, "robust": RobustS
 # --------------------------------------------------------------------------- #
 
 
+_TIME_RE = re.compile(r"(\d{1,6}):(\d{1,6}):(\d{1,6})(\.\d{1,9})?")
+
+
 def time_to_seconds(time_string: str) -> Optional[float]:
-    """Parse "HH:MM:SS(.sss)" into float seconds (None if malformed)."""
-    if re.match(r"^\b\d{1,6}:\d{1,6}:\d{1,6}(?:\.\d{1,9})?$", time_string) is None:
+    """Parse "HH:MM:SS(.sss)" into float seconds at ns resolution
+    (None if malformed; spec: deepof/utils.py:717-737)."""
+    m = _TIME_RE.fullmatch(time_string)
+    if m is None:
         return None
-    parts = np.array(re.findall(r"[-+]?\d*\.?\d+", time_string)).astype(float)
-    seconds = 3600 * parts[0] + 60 * parts[1] + parts[2]
-    return float(np.round(seconds * 10**9) / 10**9)
+    h, mi, sec, frac = m.groups()
+    total_ns = (int(h) * 3600 + int(mi) * 60 + int(sec)) * 10**9
+    if frac:
+        # ".123" -> 123000000 ns: right-pad the fractional digits.
+        total_ns += int(round(float(frac) * 10**9))
+    return total_ns / 10**9
 
 
 def seconds_to_time(seconds: float, cut_milliseconds: bool = True) -> str:
-    """Format float seconds as "HH:MM:SS(.sssssssss)"."""
-    hours = int(np.floor(seconds / 3600))
-    minutes = int(np.floor((seconds - hours * 3600) / 60))
-    secs = int(np.floor(seconds - hours * 3600 - minutes * 60))
+    """Format float seconds as "HH:MM:SS" or "HH:MM:SS.sssssssss"
+    (ns precision; spec: deepof/utils.py:740-760)."""
+    whole = int(seconds)
+    hours, rem = divmod(whole, 3600)
+    minutes, secs = divmod(rem, 60)
+    stamp = f"{hours:02d}:{minutes:02d}:{secs:02d}"
     if cut_milliseconds:
-        return f"{hours:02d}:{minutes:02d}:{secs:02d}"
-    millis = seconds - np.floor(seconds)
-    out = f"{hours:02d}:{minutes:02d}:{secs:02d}.{int(np.round(millis * 10**9)):09d}"
-    return out[: out.find(".") + 10]
+        return stamp
+    frac_ns = int(round((seconds - whole) * 10**9))
+    # %09d then truncate to 9 digits (a full-second rounding carry keeps
+    # the stamp unchanged, matching the spec's behavior).
+    return f"{stamp}.{frac_ns:09d}"[: len(stamp) + 10]
 
 
 def make_time_index(n_frames: int, frame_rate: float) -> pd.Index:
@@ -62,34 +73,61 @@ def make_time_index(n_frames: int, frame_rate: float) -> pd.Index:
 # --------------------------------------------------------------------------- #
 
 
+def classify_column(col, bodyparts) -> Optional[str]:
+    """Column kind from its shape (the load-bearing naming convention,
+    deepof/utils.py:2395-2422): "coord" for ``(bp, "x"|"y")``, "speed" for
+    a bare bodypart string, "dist" for a bodypart pair, "angle" for any
+    3-tuple; None otherwise."""
+    if isinstance(col, str):
+        return "speed" if col in bodyparts else None
+    if not isinstance(col, tuple):
+        return None
+    if len(col) == 3:
+        return "angle"
+    if len(col) != 2:
+        return None
+    if col[1] in ("x", "y"):
+        return "coord"
+    if col[0] in bodyparts and col[1] in bodyparts:
+        return "dist"
+    return None
+
+
+def animal_of(bodypart: str) -> Optional[str]:
+    """Animal-id prefix of a "{aid}_{bp}" name (None if unprefixed)."""
+    head, sep, _ = bodypart.partition("_")
+    return head if sep else None
+
+
 def infer_column_types(df: pd.DataFrame) -> Dict[str, list]:
-    """Classify columns into coords / speeds / distances / angles by shape."""
-    coord_cols = [
-        c for c in df.columns
+    """Classify every column into coords / speeds / distances / angles.
+
+    Single pass over the columns via classify_column; distances are
+    additionally split into within-animal ("inner") and between-animal
+    ("intra") groups because the scaler standardizes them separately.
+    """
+    bodyparts = {
+        c[0] for c in df.columns
         if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
-    ]
-    bodyparts = {c[0] for c in coord_cols}
-    speed_cols = [c for c in df.columns if isinstance(c, str) and c in bodyparts]
-    dist_cols = [
-        c for c in df.columns
-        if isinstance(c, tuple) and len(c) == 2 and c[0] in bodyparts and c[1] in bodyparts
-    ]
-    angle_cols = [c for c in df.columns if isinstance(c, tuple) and len(c) == 3]
-
-    def _prefix(bp: str):
-        return bp.split("_", 1)[0] if "_" in bp else None
-
-    inner = [d for d in dist_cols if _prefix(d[0]) == _prefix(d[1])]
-    intra = [d for d in dist_cols if _prefix(d[0]) != _prefix(d[1])]
+    }
+    buckets: Dict[str, list] = {
+        "coords": [], "speeds": [], "dists": [], "angles": [],
+    }
+    kind_to_bucket = {
+        "coord": "coords", "speed": "speeds", "dist": "dists",
+        "angle": "angles",
+    }
+    for col in df.columns:
+        kind = classify_column(col, bodyparts)
+        if kind is not None:
+            buckets[kind_to_bucket[kind]].append(col)
+    same_animal = lambda d: animal_of(d[0]) == animal_of(d[1])  # noqa: E731
     return {
-        "coords": coord_cols,
-        "speeds": speed_cols,
-        "dists": dist_cols,
-        "inner_dists": inner,
-        "intra_dists": intra,
-        "angles": angle_cols,
+        **buckets,
+        "inner_dists": [d for d in buckets["dists"] if same_animal(d)],
+        "intra_dists": [d for d in buckets["dists"] if not same_animal(d)],
         "bodyparts": bodyparts,
-        "scalars": speed_cols + dist_cols,
+        "scalars": buckets["speeds"] + buckets["dists"],
     }
 
 
@@ -130,10 +168,6 @@ def filter_animal_id_in_table(
 # --------------------------------------------------------------------------- #
 
 
-def _split_aid(bp: str):
-    return bp.split("_", 1) if "_" in bp else (None, bp)
-
-
 def compute_size_factors(
     df: pd.DataFrame,
     animal_ids: Sequence[Optional[str]],
@@ -160,6 +194,73 @@ def compute_size_factors(
     }, default
 
 
+def _size_divisor_plan(
+    col_types: Dict[str, list],
+    factors: Dict[Optional[str], float],
+    default: float,
+    inter_scale: str,
+) -> List[Tuple[list, float]]:
+    """Stage-1 plan: (columns, divisor) groups for body-size normalization.
+
+    Coordinates and speeds divide by their own animal's size factor — only
+    when the bodypart's inferred prefix names a known animal (bodyparts
+    like "Tail_base" infer a bogus "Tail" prefix in single-animal tables
+    and stay unscaled, matching the spec). Distances always scale: by the
+    owning animal's factor, or (between animals) the mean / geometric mean
+    / cohort default, per ``inter_scale``.
+    """
+    plan: Dict[float, list] = {}
+    known = set(factors)
+
+    def add(cols, divisor):
+        plan.setdefault(float(divisor), []).extend(cols)
+
+    for bp, axis in col_types["coords"]:
+        if animal_of(bp) in known:
+            add([(bp, axis)], factors[animal_of(bp)])
+    for bp in col_types["speeds"]:
+        if animal_of(bp) in known:
+            add([bp], factors[animal_of(bp)])
+    for dist in col_types["dists"]:
+        a1, a2 = animal_of(dist[0]), animal_of(dist[1])
+        if a1 == a2:
+            divisor = factors.get(a1, default)
+        elif inter_scale == "mean":
+            divisor = (factors.get(a1, default) + factors.get(a2, default)) / 2
+        elif inter_scale == "geom":
+            divisor = float(
+                np.sqrt(factors.get(a1, default) * factors.get(a2, default))
+            )
+        else:  # "global"
+            divisor = default
+        add([dist], divisor)
+    return [(cols, div) for div, cols in plan.items()]
+
+
+def _standardize_section_plan(
+    col_types: Dict[str, list],
+    dist_standardize: Optional[str],
+    speed_standardize: Optional[str],
+    coord_standardize: Optional[str],
+) -> List[Tuple[list, str]]:
+    """Stage-2 plan: (columns, mode) sections to standardize.
+
+    Groupwise distance scaling splits within-animal and between-animal
+    distances into separate sections (their scales differ systematically).
+    """
+    plan: List[Tuple[list, str]] = []
+    if speed_standardize:
+        plan.append((col_types["speeds"], speed_standardize))
+    if dist_standardize == "per_column":
+        plan.append((col_types["dists"], "per_column"))
+    elif dist_standardize == "groupwise":
+        plan.append((col_types["inner_dists"], "groupwise"))
+        plan.append((col_types["intra_dists"], "groupwise"))
+    if coord_standardize:
+        plan.append((col_types["coords"], coord_standardize))
+    return [(cols, mode) for cols, mode in plan if cols]
+
+
 def scale_table(
     df: pd.DataFrame,
     scale: str = "standard",
@@ -172,9 +273,14 @@ def scale_table(
     coord_standardize: Optional[str] = "per_column",
     log_distances: bool = True,
 ) -> pd.DataFrame:
-    """Size-normalize per animal, log1p distances, then standardize sections.
+    """Two-stage table scaler (semantics: deepof/utils.py:2425-2566).
 
-    Matches the reference's scale_table semantics (deepof/utils.py:2425-2566).
+    Stage 1 divides every section by a body-size factor (nan-median
+    Nose-Tail_base length per animal) and log1p-compresses distances;
+    stage 2 standardizes each section with a sklearn scaler. Both stages
+    are driven by declarative (columns, op) plans built from
+    infer_column_types, so section membership and the numeric ops stay
+    separated.
     """
     if not scale:
         return df.copy()
@@ -188,72 +294,38 @@ def scale_table(
 
     out = df.copy()
     col_types = infer_column_types(out)
-    bodyparts = sorted(col_types["bodyparts"])
 
     if animal_ids is None:
-        prefixes = {_split_aid(bp)[0] for bp in bodyparts if _split_aid(bp)[0]}
-        animal_ids = sorted(prefixes) or [None]
-    animal_ids = [aid if aid else None for aid in animal_ids]
-
-    bp_to_aid = {bp: _split_aid(bp)[0] for bp in bodyparts}
+        animal_ids = sorted(
+            {animal_of(bp) for bp in col_types["bodyparts"] if animal_of(bp)}
+        ) or [None]
+    animal_ids = [aid or None for aid in animal_ids]
     factors, default = compute_size_factors(out, animal_ids, size_ref)
 
-    def combined(a1, a2):
-        s1 = factors.get(a1, default)
-        s2 = factors.get(a2, default)
-        if inter_scale == "mean":
-            return 0.5 * (s1 + s2)
-        if inter_scale == "geom":
-            return float(np.sqrt(s1 * s2))
-        return default
-
-    # Stage 1: size normalization.
-    for aid in animal_ids:
-        bps = [bp for bp in bodyparts if bp_to_aid.get(bp) == aid]
-        if not bps:
-            continue
-        s = factors[aid]
-        xy = [(bp, ax) for bp in bps for ax in ("x", "y") if (bp, ax) in out.columns]
-        if xy:
-            out.loc[:, xy] = out.loc[:, xy].to_numpy(float) / s
-        sp = [bp for bp in bps if bp in out.columns]
-        if sp:
-            out.loc[:, sp] = out.loc[:, sp].to_numpy(float) / s
-
-    for (bp1, bp2) in col_types["dists"]:
-        a1, a2 = bp_to_aid.get(bp1), bp_to_aid.get(bp2)
-        s = factors.get(a1, default) if a1 == a2 else combined(a1, a2)
-        out.loc[:, [(bp1, bp2)]] = out.loc[:, [(bp1, bp2)]].to_numpy(float) / s
-
+    # Stage 1: size normalization + distance compression.
+    for cols, divisor in _size_divisor_plan(
+        col_types, factors, default, inter_scale
+    ):
+        out.loc[:, cols] = out.loc[:, cols].to_numpy(float) / divisor
     if log_distances and col_types["dists"]:
-        arr = np.array(out[col_types["dists"]].to_numpy(float))
-        arr[arr < 0] = 0.0
-        out.loc[:, col_types["dists"]] = np.log1p(arr)
+        arr = out[col_types["dists"]].to_numpy(float).copy()
+        out.loc[:, col_types["dists"]] = np.log1p(np.clip(arr, 0.0, None))
 
     if not standardize:
         return out
 
-    # Stage 2: statistical standardization.
-    scaler_cls = SCALERS[scale]
-
-    def fit_transform(cols, mode):
-        if not cols or mode is None:
-            return
-        sc = scaler_cls()
+    # Stage 2: statistical standardization per section.
+    for cols, mode in _standardize_section_plan(
+        col_types, dist_standardize, speed_standardize, coord_standardize
+    ):
+        arr = out[cols].to_numpy(float)
+        scaler = SCALERS[scale]()
         if mode == "per_column":
-            out.loc[:, cols] = sc.fit_transform(out[cols].to_numpy(float))
-        else:  # groupwise
-            arr = out[cols].to_numpy(float)
-            out.loc[:, cols] = sc.fit_transform(arr.reshape(-1, 1)).reshape(arr.shape)
-
-    fit_transform(col_types["speeds"], speed_standardize)
-    if dist_standardize == "per_column":
-        fit_transform(col_types["dists"], "per_column")
-    elif dist_standardize == "groupwise":
-        fit_transform(col_types["inner_dists"], "groupwise")
-        fit_transform(col_types["intra_dists"], "groupwise")
-    fit_transform(col_types["coords"], coord_standardize)
-
+            out.loc[:, cols] = scaler.fit_transform(arr)
+        else:  # groupwise: one shared scale across the whole section
+            out.loc[:, cols] = scaler.fit_transform(
+                arr.reshape(-1, 1)
+            ).reshape(arr.shape)
     return out
 
 
@@ -299,37 +371,41 @@ def progress(iterable, desc: str = "", verbose: bool = True, total=None):
 
 
 def row_nanargmax(arr):
-    """argmax per row ignoring NaNs; NaN for all-NaN rows (utils.py)."""
+    """Per-row argmax ignoring NaNs; all-NaN rows yield NaN
+    (spec: deepof/utils.py row_nanargmax)."""
     arr = np.asarray(arr, float)
-    mask = np.all(np.isnan(arr), axis=1)
-    result = np.nanargmax(np.where(mask[:, None], 0, arr), axis=1).astype(float)
-    result[mask] = np.nan
-    return result
+    finite = ~np.isnan(arr)
+    out = np.where(np.isnan(arr), -np.inf, arr).argmax(axis=1).astype(float)
+    out[~finite.any(axis=1)] = np.nan
+    return out
 
 
 def infer_scalar_cols(df: pd.DataFrame):
     """Speed + distance column names of a merged feature table."""
-    coord_cols = [
-        c for c in df.columns
-        if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
-    ]
-    bp_names = {c[0] for c in coord_cols}
-    speed_cols = [c for c in df.columns if isinstance(c, str) and c in bp_names]
-    dist_cols = [
-        c for c in df.columns
-        if isinstance(c, tuple) and len(c) == 2
-        and c[0] in bp_names and c[1] in bp_names
-    ]
-    return speed_cols + dist_cols
+    return infer_column_types(df)["scalars"]
 
 
 def edges_to_weighted_adj(adj: np.ndarray, edges: np.ndarray):
-    """Edge feature matrix -> weighted adjacency (utils.py)."""
-    adj = np.repeat(np.expand_dims(adj.astype(float), axis=0), edges.shape[0], axis=0)
-    if len(edges.shape) == 3:
-        adj = np.repeat(np.expand_dims(adj, axis=1), edges.shape[1], axis=1)
-    adj[np.where(adj)] = np.concatenate([edges, edges[:, ::-1]], axis=-2).flatten()
-    return adj
+    """Per-sample weighted adjacency from edge features.
+
+    ``edges[..., k]`` is the weight of the k-th edge in sorted
+    upper-triangle order (the graph-dataset edge convention); the weight is
+    scattered symmetrically into (i, j) and (j, i). Leading axes of
+    ``edges`` (samples, optionally time) become leading axes of the output.
+    Spec: deepof/utils.py:514-529 (whose row-major fill this replaces with
+    an explicit symmetric scatter).
+    """
+    adj = np.asarray(adj)
+    edges = np.asarray(edges, float)
+    ii, jj = np.nonzero(np.triu(adj, k=1))
+    if edges.shape[-1] != len(ii):
+        raise ValueError(
+            f"{edges.shape[-1]} edge features for {len(ii)} graph edges"
+        )
+    out = np.zeros(edges.shape[:-1] + adj.shape, float)
+    out[..., ii, jj] = edges
+    out[..., jj, ii] = edges
+    return out
 
 
 def count_events(
@@ -360,26 +436,29 @@ def filter_short_bouts(
     min_confidence: float = 0.0,
     min_bout_duration: int = None,
 ):
-    """Keep-mask for cluster assignments: drop bouts shorter than
-    min_bout_duration or with mean confidence < min_confidence (utils.py)."""
-    confidence_indices = np.array(confidence_indices, bool)
-    bout_lengths = np.diff(
-        np.where(
-            np.diff(np.concatenate([[np.inf], cluster_assignments, [np.inf]])) != 0
-        )[0]
-    )
-    if min_bout_duration is None:
-        min_bout_duration = np.mean(bout_lengths)
-    confidence_indices[np.repeat(bout_lengths, bout_lengths) < min_bout_duration] = False
+    """Keep-mask over frames: drop bouts shorter than min_bout_duration and
+    bouts whose mean confidence falls below min_confidence
+    (spec: deepof/utils.py:3910-3958).
 
-    cum = np.concatenate([[0], np.cumsum(bout_lengths)])
-    bout_avg_conf = np.array([
-        cluster_confidence[cum[i]:cum[i + 1]].mean()
-        if np.any(confidence_indices[cum[i]:cum[i + 1]])
-        else float("nan")
-        for i in range(len(bout_lengths))
-    ])
-    return (np.repeat(bout_avg_conf, bout_lengths) >= min_confidence) & confidence_indices
+    Fully vectorized: frames are labeled with a bout id (cumulative count
+    of assignment changes); per-bout lengths and confidence means come from
+    bincount over those ids.
+    """
+    cluster_assignments = np.asarray(cluster_assignments)
+    keep = np.asarray(confidence_indices, bool).copy()
+
+    is_new_bout = np.ones(len(cluster_assignments), bool)
+    is_new_bout[1:] = cluster_assignments[1:] != cluster_assignments[:-1]
+    bout_id = np.cumsum(is_new_bout) - 1
+
+    lengths = np.bincount(bout_id)
+    if min_bout_duration is None:
+        min_bout_duration = lengths.mean()
+    keep &= (lengths >= min_bout_duration)[bout_id]
+
+    conf_sums = np.bincount(bout_id, weights=np.asarray(cluster_confidence, float))
+    mean_conf = conf_sums / lengths
+    return (mean_conf[bout_id] >= min_confidence) & keep
 
 
 def align_embeddings_at_key(
@@ -534,24 +613,74 @@ def get_behavior_mask_and_confidence(tab, behaviors, supervised_export: bool):
 
 def get_supervised_behaviors_in_roi(cur_supervised, local_bin_info, animal_ids,
                                     roi_mode: str = "mousewise"):
-    """NaN-out supervised detections of animals outside the ROI
-    (utils.py get_supervised_behaviors_in_roi, mousewise mode).
+    """NaN-out supervised detections outside the ROI
+    (spec: deepof/utils.py:1986-2024).
 
-    local_bin_info maps animal_id -> boolean in-ROI array per frame.
+    local_bin_info maps animal_id -> boolean in-ROI array per frame (plus
+    the "time" index array). "mousewise" blanks whole frames where any
+    requested animal leaves the ROI; "behaviorwise" blanks only the
+    behavior columns involving an out-of-ROI animal (and all columns not
+    involving the requested animals).
     """
     if not animal_ids:
         return cur_supervised
     if isinstance(animal_ids, str):
         animal_ids = [animal_ids]
     out = cur_supervised.copy()
-    for aid in animal_ids:
-        in_roi = np.asarray(local_bin_info[aid], bool)
-        cols = [
-            c for c in out.columns
-            if str(c).startswith(f"{aid}_") or (not aid and True)
-        ]
-        out.loc[~in_roi, cols] = np.nan
+
+    if roi_mode == "mousewise":
+        combined = np.logical_and.reduce(
+            [np.asarray(local_bin_info[aid], bool) for aid in animal_ids]
+        )
+        out.loc[~combined, :] = np.nan
+        return out
+    if roi_mode != "behaviorwise":
+        raise NotImplementedError(
+            'roi_mode must be "mousewise" or "behaviorwise"'
+        )
+
+    def base_name(col):
+        return col[0] if isinstance(col, tuple) else col
+
+    valid = {
+        c for c in out.columns
+        if any(str(base_name(c)).startswith(aid) for aid in animal_ids)
+    }
+    invalid = [c for c in out.columns if c not in valid]
+    if invalid:
+        out[invalid] = np.nan
+    mask_ids = [k for k in local_bin_info.keys() if k != "time"]
+    for aid in mask_ids:
+        token = f"{aid}_" if len(mask_ids) > 1 else aid
+        cols = [c for c in valid if token in str(base_name(c))]
+        if cols:
+            out.loc[~np.asarray(local_bin_info[aid], bool), cols] = np.nan
     return out
+
+
+def get_behavior_frames_in_roi(behavior, local_bin_info, animal_ids):
+    """Frame indices for which the relevant animals are inside the ROI
+    (spec: deepof/utils.py:2054-2100).
+
+    For a supervised behavior name carrying an "{aid}_" prefix, only that
+    animal's mask applies; otherwise all requested animals must be inside.
+    """
+    if isinstance(animal_ids, str):
+        animal_ids = [animal_ids]
+    elif animal_ids is None:
+        animal_ids = [""]
+    frames = np.array(local_bin_info["time"], copy=True)
+    prefixed = behavior is not None and any(
+        f"{aid}_" in str(behavior) for aid in animal_ids
+    )
+    if prefixed:
+        for aid in local_bin_info.keys():
+            if aid != "time" and f"{aid}_" in str(behavior):
+                frames[~np.asarray(local_bin_info[aid], bool)] = -1
+    else:
+        for aid in animal_ids:
+            frames[~np.asarray(local_bin_info[aid], bool)] = -1
+    return frames[frames >= 0]
 
 
 def get_unsupervised_behaviors_in_roi(cur_unsupervised, local_bin_info, animal_ids):
