@@ -230,6 +230,7 @@ class TableDict(dict):
         speed_standardize: str = "groupwise",
         coord_standardize: str = "groupwise",
         log_distances: bool = True,
+        return_windows: bool = True,
     ) -> tuple:
         """Bin, scale (two-stage local + global), and window the dataset.
 
@@ -367,6 +368,19 @@ class TableDict(dict):
 
         # Pass 4: split and window.
         x_train, x_test, test_index = self.get_training_set(table_temp, test_videos)
+        if not return_windows:
+            # Inference path: keep scaled per-frame tables; the device
+            # pipeline gathers windows on-chip (train/inference.py).
+            metainfo = {
+                "shape_train": tuple(
+                    np.asarray(get_dt(x_train, k)).shape for k in x_train.keys()
+                ),
+                "shape_test": (0,),
+                "dist_standardize": dist_standardize,
+                "speed_standardize": speed_standardize,
+                "coord_standardize": coord_standardize,
+            }
+            return (x_train, x_test), metainfo, global_scaler
         x_train, train_shape = extract_windows(
             x_train, window_size, window_step, save_as_paths, shuffle
         )
@@ -516,13 +530,12 @@ def extract_windows(
     (deepof/utils.py:3380-3470); aggregation supports None/mid/mean/wta/lta.
     """
     out_len, window_len, n_features = 0, 0, 0
+    from deepof_tpu.ops.windows import rolling_windows_host
+
     for key in to_window.keys():
         tab, tab_path = get_dt(to_window, key, True)
         arr = np.asarray(tab)
-        n = arr.shape[0]
-        starts = np.arange(0, n - window_size + 1, window_step)
-        windows = np.stack([arr[s : s + window_size] for s in starts], axis=0) \
-            if len(starts) else np.zeros((0, window_size) + arr.shape[1:], arr.dtype)
+        windows = rolling_windows_host(arr, window_size, window_step)
 
         if aggregate == "mid":
             mid = windows.shape[1] // 2
@@ -559,38 +572,49 @@ def _sample_windows_methods(cls):
         return_edges: bool = False,
         seed: int = 0,
     ):
-        """Sample a contiguous block of windows per experiment.
+        """Sample a random contiguous block of windows per experiment.
+
+        Matches the reference's sampling contract
+        (deepof/data.py:3931-4045 _get_sample_indices +
+        sample_windows_from_data): when ``time_bin_info`` covers every key
+        those indices are used verbatim; otherwise a random-start
+        contiguous block of up to ``n_windows`` rows is drawn (after
+        NaN-row filtering when ``no_nans``), with returned indices always
+        relative to the original table.
 
         Returns (X (N, ...), a (N, ...), per-key index dict).
         """
         rng = np.random.default_rng(seed)
+        use_provided = bool(time_bin_info) and set(self.keys()).issubset(
+            time_bin_info.keys()
+        )
         xs, edges, indices = [], [], {}
         for key in self.keys():
             main, edge = self._get_data_tables(key)
             arr = np.asarray(main)
-            if time_bin_info and key in time_bin_info:
-                sel = np.asarray(time_bin_info[key])
-                sel = sel[sel < len(arr)]
-                arr = arr[sel]
-                base_idx = sel
+            if use_provided:
+                # Provided indices are used verbatim (data.py:4019-4025).
+                take_idx = np.asarray(time_bin_info[key])
+                take_idx = take_idx[take_idx < len(arr)]
             else:
                 base_idx = np.arange(len(arr))
-            if no_nans:
-                valid = ~np.isnan(arr).any(axis=tuple(range(1, arr.ndim)))
-                arr = arr[valid]
-                base_idx = base_idx[valid]
-            take = min(n_windows, len(arr))
-            if take == 0:
-                indices[key] = np.zeros(0, dtype=int)
-                continue
-            start = rng.integers(0, max(1, len(arr) - take + 1))
-            sl = slice(start, start + take)
-            xs.append(arr[sl])
-            indices[key] = base_idx[sl]
+                pool = arr
+                if no_nans:
+                    valid = ~np.isnan(arr).any(axis=tuple(range(1, arr.ndim)))
+                    pool = arr[valid]
+                    base_idx = base_idx[valid]
+                take = min(n_windows, len(pool))
+                if take == 0:
+                    indices[key] = np.zeros(0, dtype=int)
+                    continue
+                start = rng.integers(0, max(1, len(pool) - take + 1))
+                take_idx = base_idx[start : start + take]
+            xs.append(arr[take_idx])
+            indices[key] = take_idx
             if edge is not None:
-                edges.append(np.asarray(edge)[sl])
+                edges.append(np.asarray(edge)[take_idx])
             else:
-                edges.append(np.zeros_like(arr[sl]))
+                edges.append(np.zeros_like(arr[take_idx]))
         x = np.concatenate(xs) if xs else np.zeros((0,))
         a = np.concatenate(edges) if edges else np.zeros((0,))
         if return_edges:

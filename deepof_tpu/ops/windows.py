@@ -35,6 +35,25 @@ def rolling_windows(
     return jnp.take(x, jnp.asarray(idx), axis=0)
 
 
+def rolling_windows_host(
+    arr: np.ndarray, window_size: int, window_step: int = 1
+) -> np.ndarray:
+    """Host-side window materialization via numpy stride tricks.
+
+    Zero-copy view + one contiguous copy — replaces per-window Python-loop
+    stacking in the dataset build (the reference's own approach,
+    deepof/utils.py:3354-3377). The device paths (inference, bench) gather
+    windows on-chip instead (rolling_windows / the Pallas kernel).
+    """
+    arr = np.asarray(arr)
+    if arr.shape[0] < window_size:
+        return np.zeros((0, window_size) + arr.shape[1:], arr.dtype)
+    view = np.lib.stride_tricks.sliding_window_view(arr, window_size, axis=0)
+    # view: (W, ...features, window) -> (W, window, ...features)
+    view = np.moveaxis(view, -1, 1)[::window_step]
+    return np.ascontiguousarray(view)
+
+
 def aggregate_windows(windows: jnp.ndarray, aggregate: str | None) -> jnp.ndarray:
     """Window aggregation modes from the reference's extract_windows
     (deepof/utils.py:3380-3470): None (raw), "mid", "mean".

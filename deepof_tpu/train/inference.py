@@ -174,9 +174,10 @@ def _make_scanned_forward(
             return carry, (emb, sc)
 
         _, (embs, scs) = lax.scan(one, 0, starts)
+        flat = n_blocks * block
         return (
-            embs.reshape(-1, embs.shape[-1]),
-            scs.reshape(-1, scs.shape[-1]),
+            embs.reshape(flat, embs.shape[-1]),
+            scs.reshape(flat, scs.shape[-1]),
         )
 
     return run
@@ -401,7 +402,16 @@ def embedding_per_video(
             if gate_key not in counts_dict:
                 # Behavior-gated runs key on behavior names, and sorted
                 # pair keys may not match the project's id order.
-                gate_key = list(counts_dict.keys())[0]
+                fallback = list(counts_dict.keys())[0]
+                import warnings
+
+                warnings.warn(
+                    f"Requested gate {gate_key!r} not found among "
+                    f"{sorted(map(str, counts_dict.keys()))}; returning soft "
+                    f"counts for gate {fallback!r}. Pass extract_pair (or "
+                    f"check embedding_gates) to select a specific gate."
+                )
+                gate_key = fallback
             counts = counts_dict[gate_key]
         for key, c in counts.items():
             soft_counts[key] = pd.DataFrame(np.asarray(c))

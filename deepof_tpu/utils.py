@@ -293,6 +293,11 @@ def scale_table(
         raise ValueError("inter_scale must be one of {'mean','geom','global'}")
 
     out = df.copy()
+    # Normalize numeric dtypes: feature tables built on the float32 device
+    # path would otherwise reject float64 scaled values on assignment.
+    num_cols = out.select_dtypes(include=[np.number]).columns
+    if len(num_cols) and not all(out[c].dtype == np.float64 for c in num_cols):
+        out[num_cols] = out[num_cols].astype(np.float64)
     col_types = infer_column_types(out)
 
     if animal_ids is None:
