@@ -120,12 +120,22 @@ def get_time_on_cluster(
 ) -> pd.DataFrame:
     """Fraction (or count) of frames assigned to each cluster per
     experiment."""
+    from deepof_tpu.utils import get_unsupervised_behaviors_in_roi
+
     counters = {}
     for key in soft_counts.keys():
         arr = np.asarray(get_dt(soft_counts, key, load_range=_resolve_range(bin_info, key)))
         valid = ~np.isnan(arr).all(axis=1)
         hard = np.full(len(arr), np.nan)
         hard[valid] = np.argmax(np.nan_to_num(arr[valid], nan=-np.inf), axis=1)
+        if roi_number is not None:
+            # bin_info entries carry per-animal in-ROI masks
+            # (visuals_utils.apply_rois_to_bin_info); out-of-ROI frames
+            # drop from the usage counts (post_hoc.py:1797-1799).
+            hard = get_unsupervised_behaviors_in_roi(
+                hard, bin_info[key], animals_in_roi
+            )
+            hard = hard[hard >= 0]
         counts = Counter(hard[~np.isnan(hard)])
         if normalize and counts:
             total = sum(counts.values())
@@ -153,10 +163,26 @@ def get_aggregated_embedding(
     roi_mode: str = "mousewise",
 ) -> pd.DataFrame:
     """One embedding row per experiment (mean/median over chunks)."""
+    from deepof_tpu.utils import (
+        get_supervised_behaviors_in_roi,
+        get_unsupervised_behaviors_in_roi,
+    )
+
     rows = {}
     columns = None
     for key in embedding.keys():
         cur = get_dt(embedding, key, load_range=_resolve_range(bin_info, key))
+        if roi_number is not None:
+            # NaN-out chunks where the requested animals left the ROI
+            # (post_hoc.py:1892-1895).
+            if isinstance(cur, pd.DataFrame):
+                cur = get_supervised_behaviors_in_roi(
+                    cur, bin_info[key], animals_in_roi, roi_mode
+                )
+            else:
+                cur = get_unsupervised_behaviors_in_roi(
+                    np.asarray(cur, float), bin_info[key], animals_in_roi
+                )
         cur = pd.DataFrame(cur)
         columns = cur.columns
         with warnings.catch_warnings():
@@ -193,6 +219,8 @@ def enrichment_across_conditions(
     """Long-form cluster/behavior usage per experiment annotated with the
     experimental condition (post_hoc.py:2126-2240)."""
     if supervised_annotations is not None:
+        from deepof_tpu.utils import get_supervised_behaviors_in_roi
+
         rows = []
         for key in supervised_annotations.keys():
             tab = pd.DataFrame(
@@ -201,6 +229,10 @@ def enrichment_across_conditions(
                     load_range=_resolve_range(bin_info, key),
                 )
             )
+            if roi_number is not None:
+                tab = get_supervised_behaviors_in_roi(
+                    tab, bin_info[key], animals_in_roi, roi_mode
+                )
             binary = [
                 c for c in tab.columns
                 if not any(s in str(c) for s in ("speed", "distance"))

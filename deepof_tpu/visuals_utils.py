@@ -20,6 +20,68 @@ from deepof_tpu.core.storage import get_dt
 _TIME_STR = r"^\d{1,6}:\d{1,6}:\d{1,6}(?:\.\d{1,12})?$"
 
 
+def apply_rois_to_bin_info(
+    coordinates,
+    roi_number: Optional[int],
+    bin_info_time: Optional[Dict[str, np.ndarray]] = None,
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
+) -> Dict[str, dict]:
+    """Attach per-animal in-ROI masks to time-bin info
+    (spec: deepof/visuals_utils.py:1334-1379 _apply_rois_to_bin_info).
+
+    Returns {key: {"time": frame_idx, aid: bool_mask_over_those_frames}}.
+    The mask says, per selected frame, whether the animal's
+    ``in_roi_criterion`` bodypart(s) lie inside ROI ``roi_number``.
+    """
+    animal_ids = list(coordinates._animal_ids or [""])
+
+    if bin_info_time is None:
+        bin_info_time = {
+            key: np.arange(len(get_dt(coordinates._tables, key)), dtype=int)
+            for key in coordinates._tables.keys()
+        }
+    bin_info: Dict[str, dict] = {}
+    for key, time_idx in bin_info_time.items():
+        time_idx = np.asarray(time_idx)
+        # (start, end) pairs are expanded to inclusive ranges.
+        if len(time_idx) == 2 and time_idx[0] + 1 < time_idx[1]:
+            time_idx = np.arange(time_idx[0], time_idx[1] + 1, dtype=int)
+        bin_info[key] = {"time": time_idx}
+        if roi_number is not None:
+            import jax.numpy as jnp
+
+            from deepof_tpu.ops import point_in_polygon
+
+            # Tensor-first: positions live as a (T, B, 2) mm tensor with
+            # coordinates._nodes naming the bodypart axis.
+            pos = np.array(get_dt(coordinates._tables, key), np.float64)
+            nodes = list(coordinates._nodes)
+            roi_polygon = np.asarray(coordinates._roi_dicts[key][roi_number])
+            criteria = (
+                [in_roi_criterion]
+                if isinstance(in_roi_criterion, str) else list(in_roi_criterion)
+            )
+            for aid in animal_ids:
+                prefix = f"{aid}_" if aid else ""
+                if "all" in criteria:
+                    bps = [bp for bp in nodes if bp.startswith(prefix)]
+                else:
+                    bps = [f"{prefix}{c}" for c in criteria]
+                mask = np.ones(len(pos), dtype=bool)
+                for bp in bps:
+                    if bp not in nodes:
+                        continue
+                    inside = np.asarray(point_in_polygon(
+                        jnp.asarray(pos[:, nodes.index(bp)]), roi_polygon
+                    ))
+                    mask &= inside
+                if invert_roi:
+                    mask = ~mask
+                bin_info[key][aid] = mask[time_idx]
+    return bin_info
+
+
 def preprocess_time_bins(
     coordinates,
     bin_size: Optional[Union[int, str]] = None,
@@ -776,3 +838,51 @@ def binwise_group_tests(df, value_col: str = "value", bin_col: str = "bin",
             except ValueError:
                 out[int(bi)] = np.nan
     return out
+
+
+def cohens_d(a, b) -> float:
+    """Cohen's d effect size with pooled standard deviation
+    (spec: deepof/visuals_utils.py:875-955)."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    na, nb = len(a), len(b)
+    if na < 2 or nb < 2:
+        return float("nan")
+    pooled = np.sqrt(
+        ((na - 1) * a.var(ddof=1) + (nb - 1) * b.var(ddof=1)) / (na + nb - 2)
+    )
+    if pooled == 0:
+        return 0.0
+    return float((a.mean() - b.mean()) / pooled)
+
+
+def p_to_stars(p: float) -> str:
+    """statannotations-style significance stars."""
+    if not np.isfinite(p):
+        return "ns"
+    for thresh, stars in ((1e-4, "****"), (1e-3, "***"), (1e-2, "**"), (5e-2, "*")):
+        if p <= thresh:
+            return stars
+    return "ns"
+
+
+def add_significance_bracket(
+    ax, x1: float, x2: float, y: float, p: float, effect_size: float = None,
+    height: float = None, fontsize: int = 9,
+):
+    """Draw a statannotations-style bracket with stars (and Cohen's d)
+    between two x positions (spec: deepof/visuals_utils.py:875-1030)."""
+    if height is None:
+        lo, hi = ax.get_ylim()
+        height = 0.02 * (hi - lo)
+    ax.plot(
+        [x1, x1, x2, x2], [y, y + height, y + height, y],
+        lw=1.0, color="0.25", clip_on=False,
+    )
+    label = p_to_stars(p)
+    if effect_size is not None and np.isfinite(effect_size):
+        label += f" (d={effect_size:.2f})"
+    ax.text(
+        (x1 + x2) / 2, y + height, label, ha="center", va="bottom",
+        fontsize=fontsize, color="0.25",
+    )

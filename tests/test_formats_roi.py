@@ -117,3 +117,84 @@ def test_roi_distances_filter(roi_coords):
     assert np.isnan(d_roi[key].to_numpy()).sum() >= np.isnan(
         d_full[key].to_numpy()
     ).sum()
+
+
+def test_apply_rois_to_bin_info(roi_coords):
+    from deepof_tpu.visuals_utils import apply_rois_to_bin_info
+
+    bin_info = apply_rois_to_bin_info(roi_coords, roi_number=1)
+    for key in roi_coords._tables:
+        entry = bin_info[key]
+        assert set(entry) == {"time", ""}
+        assert entry[""].dtype == bool
+        assert len(entry[""]) == len(entry["time"])
+    # Inverting the ROI flips every mask bit.
+    inv = apply_rois_to_bin_info(roi_coords, roi_number=1, invert_roi=True)
+    key = "test"
+    np.testing.assert_array_equal(inv[key][""], ~bin_info[key][""])
+
+
+def test_posthoc_roi_filtering(roi_coords):
+    """VERDICT item 9: roi_number/animals_in_roi actually filter post-hoc
+    statistics instead of being ignored."""
+    import pandas as pd
+
+    import deepof_tpu.posthoc as posthoc
+    from deepof_tpu.core.table_dict import TableDict
+
+    # Hand-made in-ROI masks (the fixture mouse never enters fixture ROI 1,
+    # so real masks would be empty); roi_number only switches filtering on.
+    keys = list(roi_coords._tables)
+    n = len(roi_coords._tables[keys[0]])
+    rng = np.random.default_rng(0)
+    bin_info = {
+        k: {"time": np.arange(n), "": rng.random(n) > 0.4} for k in keys
+    }
+    sc = TableDict(
+        {k: (lambda p: p / p.sum(1, keepdims=True))(
+            np.exp(rng.normal(size=(n, 4)))) for k in keys},
+        typ="unsupervised_counts",
+    )
+    emb = TableDict(
+        {k: rng.normal(size=(n, 6)) for k in keys},
+        typ="unsupervised_embedding",
+    )
+
+    # Out-of-ROI frames drop from the usage statistics.
+    toc_all = posthoc.get_time_on_cluster(sc, normalize=False)
+    toc_roi = posthoc.get_time_on_cluster(
+        sc, normalize=False, bin_info=bin_info, roi_number=1,
+        animals_in_roi=[""],
+    )
+    for k in keys:
+        assert toc_roi.loc[k].sum() == bin_info[k][""].sum()
+        assert toc_roi.loc[k].sum() <= toc_all.loc[k].sum()
+
+    # Aggregated embeddings: only in-ROI chunks contribute to the mean.
+    # (Videos with zero in-ROI frames aggregate to all-NaN and are dropped,
+    # as in the reference.)
+    agg_roi = posthoc.get_aggregated_embedding(
+        emb, bin_info=bin_info, roi_number=1, animals_in_roi=[""],
+    )
+    covered = [k for k in keys if bin_info[k][""].sum() > 0]
+    assert covered, "fixture ROI 1 covers no frames in any video"
+    for k in covered:
+        want = np.nanmean(np.asarray(emb[k], float)[bin_info[k][""]], axis=0)
+        np.testing.assert_allclose(agg_roi.loc[k].to_numpy(), want, rtol=1e-6)
+
+    # Enrichment (supervised branch) NaNs whole out-of-ROI frames.
+    sup = TableDict(
+        {k: pd.DataFrame({"moving": np.ones(n), "speed": np.ones(n)})
+         for k in keys},
+        typ="supervised",
+    )
+    enr = posthoc.enrichment_across_conditions(
+        supervised_annotations=sup,
+        exp_conditions={k: "c" for k in keys},
+        bin_info=bin_info, roi_number=1, animals_in_roi=[""],
+    )
+    for k in keys:
+        got = enr[(enr["exp id"] == k) & (enr["cluster"] == "moving")][
+            "time on cluster"
+        ].iloc[0]
+        assert got == bin_info[k][""].sum()
