@@ -106,6 +106,10 @@ class RecurrentBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype)(y)
         _, final = BiGRU(d, dtype=self.dtype)(y, mask)
         final = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype)(final)
+        if d == self.latent_dim:
+            # The reference projects only when the capped internal width
+            # differs from latent_dim (models_new.py:275-277).
+            return final
         return nn.Dense(2 * self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(final)
 
 

@@ -215,8 +215,10 @@ class TransformerEncoder(nn.Module):
         angles: Optional[jnp.ndarray] = None, train: bool = False,
     ):
         b, t, n, f_node = x.shape
-        key_dim = self.key_dim or max(self.num_heads * 8, self.latent_dim)
-        key_dim = (key_dim // self.num_heads) * self.num_heads
+        # Reference default: min(64, N*F) rounded down to a heads multiple
+        # (models_new.py:1014-1020).
+        key_dim = self.key_dim or min(64, n * f_node)
+        key_dim = max((key_dim // self.num_heads) * self.num_heads, self.num_heads)
 
         if self.use_gnn:
             _, _, e, f_edge = a.shape
@@ -241,4 +243,26 @@ class TransformerEncoder(nn.Module):
             ang_emb = self._core(_flatten_angles(angles), key_dim, train)
             enc = jnp.concatenate([enc, ang_emb], axis=-1)
 
-        return nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(enc)
+        # MLP head with numeric guards, shared with the TCN encoder
+        # (models_new.py:1074-1082, 1152-1162).
+        h = rms_stabilize(enc)
+        h = nn.Dense(2 * self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = nn.relu(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(h)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = nn.relu(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(h)
+        out = nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        if train and out.shape[0] > 1:
+            # Train-time batch standardization forcing embedding diversity
+            # (models_new.py:1164-1166).
+            out = (out - out.mean(axis=0, keepdims=True)) / jnp.maximum(
+                out.std(axis=0, keepdims=True), 0.1
+            )
+        return out
