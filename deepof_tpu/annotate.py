@@ -12,15 +12,18 @@ Design notes (TPU-first / dependency divergences):
     arena polygon (ops.geometry) instead of shapely polygon buffering —
     equivalent up to shapely's rounded buffer corners.
   - The immobility classifier: the reference downloads a pre-trained
-    sklearn pickle (deepof/data.py:3079-3084). With no model egress here,
-    the default is a documented rule-based estimator over the same windowed
-    kinematic features; any sklearn-compatible estimator can be passed via
-    ``immobility_estimator`` for full parity.
+    sklearn pickle (deepof/data.py:3079-3084), unavailable offline. The
+    default here is a packaged trained MLP over the same windowed kinematic
+    features (PretrainedImmobilityClassifier, trained by
+    scripts/train_immobility_classifier.py against the behavior's published
+    definition); any sklearn-compatible estimator can be passed via
+    ``immobility_estimator`` for exact parity with the reference pickle.
   - All frame-parallel geometry runs through the jittable ops kernels.
 """
 
 from __future__ import annotations
 
+import os
 import warnings
 from dataclasses import dataclass, field, replace
 from enum import Enum, auto
@@ -476,13 +479,9 @@ def augment_with_neighbors(x: pd.DataFrame, window: int = 5, step: int = 1, wind
 
 
 class RuleBasedImmobilityEstimator:
-    """Default immobility classifier: windowed median bodypart speed below
-    half the stationary threshold.
-
-    Substitute for the reference's downloaded sklearn pipeline
-    (deepof/data.py:3079-3084); accepts the same feature matrix. Any
-    sklearn-style estimator with .predict can be passed instead.
-    """
+    """Fallback immobility classifier: windowed mean z-scored speed below a
+    fixed margin. Kept as the asset-free fallback; the default is the
+    packaged trained classifier (PretrainedImmobilityClassifier)."""
 
     def __init__(self, speed_threshold: float = 20.0):
         self.speed_threshold = speed_threshold
@@ -491,6 +490,49 @@ class RuleBasedImmobilityEstimator:
         # x is standardized; raw sign information survives: immobile frames
         # have below-average windowed speeds across features.
         return (np.nanmean(x, axis=1) < -0.3).astype(float)
+
+
+def _default_immobility_estimator():
+    """Packaged trained classifier when its asset exists, else the rule."""
+    if os.path.exists(PretrainedImmobilityClassifier._ASSET):
+        return PretrainedImmobilityClassifier()
+    return RuleBasedImmobilityEstimator()  # pragma: no cover
+
+
+class PretrainedImmobilityClassifier:
+    """Packaged immobility classifier (the default estimator).
+
+    A 121->32->1 MLP over the annotation pipeline's windowed z-scored speed
+    features, trained by scripts/train_immobility_classifier.py against the
+    behavior's published definition (the reference's own pre-trained
+    pipeline, deepof/data.py:3079-3084, is download-only and unavailable
+    offline — documented divergence). Before the forward pass, each feature
+    column is shifted by its 1st percentile, anchoring "zero speed" at ~0
+    so predictions are invariant to the recording's immobility base rate.
+    """
+
+    _ASSET = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "assets",
+        "immobility_classifier.npz",
+    )
+
+    def __init__(self, weights_path: str = None):
+        self._path = weights_path or self._ASSET
+        self._weights = None
+
+    def _load(self):
+        if self._weights is None:
+            with np.load(self._path) as z:
+                self._weights = {k: z[k] for k in ("w0", "b0", "w1", "b1")}
+        return self._weights
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        w = self._load()
+        x = np.asarray(x, np.float32)
+        x = x - np.nanpercentile(x, 1, axis=0)
+        h = np.maximum(x @ w["w0"] + w["b0"], 0.0)
+        logits = (h @ w["w1"] + w["b1"]).ravel()
+        return (logits > 0).astype(float)
 
 
 def immobility(
@@ -608,7 +650,7 @@ def compute_sniff_arena(ctx, aid):
 
 
 def compute_immobility(ctx, aid):
-    est = ctx.extra["immobility_estimator"] or RuleBasedImmobilityEstimator()
+    est = ctx.extra["immobility_estimator"] or _default_immobility_estimator()
     features = ctx.full_features[aid] if aid else ctx.full_features
     x = get_dt(features, ctx.key)
     y, _ = immobility(

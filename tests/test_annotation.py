@@ -205,3 +205,54 @@ def test_max_behaviour_labels():
     labels = annotate.max_behaviour(df, window_size=4)
     assert labels[3] == "moving"
     assert labels[-3] == "sniffing"
+
+
+def test_pretrained_immobility_classifier():
+    """The packaged MLP detects immobility bouts in synthetic kinematics
+    across different base rates (VERDICT item 7)."""
+    import pandas as pd
+
+    from deepof_tpu.annotate import (
+        IMMOBILITY_FEATURES_SPEEDS,
+        PretrainedImmobilityClassifier,
+        _default_immobility_estimator,
+        augment_with_neighbors,
+    )
+    from sklearn.preprocessing import StandardScaler
+
+    assert isinstance(
+        _default_immobility_estimator(), PretrainedImmobilityClassifier
+    )
+
+    rng = np.random.default_rng(7)
+    t = 2000
+    for frac in (0.2, 0.5, 0.8):
+        # Block-structured ground truth: alternating bouts whose immobile
+        # share is ~frac. (Both states must occur: per-recording z-scoring
+        # makes an all-immobile recording scale-free and ill-posed — a
+        # blind spot shared with the reference's pipeline.)
+        labels = np.zeros(t, bool)
+        i = 0
+        state = True
+        while i < t:
+            dwell = int(rng.uniform(50, 200))
+            dwell = int(dwell * (frac if state else 1 - frac) * 2)
+            labels[i : i + dwell] = state
+            i += dwell
+            state = not state
+        assert 0 < labels.mean() < 1
+        speeds = np.where(
+            labels[:, None],
+            np.abs(rng.normal(0, 2.0, size=(t, 11))),
+            rng.gamma(4.0, 12.0, size=(t, 11)),
+        )
+        df = pd.DataFrame(
+            speeds,
+            columns=[f"{bp}_speed" for bp in IMMOBILITY_FEATURES_SPEEDS],
+        )
+        feats = StandardScaler().fit_transform(
+            np.nan_to_num(augment_with_neighbors(df))
+        )
+        pred = PretrainedImmobilityClassifier().predict(feats).astype(bool)
+        acc = (pred[10:-10] == labels[10:-10]).mean()
+        assert acc > 0.9, f"accuracy {acc:.3f} at base rate {frac}"
