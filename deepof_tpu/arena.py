@@ -246,6 +246,7 @@ def get_arenas(
     roi_dicts: Dict = None,
     arena_params: Dict = None,
     scales: Dict = None,
+    point_provider=None,
 ):
     """Arena calibration for every video.
 
@@ -321,10 +322,126 @@ def get_arenas(
         roi_dicts = scale_rois_to_mm(roi_dicts, scales)
         return scales, arena_params, roi_dicts, video_resolution
 
-    raise NotImplementedError(
-        "Manual arena annotation requires an interactive display. Provide "
-        "arena_params/scales directly, or use an -autodetect arena type."
+    if "manual" in arena:
+        return annotate_arenas_manual(
+            arena, arena_dims, number_of_rois, video_path, videos or {},
+            point_provider=point_provider,
+        )
+
+    raise ValueError(
+        f"Unknown arena type {arena!r}: expected circular/polygonal "
+        "-autodetect or -manual, or provide arena_params/scales directly."
     )
+
+
+def annotate_arenas_manual(
+    arena: str,
+    arena_dims: float,
+    number_of_rois: int,
+    video_path: str,
+    videos: Dict[str, str],
+    point_provider=None,
+):
+    """Manual arena + ROI annotation (spec: deepof/arena_utils.py:160-238).
+
+    The reference collects clicks through an OpenCV GUI; here point
+    collection is injectable so the same flow runs headless (notebooks,
+    scripts, tests):
+
+        point_provider(frame, key, purpose) -> (P, 2) pixel points
+
+    with purpose one of "arena" (polygon corners / ellipse perimeter
+    points), "distance" (two points spanning a known ``arena_dims`` mm
+    length), or "roi_<i>". Without a provider, the interactive OpenCV
+    click collector is used (requires a display).
+
+    Returns (scales, arena_params_mm, roi_dicts_mm, video_resolution) —
+    scales[key] = [x_center_mm, y_center_mm, length_px, length_mm] with
+    length_px the user-drawn calibration distance, mirroring the
+    reference's manual-scale layout (arena_utils.py:204-216).
+    """
+    provider = point_provider or _collect_points_gui
+    scales, arena_params, roi_dicts, video_resolution = {}, {}, {}, {}
+    for key, vid in videos.items():
+        try:
+            frame = median_frame(os.path.join(video_path, vid))
+        except ValueError:
+            if point_provider is None:
+                raise
+            # Unreadable video (e.g. git-lfs stub): programmatic providers
+            # may not need pixels — hand them a placeholder frame.
+            frame = np.zeros((480, 640, 3), np.uint8)
+        h, w = frame.shape[:2]
+        video_resolution[key] = (h, w)
+
+        corners = np.asarray(provider(frame, key, "arena"), float)
+        assert corners.ndim == 2 and corners.shape[0] >= 3, (
+            "arena annotation needs at least 3 points"
+        )
+        dist_pts = np.asarray(provider(frame, key, "distance"), float)
+        assert dist_pts.shape == (2, 2), (
+            "distance annotation needs exactly 2 points"
+        )
+        length_px = float(np.linalg.norm(dist_pts[1] - dist_pts[0]))
+        assert length_px > 0, "calibration points must be distinct"
+
+        # Scale center: for circular arenas, from the ellipse fitted to the
+        # clicked perimeter points; else the polygon centroid.
+        if "circular" in arena:
+            scale_ref = extract_corners_from_arena(
+                fit_ellipse_to_polygon(corners)
+            )
+        else:
+            scale_ref = corners
+        center_px = np.mean(np.asarray(scale_ref, float), axis=0)
+        ratio = arena_dims / length_px
+        scales[key] = [
+            float(center_px[0] * ratio),
+            float(center_px[1] * ratio),
+            length_px,
+            float(arena_dims),
+        ]
+        arena_params[key] = corners
+        roi_dicts[key] = {
+            i: np.asarray(provider(frame, key, f"roi_{i}"), float)
+            for i in range(1, int(number_of_rois) + 1)
+        }
+    arena_params = scale_arenas_to_mm(arena_params, scales)
+    roi_dicts = scale_rois_to_mm(roi_dicts, scales)
+    return scales, arena_params, roi_dicts, video_resolution
+
+
+def _collect_points_gui(frame: np.ndarray, key: str, purpose: str):  # pragma: no cover
+    """Interactive OpenCV click collector (display required): left-click
+    adds a point, right-click/backspace removes the last, Enter confirms
+    (the reference's GUI interaction model, arena_utils.py:1353-1560)."""
+    points = []
+    window = f"deepof_tpu: {key} - click {purpose}, Enter to confirm"
+
+    def on_mouse(event, x, y, flags, param):
+        if event == cv2.EVENT_LBUTTONDOWN:
+            points.append((x, y))
+        elif event == cv2.EVENT_RBUTTONDOWN and points:
+            points.pop()
+
+    cv2.namedWindow(window)
+    cv2.setMouseCallback(window, on_mouse)
+    while True:
+        canvas = frame.copy()
+        for p in points:
+            cv2.circle(canvas, tuple(map(int, p)), 4, (0, 255, 0), -1)
+        if len(points) > 1:
+            cv2.polylines(
+                canvas, [np.asarray(points, np.int32)], False, (0, 255, 0), 2
+            )
+        cv2.imshow(window, canvas)
+        key_code = cv2.waitKey(30) & 0xFF
+        if key_code in (13, 10):  # Enter
+            break
+        if key_code == 8 and points:  # Backspace
+            points.pop()
+    cv2.destroyWindow(window)
+    return np.asarray(points, float)
 
 
 def _maybe_load_sam(segmentation_model_path: Optional[str]):

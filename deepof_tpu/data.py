@@ -204,9 +204,13 @@ class Project:
         frame_rate: float = None,
         fast_implementations_threshold: int = 50000,
         precision: str = "auto",
+        point_provider=None,
     ):
         assert precision in ("auto", "float32", "float64"), precision
         self.precision = precision
+        # Manual-arena annotation hook: (frame, key, purpose) -> points.
+        # None = interactive OpenCV collector (arena.annotate_arenas_manual).
+        self.point_provider = point_provider
         self.version = CURRENT_VERSION
         self.project_path = project_path
         self.project_name = project_name
@@ -233,10 +237,15 @@ class Project:
                     f"No tracking tables ({'/'.join(known)}) found in "
                     f"{self.source_table_path}"
                 )
-            first = candidates[0]
-            self.table_format = next(
-                ext for ext in known if first.endswith(ext)
-            )
+            # Majority format wins (deterministic: ties break by the
+            # `known` priority order, not os.listdir order — Tables dirs
+            # holding e.g. both csv and h5 exports are common).
+            counts = {
+                ext: sum(f.endswith(ext) for f in candidates) for ext in known
+            }
+            # "analysis.h5" files also end with "h5"; don't double-count.
+            counts["h5"] -= counts["analysis.h5"]
+            self.table_format = max(known, key=lambda e: counts[e])
 
         video_list = natural_sorted(
             [
@@ -569,6 +578,7 @@ class Project:
             self.video_path,
             self.videos,
             test=test,
+            point_provider=self.point_provider,
         )
 
     # ------------------------------------------------------------------ #
@@ -948,12 +958,14 @@ class Coordinates:
 
     def edit_arenas(
         self, video_keys: list = None, arena_type: str = None,
-        verbose: bool = True, test: bool = False,
+        verbose: bool = True, test: bool = False, point_provider=None,
     ):
         """Re-annotate arenas for selected videos and persist the result
         (deepof/data.py:2510-2575). Autodetect types are re-run; manual
-        types need an interactive display (or test=True for the fixture
-        path). Updated parameters overwrite the stored arena pickle."""
+        types take points from ``point_provider`` (see
+        arena.annotate_arenas_manual) or the interactive OpenCV collector
+        (display required); test=True keeps the fixture path. Updated
+        parameters overwrite the stored arena pickle."""
         import deepof_tpu.arena as arena_mod
 
         if video_keys is None:
@@ -969,6 +981,7 @@ class Coordinates:
             self, arena_type, self._arena_dims, self._number_of_rois,
             None, self._video_path,
             {k: self._videos[k] for k in video_keys}, test=test,
+            point_provider=point_provider,
         )
         self._scales.update(scales)
         self._arena_params.update(arena_params)

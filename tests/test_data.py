@@ -184,3 +184,125 @@ def test_coordinates_metadata_api(tmp_path):
     )
     assert set(params) == set(coords._tables)
     assert scales[key][3] == coords._scales[key][3]
+
+
+def test_sample_windows_from_data():
+    """Window sampling parity contract (deepof/data.py:3931-4045)."""
+    from deepof_tpu.core.table_dict import TableDict
+
+    rng = np.random.default_rng(0)
+    main1 = rng.normal(size=(100, 4, 2)).astype(np.float32)
+    main1[10, 0, 0] = np.nan
+    edge1 = rng.normal(size=(100, 3)).astype(np.float32)
+    main2 = rng.normal(size=(50, 4, 2)).astype(np.float32)
+    edge2 = rng.normal(size=(50, 3)).astype(np.float32)
+    td = TableDict({"a": (main1, edge1), "b": (main2, edge2)}, typ="merged")
+
+    # Random contiguous block, capped at n_windows.
+    x, a, idx = td.sample_windows_from_data(n_windows=20, return_edges=True)
+    assert x.shape[0] == 40 and a.shape[0] == 40
+    for key, n in [("a", 20), ("b", 20)]:
+        ii = idx[key]
+        assert len(ii) == n
+        np.testing.assert_array_equal(np.diff(ii), 1)  # contiguous
+    np.testing.assert_array_equal(x[:20], main1[idx["a"]])
+    np.testing.assert_array_equal(a[:20], edge1[idx["a"]])
+
+    # Missing edge tables produce main-shaped zero placeholders
+    # (deepof/data.py:3982-3986).
+    td_solo = TableDict({"c": (main2,)}, typ="merged")
+    _, a_solo, _ = td_solo.sample_windows_from_data(
+        n_windows=10, return_edges=True
+    )
+    assert a_solo.shape == (10, 4, 2) and (a_solo == 0).all()
+
+    # no_nans drops NaN rows but returns original-table indices.
+    _, idx2 = td.sample_windows_from_data(n_windows=1000, no_nans=True)
+    assert 10 not in idx2["a"] and len(idx2["a"]) == 99
+
+    # Provided indices are used verbatim (no re-sampling).
+    given = {"a": np.array([5, 7, 9]), "b": np.array([0, 1])}
+    x3, a3, idx3 = td.sample_windows_from_data(
+        time_bin_info=given, return_edges=True
+    )
+    np.testing.assert_array_equal(idx3["a"], given["a"])
+    np.testing.assert_array_equal(x3[:3], main1[given["a"]])
+    np.testing.assert_array_equal(a3[:3], edge1[given["a"]])
+    assert x3.shape[0] == 5
+
+
+def test_manual_arena_annotation(tmp_path):
+    """Manual arena + ROI annotation through a programmatic point provider
+    (the reference's GUI flow, headless — VERDICT missing #2)."""
+    import shutil
+
+    from deepof_tpu.data import Project
+
+    src = os.path.join(FIXTURES, "test_single_topview")
+    (tmp_path / "Tables").mkdir()
+    (tmp_path / "Videos").mkdir()
+    for f in os.listdir(os.path.join(src, "Tables")):
+        if f.endswith("h5"):
+            shutil.copy(os.path.join(src, "Tables", f), tmp_path / "Tables" / f)
+    for f in os.listdir(os.path.join(src, "Videos")):
+        shutil.copy(os.path.join(src, "Videos", f), tmp_path / "Videos" / f)
+
+    calls = []
+
+    def provider(frame, key, purpose):
+        calls.append((key, purpose))
+        if purpose == "arena":
+            # Square arena, 400 px on a side.
+            return [(100, 50), (500, 50), (500, 450), (100, 450)]
+        if purpose == "distance":
+            # 400 px across the arena = 380 mm.
+            return [(100, 50), (500, 50)]
+        # One ROI: the left half.
+        return [(100, 50), (300, 50), (300, 450), (100, 450)]
+
+    proj = Project(
+        project_path=str(tmp_path), project_name="manual",
+        video_path=str(tmp_path / "Videos"), table_path=str(tmp_path / "Tables"),
+        arena="polygonal-manual", video_scale="380 mm", table_format="h5",
+        frame_rate=25, number_of_rois=1, point_provider=provider,
+    )
+    coords = proj.create(force=True, test=False, verbose=False)
+
+    # Both videos annotated: arena, distance, and 1 ROI each.
+    assert {p for _, p in calls} == {"arena", "distance", "roi_1"}
+    assert len(calls) == 6
+    key = "test"
+    # scales: [x_center_mm, y_center_mm, length_px, length_mm]
+    sx, sy, lpx, lmm = coords._scales[key]
+    assert lpx == pytest.approx(400.0) and lmm == 380.0
+    assert sx == pytest.approx(300 * 380 / 400)
+    # Arena stored in mm: px corners * ratio.
+    np.testing.assert_allclose(
+        np.asarray(coords._arena_params[key]),
+        np.asarray([(100, 50), (500, 50), (500, 450), (100, 450)], float)
+        * (380 / 400),
+    )
+    assert set(coords._roi_dicts[key]) == {1}
+
+    # ROI filtering works on manually-annotated ROIs.
+    inside = coords.get_coords(roi_number=1)
+    assert np.isnan(inside[key].to_numpy()).sum() >= np.isnan(
+        coords.get_coords()[key].to_numpy()
+    ).sum()
+
+    # edit_arenas with a circular-manual provider replaces the parameters.
+    def circ_provider(frame, key, purpose):
+        if purpose == "arena":
+            th = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+            return np.stack(
+                [300 + 150 * np.cos(th), 250 + 140 * np.sin(th)], axis=1
+            )
+        if purpose == "distance":
+            return [(150, 250), (450, 250)]
+        return [(200, 200), (400, 200), (400, 300), (200, 300)]
+
+    coords.edit_arenas(
+        video_keys=["test"], arena_type="circular-manual",
+        point_provider=circ_provider, verbose=False,
+    )
+    assert coords._scales["test"][2] == pytest.approx(300.0)
