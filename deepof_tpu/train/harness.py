@@ -157,6 +157,13 @@ class ModelBundle:
                    history=payload.get("history", {}))
 
 
+def _compute_dtype(common: "CommonFitCfg"):
+    """bf16 compute policy when use_amp is set (params stay float32 via
+    param_dtype; the matmul/conv/GRU compute runs in bfloat16 — the TPU
+    equivalent of the reference's AMP autocast, training.py:143-157)."""
+    return jnp.bfloat16 if getattr(common, "use_amp", False) else jnp.float32
+
+
 def _split_variables(variables):
     params = variables["params"]
     rest = {k: v for k, v in variables.items() if k != "params"}
@@ -390,11 +397,19 @@ def make_contrastive_step(model, optimizer, cfg: ContrastiveCfg, edge_index, pre
 # --------------------------------------------------------------------------- #
 
 
-def _epoch_mean(logs_list: List[Dict]) -> Dict[str, float]:
+def _epoch_mean(logs_list: List[Dict], weights: List[int] = None) -> Dict[str, float]:
+    """Per-key average over batch logs, weighted by true (pre-padding)
+    batch sizes so ragged final batches don't bias epoch metrics
+    (shard_batch pads by repeating rows to fill the device mesh)."""
     if not logs_list:
         return {}
     keys = logs_list[0].keys()
-    return {k: float(np.mean([float(l[k]) for l in logs_list])) for k in keys}
+    w = np.asarray(weights if weights is not None else [1] * len(logs_list), float)
+    w = w / w.sum()
+    return {
+        k: float(np.sum([float(l[k]) * wi for l, wi in zip(logs_list, w)]))
+        for k in keys
+    }
 
 
 def _chain_hooks(*hooks):
@@ -456,8 +471,11 @@ def _run_epochs(
             if limit_train_batches and bi >= limit_train_batches:
                 break
             logs = train_fn(x, a, ang, idx, epoch)
-            logs_list.append(logs)
-        train_logs = _epoch_mean([jax.device_get(l) for l in logs_list])
+            logs_list.append((logs, len(idx)))
+        train_logs = _epoch_mean(
+            [jax.device_get(l) for l, _ in logs_list],
+            [n for _, n in logs_list],
+        )
 
         val_logs = {}
         if val_ds is not None and len(val_ds) > 0 and eval_fn is not None:
@@ -467,8 +485,11 @@ def _run_epochs(
             ):
                 if limit_val_batches and bi >= limit_val_batches:
                     break
-                vlist.append(eval_fn(x, a, ang, idx, epoch))
-            val_logs = _epoch_mean([jax.device_get(v) for v in vlist])
+                vlist.append((eval_fn(x, a, ang, idx, epoch), len(idx)))
+            val_logs = _epoch_mean(
+                [jax.device_get(v) for v, _ in vlist],
+                [n for _, n in vlist],
+            )
             epoch_val = val_logs.get("total_loss", np.inf)
             if epoch_val < best_val:
                 best_val = epoch_val
@@ -534,7 +555,7 @@ def fit_vqvae(
         "VQVAE", x0.shape[1:], a0.shape[1:], adjacency,
         latent_dim=common.latent_dim, n_components=common.n_components,
         encoder_type=common.encoder_type, use_gnn=use_gnn,
-        kmeans_loss=kmeans_loss,
+        kmeans_loss=kmeans_loss, dtype=_compute_dtype(common),
     )
     variables = _init_model(model, x0, a0, common.seed or 0, sample_ang=ang0)
     params, rest = _split_variables(variables)
@@ -656,7 +677,7 @@ def fit_vade(
         "VaDE", x0.shape[1:], a0.shape[1:], adjacency,
         latent_dim=common.latent_dim, n_components=common.n_components,
         encoder_type=common.encoder_type, use_gnn=use_gnn,
-        kmeans_loss=common.kmeans_loss,
+        kmeans_loss=common.kmeans_loss, dtype=_compute_dtype(common),
     )
     variables = _init_model(model, x0, a0, common.seed or 0, sample_ang=ang0)
     params, rest = _split_variables(variables)
@@ -952,7 +973,7 @@ def fit_contrastive(
     model = build_model(
         "Contrastive", x0.shape[1:], a0.shape[1:], adjacency,
         latent_dim=common.latent_dim, encoder_type=common.encoder_type,
-        use_gnn=use_gnn,
+        use_gnn=use_gnn, dtype=_compute_dtype(common),
     )
     half = x0.shape[1] // 2
     variables = _init_model(model, x0[:, :half], a0[:, :half], common.seed or 0)
@@ -1075,6 +1096,7 @@ def train_deepof_model(
     random_seed: int = 0,
     use_gnn: bool = True,
     use_angles: bool = False,
+    use_amp: bool = False,
     pretrain_epochs: Optional[int] = None,
     use_turtle_teacher: bool = False,
     verbose: bool = True,
@@ -1119,6 +1141,7 @@ def train_deepof_model(
         epochs=epochs,
         n_components=n_clusters,
         kmeans_loss=kmeans_loss,
+        use_amp=use_amp,
         output_path=output_path,
         data_path=data_path,
         log_history=log_history,

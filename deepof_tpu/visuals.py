@@ -43,13 +43,23 @@ def _maybe_save(fig, save, default_name: str):
     return fig
 
 
-def _conditions_of(coordinates, keys):
+def _conditions_of(coordinates, keys, exp_condition: str = None):
+    """Per-key condition labels; ``exp_condition`` picks which condition
+    column to group by when experiments carry several
+    (visuals.py:979-1050 exp_condition handling)."""
     conds = {}
     exp = coordinates._exp_conditions or {}
     for k in keys:
         c = exp.get(k)
         if hasattr(c, "iloc"):
-            c = str(c.iloc[0, 0])
+            if exp_condition is not None:
+                assert exp_condition in c.columns, (
+                    f"{exp_condition!r} not among condition columns "
+                    f"{list(c.columns)}"
+                )
+                c = str(c[exp_condition].iloc[0])
+            else:
+                c = str(c.iloc[0, 0])
         conds[k] = str(c)
     return conds
 
@@ -78,7 +88,7 @@ def plot_heatmaps(
     **kwargs,
 ):
     """2D occupancy heatmaps per bodypart (visuals.py:80-246)."""
-    coords = coordinates.get_coords(center=center)
+    coords = coordinates.get_coords(center=center, align=align)
     bin_info = vu.preprocess_time_bins(
         coordinates, bin_size, bin_index, precomputed_bins,
         samples_max=samples_max,
@@ -120,47 +130,73 @@ def plot_gantt(
     ax: Any = None,
     **kwargs,
 ):
-    """Behavior/cluster occurrence Gantt chart for one experiment
-    (visuals.py:248-766)."""
+    """Behavior/cluster occurrence Gantt chart for one experiment.
+
+    When both soft_counts and supervised_annotations are given, renders
+    stacked panels sharing the time axis (the reference's multi-panel
+    gantt machinery, visuals.py:346-978 _plot_experiment_gantt /
+    gantt_plotter).
+    """
     bin_info = vu.preprocess_time_bins(
         coordinates, bin_size, bin_index, precomputed_bins,
         experiment_id=experiment_id, samples_max=None,
     )
     rng = bin_info[experiment_id]
 
-    if supervised_annotations is not None:
+    def supervised_series():
         tab = pd.DataFrame(get_dt(supervised_annotations, experiment_id)).iloc[rng]
-        if behaviors is None:
-            behaviors = [
-                c for c in tab.columns
-                if not any(s in str(c) for s in ("speed", "distance"))
-            ]
-        series = {b: (tab[b] > 0.1).to_numpy() for b in behaviors}
-        colors = vu.get_behavior_colors(behaviors, coordinates._animal_ids)
-    else:
+        names = behaviors or [
+            c for c in tab.columns
+            if not any(s in str(c) for s in ("speed", "distance"))
+        ]
+        series = {b: (tab[b] > 0.1).to_numpy() for b in names}
+        return series, vu.get_behavior_colors(names, coordinates._animal_ids)
+
+    def cluster_series():
         counts = np.asarray(get_dt(soft_counts, experiment_id))[rng]
         hard = counts.argmax(axis=1)
         clusters = sorted(np.unique(hard))
         series = {f"Cluster {c}": hard == c for c in clusters}
         cmap = plt.get_cmap("tab20")
-        colors = [matplotlib.colors.to_hex(cmap(i % 20)) for i in range(len(clusters))]
+        return series, [
+            matplotlib.colors.to_hex(cmap(i % 20)) for i in range(len(clusters))
+        ]
+
+    panels = []
+    if soft_counts is not None:
+        panels.append(("unsupervised clusters",) + cluster_series())
+    if supervised_annotations is not None:
+        panels.append(("supervised behaviors",) + supervised_series())
+    assert panels, "pass soft_counts and/or supervised_annotations"
 
     own_fig = ax is None
     if own_fig:
-        fig, ax = plt.subplots(figsize=(10, 0.4 * len(series) + 1))
+        heights = [0.4 * len(series) + 1 for _, series, _ in panels]
+        fig, axes = plt.subplots(
+            len(panels), 1, figsize=(10, sum(heights)), sharex=True,
+            gridspec_kw={"height_ratios": heights}, squeeze=False,
+        )
+        axes = axes[:, 0]
     else:
         fig = ax.figure
-    t = np.arange(len(rng)) / coordinates._frame_rate
-    for i, (name, mask) in enumerate(series.items()):
-        starts, ends = vu.contiguous_segments(mask)
-        for s, e in zip(starts, ends):
-            ax.barh(i, (e - s) / coordinates._frame_rate,
-                    left=s / coordinates._frame_rate,
-                    color=colors[i % len(colors)], height=0.8)
-    ax.set_yticks(range(len(series)))
-    ax.set_yticklabels(list(series.keys()))
-    ax.set_xlabel("time (s)")
-    ax.set_title(experiment_id)
+        axes = np.atleast_1d(ax)
+        assert len(axes) >= len(panels), "need one axis per panel"
+
+    for panel_ax, (title, series, colors) in zip(axes, panels):
+        for i, (name, mask) in enumerate(series.items()):
+            starts, ends = vu.contiguous_segments(mask)
+            for seg_s, seg_e in zip(starts, ends):
+                panel_ax.barh(
+                    i, (seg_e - seg_s) / coordinates._frame_rate,
+                    left=seg_s / coordinates._frame_rate,
+                    color=colors[i % len(colors)], height=0.8,
+                )
+        panel_ax.set_yticks(range(len(series)))
+        panel_ax.set_yticklabels(list(series.keys()))
+        panel_ax.set_title(title if len(panels) > 1 else experiment_id)
+    axes[len(panels) - 1].set_xlabel("time (s)")
+    if len(panels) > 1:
+        fig.suptitle(experiment_id)
     return _maybe_save(fig, save, "gantt")
 
 
@@ -191,11 +227,15 @@ def plot_enrichment(
         coordinates, bin_size, bin_index, precomputed_bins, samples_max=None,
         tab_dict_for_binning=(supervised_annotations or soft_counts),
     )
+    source = supervised_annotations or soft_counts or embeddings
+    cond_map = _conditions_of(
+        coordinates, list(source.keys()), exp_condition=exp_condition
+    )
     counters = posthoc.enrichment_across_conditions(
         embedding=embeddings,
         soft_counts=soft_counts,
         supervised_annotations=supervised_annotations,
-        exp_conditions=coordinates._exp_conditions or {},
+        exp_conditions=cond_map,
         bin_info=bin_info,
         normalize=normalize,
     )
@@ -225,6 +265,7 @@ def plot_enrichment(
     if add_stats and len(conditions) == 2:
         from scipy.stats import mannwhitneyu, ttest_ind
 
+        ymax = counters["time on cluster"].max()
         for ki, cl in enumerate(clusters):
             a = counters[
                 (counters["exp condition"] == conditions[0])
@@ -243,9 +284,14 @@ def plot_enrichment(
                 except ValueError:
                     p = np.nan
                 stats[cl] = p
-                if p < 0.05:
-                    y = max(a.max(), b.max())
-                    ax.text(ki + width / 2, y, "*", ha="center", fontsize=14)
+                if np.isfinite(p) and p < 0.05:
+                    # statannotations-style bracket + Cohen's d
+                    # (visuals_utils.py:875).
+                    y = max(a.max(), b.max()) + 0.03 * ymax
+                    vu.add_significance_bracket(
+                        ax, ki, ki + width, y, p,
+                        effect_size=vu.cohens_d(a, b),
+                    )
     ax.set_xticks(np.arange(len(clusters)) + width * (len(conditions) - 1) / 2)
     ax.set_xticklabels([str(c) for c in clusters], rotation=45, ha="right")
     ax.set_ylabel("time on cluster" + (" (fraction)" if normalize else ""))
@@ -535,6 +581,8 @@ def plot_embeddings(
     soft_counts: TableDict = None,
     supervised_annotations: TableDict = None,
     aggregate_experiments: str = None,
+    exp_condition: str = None,
+    projection: str = "pca",
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
@@ -543,10 +591,30 @@ def plot_embeddings(
     ax: Any = None,
     **kwargs,
 ):
-    """2D PCA scatter of chunk embeddings (colored by cluster) or of
+    """2D scatter of chunk embeddings (colored by cluster) or of
     aggregated per-experiment embeddings (colored by condition)
-    (visuals.py:2421-2862)."""
+    (visuals.py:2421-2862). ``projection``: "pca" | "umap" | "tsne".
+    """
     from sklearn.decomposition import PCA
+
+    def reduce_2d(arr):
+        if projection == "pca":
+            return PCA(n_components=2).fit_transform(arr)
+        if projection == "tsne":
+            from sklearn.manifold import TSNE
+
+            perp = float(min(30, max(2, len(arr) - 1)))
+            return TSNE(n_components=2, perplexity=perp).fit_transform(arr)
+        if projection == "umap":
+            try:
+                import umap as umap_lib
+            except ImportError as e:  # pragma: no cover
+                raise ImportError(
+                    "projection='umap' requires the optional 'umap-learn' "
+                    "package; use 'pca' or 'tsne' instead."
+                ) from e
+            return umap_lib.UMAP(n_components=2).fit_transform(arr)
+        raise ValueError(f"Unknown projection {projection!r}")
 
     own_fig = ax is None
     if own_fig:
@@ -558,8 +626,10 @@ def plot_embeddings(
         agg = posthoc.get_aggregated_embedding(
             embeddings, agg=aggregate_experiments,
         )
-        reduced = PCA(n_components=2).fit_transform(agg.to_numpy(float))
-        conds = _conditions_of(coordinates, list(agg.index))
+        reduced = reduce_2d(agg.to_numpy(float))
+        conds = _conditions_of(
+            coordinates, list(agg.index), exp_condition=exp_condition
+        )
         for cond in sorted(set(conds.values())):
             sel = [i for i, k in enumerate(agg.index) if conds[k] == cond]
             ax.scatter(reduced[sel, 0], reduced[sel, 1], label=cond, s=60)
@@ -578,11 +648,11 @@ def plot_embeddings(
         if len(x) > samples_max:
             idx = np.random.default_rng(0).choice(len(x), samples_max, replace=False)
             x, y = x[idx], y[idx]
-        reduced = PCA(n_components=2).fit_transform(x)
+        reduced = reduce_2d(x)
         scat = ax.scatter(reduced[:, 0], reduced[:, 1], c=y, cmap="tab20", s=4)
         fig.colorbar(scat, ax=ax, label="cluster")
-    ax.set_xlabel("PC 1")
-    ax.set_ylabel("PC 2")
+    ax.set_xlabel(f"{projection.upper()} 1")
+    ax.set_ylabel(f"{projection.upper()} 2")
     return _maybe_save(fig, save, "embeddings")
 
 

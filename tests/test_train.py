@@ -384,3 +384,24 @@ def test_angles_default_off_is_identical_shape():
     a = np.zeros((2, W, E, 1), np.float32)
     z = bundle.encode(x, a)
     assert np.asarray(z).shape == (2, 4)
+
+
+def test_bf16_compute_policy_trains():
+    """use_amp=True trains with bfloat16 compute (float32 params) — the
+    TPU equivalent of the reference's AMP autocast (SURVEY §2.3)."""
+    train, test = _preprocessed(seed=2)
+    adj = _adjacency()
+    bundle, _, _, summary = train_deepof_model(
+        ((train, test), {}, adj), adjacency_matrix=adj, model_name="VQVAE",
+        encoder_type="recurrent", batch_size=16, latent_dim=4, epochs=1,
+        n_clusters=3, save_weights=False, verbose=False, use_amp=True,
+        limit_train_batches=2, limit_val_batches=1,
+    )
+    assert any("total_loss" in k for k in summary)
+    # Params remain float32 (param_dtype), compute dtype is bfloat16.
+    leaf = jax.tree_util.tree_leaves(bundle.variables["params"])[0]
+    assert leaf.dtype == jnp.float32
+    x = np.zeros((2, W, N, 3), np.float32)
+    a = np.zeros((2, W, E, 1), np.float32)
+    z = np.asarray(bundle.encode(x, a))
+    assert z.shape == (2, 4) and np.isfinite(z).all()
