@@ -297,7 +297,7 @@ class CausalSelfAttentionLayer(nn.Module):
         x = x + attn
         xn = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         ff = nn.Dense(self.dff, dtype=self.dtype, param_dtype=jnp.float32)(xn)
-        ff = nn.gelu(ff)
+        ff = nn.gelu(ff, approximate=False)
         if self.rate:
             ff = nn.Dropout(self.rate, deterministic=not train)(ff)
         ff = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32)(ff)

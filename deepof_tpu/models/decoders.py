@@ -159,9 +159,9 @@ class TransformerDecoder(nn.Module):
     window_size: int
     latent_dim: int
     num_layers: int = 2
-    num_heads: int = 4
+    num_heads: int = 8      # reference: init_encoder_decoder num_heads=8
     dff: int = 128
-    dropout_rate: float = 0.1
+    dropout_rate: float = 0.2  # reference: dropout_rate=0.2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -170,11 +170,11 @@ class TransformerDecoder(nn.Module):
         d_model = 4 * self.latent_dim
 
         z = nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(g.astype(self.dtype))
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)
         z = nn.Dense(2 * self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(z)
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)
         z = nn.Dense(d_model, dtype=self.dtype, param_dtype=jnp.float32)(z)
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)
 
         h = jnp.repeat(z[:, None, :], self.window_size, axis=1)
         pe = jnp.asarray(

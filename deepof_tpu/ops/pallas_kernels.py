@@ -89,25 +89,31 @@ def window_gather_standardize(
     n_windows = t - window + 1
     n_blocks = -(-n_windows // block)
     padded_t = n_blocks * block + window - 1
-    if padded_t > t:
-        feats = jnp.pad(feats, ((0, padded_t - t), (0, 0)))
-
-    mu2 = mu.reshape(1, f).astype(feats.dtype)
-    sd2 = sd.reshape(1, f).astype(feats.dtype)
+    # Mosaic memref slices must be lane-aligned: pad the feature axis to a
+    # multiple of 128 (sd pads with ones to keep the affine finite).
+    f_pad = -(-f // 128) * 128
+    if padded_t > t or f_pad > f:
+        feats = jnp.pad(feats, ((0, padded_t - t), (0, f_pad - f)))
+    mu2 = jnp.pad(mu.reshape(1, f), ((0, 0), (0, f_pad - f))).astype(feats.dtype)
+    sd2 = jnp.pad(
+        sd.reshape(1, f), ((0, 0), (0, f_pad - f)), constant_values=1.0
+    ).astype(feats.dtype)
 
     out = pl.pallas_call(
         partial(_window_kernel, window=window, block=block),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * block, window, f), feats.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks * block, window, f_pad), feats.dtype
+        ),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, f), lambda i: (0, 0)),
-            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, f_pad), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block, window, f), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((block, window, f_pad), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(feats, mu2, sd2)
-    return out[:n_windows]
+    return out[:n_windows, :, :f]
 
 
 def window_gather_standardize_xla(

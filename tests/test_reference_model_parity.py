@@ -319,3 +319,62 @@ def test_vade_full_model_parity(ref_models):
         np.asarray(out["reconstruction"].mean), recon_dist.mean.numpy(),
         rtol=0, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("encoder_type", ["TCN", "transformer"])
+def test_vqvae_full_model_parity_other_encoders(ref_models, encoder_type):
+    """Full VQVAE forward parity for the TCN and transformer families
+    (covers TCNDecoderPT / TFMDecoderPT transplants)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepof_tpu.models import build_model
+    from torch_to_flax import assign_tree, vqvae_model_params_typed
+
+    adj = _adjacency()
+    torch.manual_seed(5)
+    tm = ref_models.VQVAEPT(
+        input_shape=(T, N, 3), edge_feature_shape=(T, E, 1),
+        adjacency_matrix=adj, latent_dim=8, n_components=5,
+        encoder_type=encoder_type, use_gnn=False,
+    ).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.add_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.mul_(1.2)
+
+    fm = build_model(
+        "VQVAE", (T, N, 3), (T, E, 1), adj, latent_dim=8, n_components=5,
+        encoder_type=encoder_type, use_gnn=False,
+    )
+    x, a = _inputs(seed=5)
+    variables = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), jnp.asarray(a), train=False,
+    )
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x), torch.from_numpy(a),
+                     return_losses=True, return_all_outputs=True)
+    src_params, src_stats = vqvae_model_params_typed(tm, encoder_type)
+    params = assign_tree(variables["params"], src_params)
+    apply_vars = {"params": params}
+    if "batch_stats" in variables:
+        apply_vars["batch_stats"] = assign_tree(
+            variables["batch_stats"], src_stats
+        )
+    out = fm.apply(apply_vars, jnp.asarray(x), jnp.asarray(a), train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out["quantized"]), ref_out[2].numpy(), rtol=0, atol=TOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["quantized_reconstruction"].mean),
+        ref_out[0].mean.numpy(), rtol=0, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["encoding_reconstruction"].mean),
+        ref_out[1].mean.numpy(), rtol=0, atol=1e-4,
+    )

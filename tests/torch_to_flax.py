@@ -306,3 +306,84 @@ def vade_model_params(tm) -> dict:
             "encoder_log_var": linear_params(ls.encoder_log_var),
         },
     }
+
+
+def tcn_decoder_params(td):
+    """reference TCNDecoderPT -> (params, batch_stats)."""
+    tcn_p, tcn_s = tcn_params(td.tcn)
+    params = {
+        "Dense_0": linear_params(td.fc0),
+        "Dense_1": linear_params(td.fc1),
+        "Dense_2": linear_params(td.fc2),
+        "TCN_0": tcn_p,
+        "ProbabilisticHead_0": {
+            "Dense_0": linear_params(td.prob_decoder.loc_projection)
+        },
+    }
+    stats = {"TCN_0": tcn_s}
+    for i, bn in enumerate((td.bn0, td.bn1, td.bn2)):
+        bn_p, bn_s = batchnorm_params(bn)
+        params[f"BatchNorm_{i}"] = bn_p
+        stats[f"BatchNorm_{i}"] = bn_s
+    return params, stats
+
+
+def causal_layer_params(tl):
+    """reference CausalSelfAttentionLayer -> flax CausalSelfAttentionLayer."""
+    h = tl.num_heads
+    k = tl.head_dim
+    d = tl.d_model
+
+    def qkv(lin):
+        return {"kernel": _np(lin.weight).T.reshape(d, h, k)}
+
+    return {
+        "LayerNorm_0": layernorm_params(tl.norm1),
+        "MultiHeadDotProductAttention_0": {
+            "query": qkv(tl.q_proj),
+            "key": qkv(tl.k_proj),
+            "value": qkv(tl.v_proj),
+            "out": {"kernel": _np(tl.out_proj.weight).T.reshape(h, k, d)},
+        },
+        "LayerNorm_1": layernorm_params(tl.norm2),
+        "Dense_0": linear_params(tl.ffn[0]),
+        "Dense_1": linear_params(tl.ffn[3]),
+    }
+
+
+def tfm_decoder_params(td):
+    """reference TFMDecoderPT -> flax TransformerDecoder params."""
+    params = {
+        "Dense_0": linear_params(td.latent_expand[0]),
+        "Dense_1": linear_params(td.latent_expand[2]),
+        "Dense_2": linear_params(td.latent_expand[4]),
+        "Dense_3": linear_params(td.output_proj),
+        "ProbabilisticHead_0": {
+            "Dense_0": linear_params(td.prob_decoder.loc_projection)
+        },
+    }
+    for i, tl in enumerate(td.layers):
+        params[f"CausalSelfAttentionLayer_{i}"] = causal_layer_params(tl)
+    return params
+
+
+def vqvae_model_params_typed(tm, encoder_type: str):
+    """reference VQVAEPT for any encoder family -> (params, batch_stats)."""
+    stats = {}
+    if encoder_type == "recurrent":
+        enc_p = recurrent_encoder_params(tm.encoder)
+        dec_p = recurrent_decoder_params(tm.decoder)
+    elif encoder_type == "TCN":
+        enc_p, enc_s = tcn_encoder_params(tm.encoder)
+        dec_p, dec_s = tcn_decoder_params(tm.decoder)
+        stats = {"encoder": enc_s, "decoder": dec_s}
+    else:  # transformer
+        enc_p, enc_s = tfm_encoder_params(tm.encoder)
+        dec_p = tfm_decoder_params(tm.decoder)
+        stats = {"encoder": enc_s}
+    params = {
+        "encoder": enc_p,
+        "decoder": dec_p,
+        "vq_layer": {"codebook": _np(tm.vq_layer.codebook)},
+    }
+    return params, stats
