@@ -338,3 +338,20 @@ def test_visuals_depth_upgrades(coords, supervised, soft_counts, embeddings):
             visuals.plot_embeddings(
                 coords, embeddings, soft_counts, projection="umap",
             )
+
+
+def test_sanitycheck_rich_overlays(coords):
+    """Richer QC overlays: selection, per-edge labels, angle readouts,
+    speed coloring, arena/ROI outlines."""
+    from deepof_tpu.sanitycheck import render_frame
+
+    ax = render_frame(
+        coords, "test", 3,
+        bodyparts=["Nose", "Center", "Spine_1", "Spine_2", "Tail_base"],
+        show_distances=True, show_angles=True, show_speeds=True,
+        show_arena=True, show_labels=True,
+    )
+    texts = [t.get_text() for t in ax.texts]
+    assert any("°" in t for t in texts)          # angle readouts
+    assert any(t == "Nose" for t in texts)       # bodypart labels
+    assert len(ax.lines) > len(list(coords._body_graph.edges))  # arena overlay
