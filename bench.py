@@ -261,16 +261,27 @@ def _bench_train_step() -> dict:
         opt_state = optimizer.init(params)
         step = make_vqvae_step(model, optimizer)
         key = jax.random.PRNGKey(1)
-        # Warmup/compile, then timed steps.
-        params, opt_state, rest, logs = step(params, opt_state, rest, x, a, key)
-        jax.block_until_ready(logs["total_loss"])
-        n_steps = 10
-        t0 = time.time()
-        for _ in range(n_steps):
-            params, opt_state, rest, logs = step(
-                params, opt_state, rest, x, a, key
+        n_steps = 20
+
+        @jax.jit
+        def run_steps(params, opt_state, rest):
+            # One dispatch for all steps: per-call latency through the
+            # remote tunnel would otherwise dominate the comparison.
+            def one(carry, _):
+                p, o, r = carry
+                p, o, r, logs = step(p, o, r, x, a, key)
+                return (p, o, r), logs["total_loss"]
+
+            (params, opt_state, rest), losses = jax.lax.scan(
+                one, (params, opt_state, rest), None, length=n_steps
             )
-        jax.block_until_ready(logs["total_loss"])
+            return params, opt_state, rest, losses
+
+        p2, o2, r2, losses = run_steps(params, opt_state, rest)
+        jax.block_until_ready(losses)
+        t0 = time.time()
+        p2, o2, r2, losses = run_steps(params, opt_state, rest)
+        jax.block_until_ready(losses)
         out[f"train_step_{name}_per_s"] = round(n_steps / (time.time() - t0), 2)
     out["bf16_train_speedup"] = round(
         out["train_step_bf16_per_s"] / out["train_step_f32_per_s"], 3
@@ -350,17 +361,18 @@ def _bench_public_path(frame_rate: float) -> float:
             with open(f"{tmp}/Videos/{key}DLC_video.mp4", "wb") as f:
                 f.write(b"\x00" * 64)
 
-        t0 = time.time()
-        proj = Project(
-            project_path=tmp, project_name="bench",
-            video_path=f"{tmp}/Videos", table_path=f"{tmp}/Tables",
-            arena="circular-autodetect", video_scale="380 mm",
-            table_format="h5", frame_rate=frame_rate, animal_ids=animal_ids,
-        )
-        coords = proj.create(force=True, test=True, verbose=False)
-        dataset, meta, adjacency, tab_dict, scaler = coords.get_graph_dataset(
-            window_size=window
-        )
+        def run_public():
+            proj = Project(
+                project_path=tmp, project_name="bench",
+                video_path=f"{tmp}/Videos", table_path=f"{tmp}/Tables",
+                arena="circular-autodetect", video_scale="380 mm",
+                table_format="h5", frame_rate=frame_rate,
+                animal_ids=animal_ids,
+            )
+            coords = proj.create(force=True, test=True, verbose=False)
+            return coords, coords.get_graph_dataset(window_size=window)
+
+        coords, (dataset, meta, adjacency, tab_dict, scaler) = run_public()
 
         n = len(meta["node_columns"]) // 3
         e = len(meta["edge_columns"])
@@ -383,6 +395,14 @@ def _bench_public_path(frame_rate: float) -> float:
                 "n_components": 10, "use_angles": False,
             },
         )
+        # Warmup pass compiles every program; the timed pass measures the
+        # steady-state user experience of re-running the full public flow.
+        embedding_per_video(
+            coords, tab_dict, bundle, meta, global_scaler=scaler,
+            batch_size=4096,
+        )
+        t0 = time.time()
+        coords, (dataset, meta, adjacency, tab_dict, scaler) = run_public()
         embeddings, _ = embedding_per_video(
             coords, tab_dict, bundle, meta, global_scaler=scaler,
             batch_size=4096,
