@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--contrastive-similarity-function", default="cosine")
     parser.add_argument("--contrastive-loss-function", default="nce")
     parser.add_argument("--use-gnn", type=str2bool, default=True)
+    parser.add_argument("--use-angles", type=str2bool, default=False,
+                        help="Feed bridge angles as an extra encoder stream.")
+    parser.add_argument("--use-amp", type=str2bool, default=False,
+                        help="bfloat16 compute policy (float32 params).")
     parser.add_argument("--use-turtle-teacher", type=str2bool, default=False)
     parser.add_argument("--pretrain-epochs", type=int, default=None)
     parser.add_argument("--bootstrap-training", type=str2bool, default=False)
@@ -83,6 +87,8 @@ def main(argv=None) -> int:
         contrastive_similarity_function=args.contrastive_similarity_function,
         contrastive_loss_function=args.contrastive_loss_function,
         use_gnn=args.use_gnn,
+        use_angles=args.use_angles,
+        use_amp=args.use_amp,
         use_turtle_teacher=args.use_turtle_teacher,
         bootstrap_training=args.bootstrap_training,
         random_seed=args.random_seed,
