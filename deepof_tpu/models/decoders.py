@@ -168,6 +168,12 @@ class TransformerDecoder(nn.Module):
     def __call__(self, g: jnp.ndarray, x_target: jnp.ndarray, train: bool = False) -> MaskedNormal:
         mask = _validity_from_target(x_target)
         d_model = 4 * self.latent_dim
+        # Largest head count (<= requested) dividing d_model: the
+        # reference asserts divisibility and would crash on odd latent
+        # sizes; degrading the head count keeps those usable.
+        num_heads = self.num_heads
+        while num_heads > 1 and d_model % num_heads:
+            num_heads //= 2
 
         z = nn.Dense(self.latent_dim, dtype=self.dtype, param_dtype=jnp.float32)(g.astype(self.dtype))
         z = nn.gelu(z, approximate=False)
@@ -184,7 +190,7 @@ class TransformerDecoder(nn.Module):
         for _ in range(self.num_layers):
             h = CausalSelfAttentionLayer(
                 d_model=d_model,
-                num_heads=self.num_heads,
+                num_heads=num_heads,
                 dff=self.dff,
                 rate=self.dropout_rate,
                 dtype=self.dtype,
