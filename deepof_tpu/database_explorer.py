@@ -74,6 +74,102 @@ class DatabaseExplorer:
         return pd.DataFrame(rows)
 
 
+    def query(
+        self,
+        store: str,
+        table: Optional[str] = None,
+        expr: Optional[str] = None,
+        columns: Optional[List] = None,
+        rows: Optional[tuple] = None,
+    ):
+        """Filtered view of a stored table (the reference explorer's SQL
+        box, expressed as pandas: ``expr`` is a DataFrame.query expression,
+        ``columns`` a projection, ``rows`` an inclusive (start, stop) range
+        pushed down to the store)."""
+        if table is None:
+            table = self.list_tables(store)[0]
+        pointer = {"_": {"h5_file": store, "table": table}}
+        obj = get_dt(pointer, "_", load_range=rows)
+        df = obj if isinstance(obj, pd.DataFrame) else pd.DataFrame(np.asarray(obj))
+        if expr:
+            df = df.query(expr)
+        if columns is not None:
+            df = df[columns]
+        return df
+
+
+class ExplorerUI:  # pragma: no cover - needs notebook frontend
+    """ipywidgets store browser mirroring the reference's DuckDBExplorer
+    workflow (deepof/database_explorer.py:12-129): path box -> load ->
+    table dropdown -> query area -> execute."""
+
+    def __init__(self, table_path: str = ""):
+        import ipywidgets as widgets
+
+        self.path_input = widgets.Text(
+            value=table_path, placeholder="Tables directory...",
+            description="Path:", layout=widgets.Layout(width="80%"),
+        )
+        self.load_button = widgets.Button(
+            description="Load stores", button_style="primary"
+        )
+        self.store_dropdown = widgets.Dropdown(
+            description="Store:", layout=widgets.Layout(width="80%")
+        )
+        self.table_dropdown = widgets.Dropdown(
+            description="Table:", layout=widgets.Layout(width="80%")
+        )
+        self.query_area = widgets.Textarea(
+            description="Filter:", placeholder="pandas query expression",
+            layout=widgets.Layout(width="100%", height="80px"),
+        )
+        self.execute_button = widgets.Button(
+            description="Execute", button_style="success"
+        )
+        self.output = widgets.Output()
+        self._explorer = None
+        self.load_button.on_click(self._load)
+        self.store_dropdown.observe(self._on_store, names="value")
+        self.execute_button.on_click(self._execute)
+
+    def display_ui(self):
+        import ipywidgets as widgets
+        from IPython.display import display
+
+        display(widgets.VBox([
+            widgets.HBox([self.path_input, self.load_button]),
+            self.store_dropdown, self.table_dropdown,
+            self.query_area, self.execute_button, self.output,
+        ]))
+
+    def _load(self, _):
+        self._explorer = DatabaseExplorer(self.path_input.value.strip())
+        stores = self._explorer.list_stores()
+        self.store_dropdown.options = stores
+        if stores:
+            self.store_dropdown.value = stores[0]
+
+    def _on_store(self, change):
+        if self._explorer and change["new"]:
+            tables = self._explorer.list_tables(change["new"])
+            self.table_dropdown.options = tables
+            if tables:
+                self.table_dropdown.value = tables[0]
+
+    def _execute(self, _):
+        from IPython.display import display
+
+        with self.output:
+            self.output.clear_output()
+            try:
+                display(self._explorer.query(
+                    self.store_dropdown.value, self.table_dropdown.value,
+                    expr=self.query_area.value.strip() or None, rows=(0, 99),
+                ))
+            except Exception as e:
+                print(f"Query failed: {e}")
+
+
 def explore(table_path: str) -> DatabaseExplorer:
     """Convenience constructor used by notebooks."""
     return DatabaseExplorer(table_path)

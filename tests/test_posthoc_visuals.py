@@ -224,3 +224,12 @@ def test_database_explorer(tmp_path):
     assert head.shape == (3, 2)
     summary = ex.summary()
     assert len(summary) == 1
+
+    # Query API (the reference explorer's SQL box as pandas expressions).
+    df2 = pd.DataFrame({"a": np.arange(10.0), "b": np.arange(10.0) * 2})
+    save_dt(df2, str(tmp_path / "sub" / "tab2"), return_path=True)
+    store2 = [st for st in ex.list_stores() if "tab2" in st][0]
+    got = ex.query(store2, expr="a >= 5", columns=["b"])
+    assert list(got["b"]) == [10.0, 12.0, 14.0, 16.0, 18.0]
+    ranged = ex.query(store2, rows=(2, 4))
+    assert list(ranged["a"]) == [2.0, 3.0, 4.0]
