@@ -50,12 +50,15 @@ class MaskedGRU(nn.Module):
             out = jnp.where(mt[:, None], out, jnp.zeros_like(out))
             return carry, out
 
+        import os
+
         scan = nn.scan(
             step,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
+            unroll=int(os.environ.get("DEEPOF_TPU_GRU_UNROLL", "1")),
         )
         final, outputs = scan(cell, h0, (x.astype(self.dtype), mask))
         if self.reverse:
