@@ -299,12 +299,27 @@ def compute_transition_matrix_per_condition(
     bin_info=None,
     aggregate: bool = True,
     normalize: bool = True,
+    roi_number=None,
+    animals_in_roi=None,
 ) -> Dict[str, np.ndarray]:
-    """Transition matrices grouped (and optionally averaged) by condition."""
+    """Transition matrices grouped (and optionally averaged) by condition.
+
+    With roi_number set, only frames where the requested animals are
+    inside the ROI enter the transition counts (post_hoc.py:2248-2312 via
+    get_behavior_frames_in_roi).
+    """
+    from deepof_tpu.utils import get_behavior_frames_in_roi
+
     n_clusters = None
     matrices: Dict[str, list] = {}
     for key in soft_counts.keys():
-        arr = np.asarray(get_dt(soft_counts, key, load_range=_resolve_range(bin_info, key)))
+        if roi_number is not None:
+            load_range = get_behavior_frames_in_roi(
+                None, bin_info[key], animals_in_roi
+            )
+        else:
+            load_range = _resolve_range(bin_info, key)
+        arr = np.asarray(get_dt(soft_counts, key, load_range=load_range))
         n_clusters = arr.shape[1]
         hard = np.argmax(arr, axis=1)
         cond = exp_conditions.get(key)

@@ -780,6 +780,16 @@ def count_transitions(
             idx = bin_info[key]["time"] if isinstance(bin_info[key], dict) \
                 else bin_info[key]
             tab = tab.iloc[idx] if hasattr(tab, "iloc") else np.asarray(tab)[idx]
+            if (
+                animals_in_roi
+                and isinstance(bin_info[key], dict)
+                and hasattr(tab, "columns")
+            ):
+                # NaN-out detections where the requested animals are
+                # outside the ROI before transition counting.
+                tab = get_supervised_behaviors_in_roi(
+                    tab.reset_index(drop=True), bin_info[key], animals_in_roi
+                )
         if isinstance(tab, np.ndarray) or not hasattr(tab, "columns"):
             arr = np.asarray(tab)
             hard = np.zeros_like(arr, dtype=int)

@@ -211,6 +211,9 @@ def plot_enrichment(
     soft_counts: TableDict = None,
     supervised_annotations: TableDict = None,
     exp_condition: str = None,
+    roi_number: int = None,
+    animals_in_roi: list = None,
+    roi_mode: str = "mousewise",
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
@@ -227,6 +230,12 @@ def plot_enrichment(
         coordinates, bin_size, bin_index, precomputed_bins, samples_max=None,
         tab_dict_for_binning=(supervised_annotations or soft_counts),
     )
+    if roi_number is not None:
+        if animals_in_roi is None:
+            animals_in_roi = list(coordinates._animal_ids or [""])
+        bin_info = vu.apply_rois_to_bin_info(
+            coordinates, roi_number, bin_info
+        )
     source = supervised_annotations or soft_counts or embeddings
     cond_map = _conditions_of(
         coordinates, list(source.keys()), exp_condition=exp_condition
@@ -238,6 +247,9 @@ def plot_enrichment(
         exp_conditions=cond_map,
         bin_info=bin_info,
         normalize=normalize,
+        roi_number=roi_number,
+        animals_in_roi=animals_in_roi,
+        roi_mode=roi_mode,
     )
     own_fig = ax is None
     if own_fig:
@@ -391,6 +403,9 @@ def return_transitions(
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
+    exp_condition: str = None,
+    roi_number: int = None,
+    animals_in_roi: list = None,
     silence_diagonal: bool = False,
     normalize: bool = True,
     delta_T: float = 0.0,
@@ -398,7 +413,8 @@ def return_transitions(
     **kwargs,
 ):
     """Per-condition transition matrices for cluster sequences or
-    supervised behavior tables (visuals.py:1479-1534)."""
+    supervised behavior tables (visuals.py:1479-1534); with roi_number,
+    out-of-ROI frames are excluded from the counts."""
     source = (
         supervised_annotations if supervised_annotations is not None
         else soft_counts
@@ -407,12 +423,21 @@ def return_transitions(
         coordinates, bin_size, bin_index, precomputed_bins,
         tab_dict_for_binning=source, samples_max=None,
     )
+    if roi_number is not None:
+        if animals_in_roi is None:
+            animals_in_roi = list(coordinates._animal_ids or [""])
+        bin_info = vu.apply_rois_to_bin_info(
+            coordinates, roi_number, bin_info
+        )
+    conds = _conditions_of(
+        coordinates, list(source.keys()), exp_condition=exp_condition
+    )
     if supervised_annotations is not None:
         from deepof_tpu.utils import count_transitions
 
-        conds = _conditions_of(coordinates, list(source.keys()))
         mats, _, _ = count_transitions(
             supervised_annotations, conds, bin_info=bin_info,
+            animals_in_roi=animals_in_roi if roi_number is not None else None,
             delta_T=delta_T, frame_rate=coordinates._frame_rate,
             silence_diagonal=silence_diagonal, aggregate=True,
             normalize=normalize,
@@ -420,8 +445,9 @@ def return_transitions(
         )
         return mats
     mats = posthoc.compute_transition_matrix_per_condition(
-        soft_counts, coordinates._exp_conditions or {}, bin_info=bin_info,
+        soft_counts, conds, bin_info=bin_info,
         aggregate=True, normalize=normalize,
+        roi_number=roi_number, animals_in_roi=animals_in_roi,
     )
     if silence_diagonal:
         for m in mats.values():

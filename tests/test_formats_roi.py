@@ -198,3 +198,76 @@ def test_posthoc_roi_filtering(roi_coords):
             "time on cluster"
         ].iloc[0]
         assert got == bin_info[k][""].sum()
+
+
+def test_transition_matrices_roi(roi_coords):
+    import deepof_tpu.posthoc as posthoc
+    from deepof_tpu.core.table_dict import TableDict
+
+    keys = list(roi_coords._tables)
+    n = len(roi_coords._tables[keys[0]])
+    rng = np.random.default_rng(1)
+    sc = TableDict(
+        {k: (lambda p: p / p.sum(1, keepdims=True))(
+            np.exp(rng.normal(size=(n, 3)))) for k in keys},
+        typ="unsupervised_counts",
+    )
+    bin_info = {
+        k: {"time": np.arange(n), "": rng.random(n) > 0.5} for k in keys
+    }
+    conds = {k: "c" for k in keys}
+    full = posthoc.compute_transition_matrix_per_condition(
+        sc, conds, aggregate=False
+    )
+    roi = posthoc.compute_transition_matrix_per_condition(
+        sc, conds, bin_info=bin_info, roi_number=1, animals_in_roi=[""],
+        aggregate=False,
+    )
+    # The filtered matrix differs from the full one...
+    assert not np.allclose(roi["c"][0], full["c"][0])
+    # ...and matches counting over exactly the in-ROI frame subset.
+    hard = np.asarray(sc[keys[0]]).argmax(1)[bin_info[keys[0]][""]]
+    want = posthoc.cluster_transition_matrix(hard, 3)
+    np.testing.assert_allclose(roi["c"][0], want)
+
+
+def test_visuals_roi_plumbing(roi_coords):
+    """roi_number flows from the plot entry points into the statistics."""
+    import pandas as pd
+
+    import deepof_tpu.visuals as visuals
+    from deepof_tpu.core.table_dict import TableDict
+
+    roi_coords._exp_conditions = {
+        "test": pd.DataFrame({"cond": ["A"]}),
+        "test2": pd.DataFrame({"cond": ["B"]}),
+    }
+    keys = list(roi_coords._tables)
+    n = len(roi_coords._tables[keys[0]])
+    rng = np.random.default_rng(3)
+    sc = TableDict(
+        {k: (lambda p: p / p.sum(1, keepdims=True))(
+            np.exp(rng.normal(size=(n, 3)))) for k in keys},
+        typ="unsupervised_counts",
+    )
+    # ROI 2 of the circular fixture covers some frames in at least one video
+    # via 'all' criterion? Use invert_roi-free masks from the real ROIs; if
+    # coverage is empty, matrices are zeros, which still exercises the path.
+    mats_full = visuals.return_transitions(roi_coords, sc)
+    mats_roi = visuals.return_transitions(
+        roi_coords, sc, roi_number=2, animals_in_roi=[""],
+    )
+    assert set(mats_roi) == set(mats_full)
+    for m in mats_roi.values():
+        assert np.isfinite(m).all()
+
+    sup = TableDict(
+        {k: pd.DataFrame({"moving": (rng.random(n) > 0.5).astype(float),
+                          "speed": rng.random(n)}) for k in keys},
+        typ="supervised",
+    )
+    fig = visuals.plot_enrichment(
+        roi_coords, supervised_annotations=sup, roi_number=2,
+        animals_in_roi=[""],
+    )
+    assert fig.axes
