@@ -81,6 +81,45 @@ def _draw_markers(frame, positions_px, frame_idx):
     return frame
 
 
+def _draw_mouse_labels(frame, coordinates, positions_px, frame_idx):
+    """Animal-id labels at each animal's Center bodypart
+    (deepof/export_video.py:326-354)."""
+    nodes = list(coordinates._nodes)
+    for aid in coordinates._animal_ids:
+        if not aid:
+            continue
+        bp = f"{aid}_Center"
+        if bp not in nodes:
+            bp = next((n for n in nodes if n.startswith(f"{aid}_")), None)
+            if bp is None:
+                continue
+        pt = positions_px[frame_idx, nodes.index(bp)]
+        if np.isfinite(pt).all():
+            cv2.putText(
+                frame, aid, (int(pt[0]) + 6, int(pt[1]) - 6),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 255), 1, cv2.LINE_AA,
+            )
+    return frame
+
+
+def _filter_keys_by_condition(coordinates, keys, exp_condition, condition_value):
+    """Restrict experiments to one condition value
+    (deepof/export_video.py:72-90)."""
+    if condition_value is None:
+        return keys
+    out = []
+    for k in keys:
+        cond = (coordinates._exp_conditions or {}).get(k)
+        if hasattr(cond, "iloc"):
+            if exp_condition is not None and exp_condition in cond.columns:
+                cond = str(cond[exp_condition].iloc[0])
+            else:
+                cond = str(cond.iloc[0, 0])
+        if str(cond) == str(condition_value):
+            out.append(k)
+    return out
+
+
 def _draw_behavior_info(frame, behaviors_active: List[str], colors: List[str]):
     y = 20
     for name, color in zip(behaviors_active, colors):
@@ -102,6 +141,7 @@ def output_annotated_video(
     display_arena: bool = True,
     display_markers: bool = True,
     display_rois: bool = False,
+    display_mouse_labels: bool = False,
     out_path: Optional[str] = None,
 ) -> str:
     """Render one experiment's video with overlays; returns the output path
@@ -154,6 +194,8 @@ def output_annotated_video(
             frame = _draw_rois(frame, coordinates, experiment_id)
         if display_markers and i < len(positions_px):
             frame = _draw_markers(frame, positions_px, i)
+        if display_mouse_labels and i < len(positions_px):
+            frame = _draw_mouse_labels(frame, coordinates, positions_px, i)
         if sup_tab is not None and i < len(sup_tab):
             active = [b for b in behaviors if sup_tab[b].iloc[i] > 0.1]
             active_colors = [c for b, c in zip(behaviors, colors) if sup_tab[b].iloc[i] > 0.1]
@@ -177,6 +219,8 @@ def output_videos_per_cluster(
     behaviors: Optional[List[str]] = None,
     min_confidence: float = 0.0,
     min_bout_duration: Optional[int] = None,
+    exp_condition: Optional[str] = None,
+    condition_value: Optional[str] = None,
     out_path: Optional[str] = None,
     single_output_resolution: tuple = (500, 500),
     frame_limit_per_video: int = 250,
@@ -191,9 +235,14 @@ def output_videos_per_cluster(
     if min_bout_duration is None:
         min_bout_duration = int(coordinates._frame_rate // 2)
 
-    # Collect bouts per label across experiments.
+    # Collect bouts per label across (optionally condition-filtered)
+    # experiments.
+    keys = _filter_keys_by_condition(
+        coordinates, list(coordinates._tables.keys()),
+        exp_condition, condition_value,
+    )
     bouts: Dict[str, List] = {}
-    for key in coordinates._tables.keys():
+    for key in keys:
         if soft_counts is not None:
             counts = np.asarray(get_dt(soft_counts, key))
             hard = counts.argmax(axis=1)

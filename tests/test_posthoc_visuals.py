@@ -233,3 +233,32 @@ def test_database_explorer(tmp_path):
     assert list(got["b"]) == [10.0, 12.0, 14.0, 16.0, 18.0]
     ranged = ex.query(store2, rows=(2, 4))
     assert list(ranged["a"]) == [2.0, 3.0, 4.0]
+
+
+def test_export_video_helpers():
+    """Condition filtering + mouse-id label drawing (video IO not needed)."""
+    from types import SimpleNamespace
+
+    from deepof_tpu.export_video import (
+        _draw_mouse_labels,
+        _filter_keys_by_condition,
+    )
+
+    coords = SimpleNamespace(
+        _exp_conditions={
+            "a": pd.DataFrame({"grp": ["X"], "sex": ["m"]}),
+            "b": pd.DataFrame({"grp": ["Y"], "sex": ["m"]}),
+        },
+        _animal_ids=["B", "W"],
+        _nodes=["B_Center", "B_Nose", "W_Center", "W_Nose"],
+    )
+    keys = ["a", "b"]
+    assert _filter_keys_by_condition(coords, keys, None, None) == keys
+    assert _filter_keys_by_condition(coords, keys, "grp", "X") == ["a"]
+    assert _filter_keys_by_condition(coords, keys, "sex", "m") == keys
+    assert _filter_keys_by_condition(coords, keys, None, "Y") == ["b"]
+
+    frame = np.zeros((100, 100, 3), np.uint8)
+    pos = np.array([[[20.0, 20.0], [25, 25], [70, 70], [75, 75]]])
+    out = _draw_mouse_labels(frame.copy(), coords, pos, 0)
+    assert out.sum() > 0  # labels rendered pixels
