@@ -23,7 +23,7 @@ def __getattr__(name):
         "data", "models", "train", "annotate", "posthoc", "visuals",
         "visuals_utils", "evaluation", "msm", "arena", "export_video",
         "sanitycheck", "database_explorer", "legacy_compat", "profiling",
-        "parallel", "cli", "graph_dataset", "utils",
+        "parallel", "cli", "gating", "graph_dataset", "utils", "io",
     }
     if name in lazy:
         return importlib.import_module(f"deepof_tpu.{name}")
