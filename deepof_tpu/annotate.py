@@ -316,7 +316,9 @@ def stationary_lookaround(
     speed_dframe, dist_dframe, likelihood_dframe, mouse_identity, close_range,
     tol_speed, tol_likelihood, min_length, animal_id="",
 ) -> np.ndarray:
-    """Standing still while actively moving the nose (head not tucked)."""
+    """Standing still (Tail_base slow) while actively moving the nose with
+    the head up (ear-nose distances above 0.9x their medians) and the rear
+    body inactive (spec: deepof/annotation_utils.py:992-1096)."""
     if animal_id:
         animal_id += "_"
     speed_dframe = speed_dframe.copy()
@@ -1001,7 +1003,10 @@ def supervised_annotation(
 
     raw_coords = coordinates.get_coords(center=False)
     coords = coordinates.get_coords(center=center, align="Spine_1")
-    dists = coordinates.get_distances(filter_on_graph=False)
+    # Graph-filtered distances, as the reference pipeline feeds the rules
+    # (deepof/data.py:3128): close-range scans then only see the skeleton's
+    # inter-animal links (Nose/Tail_base), not every bodypart pair.
+    dists = coordinates.get_distances()
     angles = coordinates.get_angles()
     speeds = coordinates.get_coords(speed=1)
 

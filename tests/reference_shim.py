@@ -175,6 +175,10 @@ def _make_shapely_shim() -> types.ModuleType:
 
     class Polygon:
         def __init__(self, shell):
+            if isinstance(shell, Polygon):
+                # shapely's copy construction; the reference hits this via
+                # a `type(x != y)` truthiness bug in point_in_polygon.
+                shell = shell._pts
             pts = np.asarray([tuple(p) for p in shell], dtype=float)
             if len(pts) and not np.allclose(pts[0], pts[-1]):
                 closed = np.vstack([pts, pts[:1]])
@@ -243,8 +247,68 @@ def _make_shapely_shim() -> types.ModuleType:
             proj = a + t[:, None] * ab
             return float(np.sqrt(((p - proj) ** 2).sum(1).min()))
 
-        def buffer(self, *a, **k):
-            raise NotImplementedError("shapely shim: buffer")
+        def buffer(self, distance, quad_segs: int = 16, **k):
+            """Convex-polygon buffer.
+
+            Positive distance: Minkowski sum with a disk — offset edges
+            joined by vertex arcs (round joins, like shapely; finer
+            discretization than shapely's default 8 quad segments so the
+            result approaches the exact disk sum). Negative distance:
+            erosion — intersection of inward-offset edge lines (exact for
+            convex polygons). Good enough for the fixtures' convex arena
+            polygons; non-convex shells would need real shapely.
+            """
+            pts = self._closed[:-1]
+            n = len(pts)
+            edges = np.roll(pts, -1, axis=0) - pts
+            lengths = np.maximum(np.hypot(edges[:, 0], edges[:, 1]), 1e-30)
+            # Outward unit normals: the edge-perpendicular pointing away
+            # from the centroid (robust to vertex orientation for the
+            # convex shells the fixtures use).
+            centroid = pts.mean(axis=0)
+            perp = np.stack([edges[:, 1], -edges[:, 0]], axis=1) / lengths[:, None]
+            mids = pts + edges / 2
+            flip = np.einsum("ij,ij->i", perp, mids - centroid) < 0
+            normals = np.where(flip[:, None], -perp, perp)
+
+            if distance >= 0:
+                out = []
+                for i in range(n):
+                    v = pts[i]
+                    n_prev = normals[i - 1]
+                    n_next = normals[i]
+                    a0 = np.arctan2(n_prev[1], n_prev[0])
+                    a1 = np.arctan2(n_next[1], n_next[0])
+                    # Convex vertex: sweep the short way between the two
+                    # edge normals.
+                    diff = (a1 - a0 + np.pi) % (2 * np.pi) - np.pi
+                    steps = max(
+                        1, int(np.ceil(abs(diff) / (np.pi / 2) * quad_segs))
+                    )
+                    for ang in np.linspace(a0, a0 + diff, steps + 1):
+                        out.append(v + distance * np.array(
+                            [np.cos(ang), np.sin(ang)]
+                        ))
+                    # Offset edge endpoints.
+                    out.append(pts[i] + distance * n_next)
+                    out.append(np.roll(pts, -1, axis=0)[i] + distance * n_next)
+                return Polygon(np.asarray(out))
+
+            # Erosion: intersect consecutive inward-offset edge lines.
+            d = -float(distance)
+            p0 = pts + (-d) * normals            # offset edge base points
+            dirs = edges / lengths[:, None]
+            verts = []
+            for i in range(n):
+                a1, d1 = p0[i - 1], dirs[i - 1]
+                a2, d2 = p0[i], dirs[i]
+                denom = d1[0] * d2[1] - d1[1] * d2[0]
+                if abs(denom) < 1e-12:
+                    verts.append((a1 + a2) / 2)
+                    continue
+                t = ((a2[0] - a1[0]) * d2[1] - (a2[1] - a1[1]) * d2[0]) / denom
+                verts.append(a1 + t * d1)
+            return Polygon(np.asarray(verts))
 
         def simplify(self, *a, **k):
             raise NotImplementedError("shapely shim: simplify")
