@@ -174,12 +174,19 @@ def compute_size_factors(
     size_ref: Tuple[str, str] = ("Nose", "Tail_base"),
 ) -> Dict[Optional[str], float]:
     """Per-animal body-size factors: nan-median Nose-Tail_base distance;
-    animals with no valid measure fall back to the cohort median."""
+    animals with no valid measure fall back to the cohort median.
+
+    Name construction matches the reference exactly (utils.py:2477-2485):
+    only ``aid is None`` maps to unprefixed names — the empty-string id the
+    pipeline passes for single-animal projects yields "_Nose"-style names
+    that miss, so such projects get NO size normalization (divisor 1.0),
+    reproducing the reference's behavior bit-for-bit.
+    """
     ref_a, ref_b = size_ref
     factors: Dict[Optional[str], float] = {}
     for aid in animal_ids:
-        a = ref_a if not aid else f"{aid}_{ref_a}"
-        b = ref_b if not aid else f"{aid}_{ref_b}"
+        a = ref_a if aid is None else f"{aid}_{ref_a}"
+        b = ref_b if aid is None else f"{aid}_{ref_b}"
         need = [(a, "x"), (a, "y"), (b, "x"), (b, "y")]
         if all(c in df.columns for c in need):
             dx = df[(a, "x")].to_numpy(float) - df[(b, "x")].to_numpy(float)
@@ -209,18 +216,20 @@ def _size_divisor_plan(
     owning animal's factor, or (between animals) the mean / geometric mean
     / cohort default, per ``inter_scale``.
     """
-    plan: Dict[float, list] = {}
+    plan: Dict[tuple, list] = {}
     known = set(factors)
 
-    def add(cols, divisor):
-        plan.setdefault(float(divisor), []).extend(cols)
+    def add(kind, cols, divisor):
+        # Bucket per (column kind, divisor): pandas .loc selection must not
+        # mix tuple- and string-typed column keys in one assignment.
+        plan.setdefault((kind, float(divisor)), []).extend(cols)
 
     for bp, axis in col_types["coords"]:
         if animal_of(bp) in known:
-            add([(bp, axis)], factors[animal_of(bp)])
+            add("coord", [(bp, axis)], factors[animal_of(bp)])
     for bp in col_types["speeds"]:
         if animal_of(bp) in known:
-            add([bp], factors[animal_of(bp)])
+            add("speed", [bp], factors[animal_of(bp)])
     for dist in col_types["dists"]:
         a1, a2 = animal_of(dist[0]), animal_of(dist[1])
         if a1 == a2:
@@ -233,8 +242,8 @@ def _size_divisor_plan(
             )
         else:  # "global"
             divisor = default
-        add([dist], divisor)
-    return [(cols, div) for div, cols in plan.items()]
+        add("dist", [dist], divisor)
+    return [(cols, div) for (_, div), cols in plan.items()]
 
 
 def _standardize_section_plan(
@@ -304,7 +313,8 @@ def scale_table(
         animal_ids = sorted(
             {animal_of(bp) for bp in col_types["bodyparts"] if animal_of(bp)}
         ) or [None]
-    animal_ids = [aid or None for aid in animal_ids]
+    # Keep ids exactly as passed: "" stays "" (see compute_size_factors).
+    animal_ids = list(animal_ids)
     factors, default = compute_size_factors(out, animal_ids, size_ref)
 
     # Stage 1: size normalization + distance compression.

@@ -445,6 +445,143 @@ def _apply_compat_patches() -> None:
 
     ref_utils = sys.modules["deepof.utils"]
 
+    # pandas 3.0 returns read-only views from to_numpy(); the reference
+    # mutates such arrays in place (e.g. scale_table's distance clamp,
+    # utils.py:2534). Wrap to_numpy so read-only results come back as
+    # writable copies — identical values, pandas-2 aliasing semantics.
+    if not getattr(pd.DataFrame.to_numpy, "_deepof_writable_patch", False):
+        _orig_to_numpy = pd.DataFrame.to_numpy
+
+        def _writable_to_numpy(self, *args, **kwargs):
+            arr = _orig_to_numpy(self, *args, **kwargs)
+            if isinstance(arr, np.ndarray) and not arr.flags.writeable:
+                arr = arr.copy()
+            return arr
+
+        _writable_to_numpy._deepof_writable_patch = True
+        pd.DataFrame.to_numpy = _writable_to_numpy
+
+    # reference utils.py:2425-2566 scale_table: pandas 3.0 breaks its
+    # stage-1 idioms on the mixed tuple/string column Index the pipeline
+    # produces (scalar-tuple .loc raises or silently no-ops; the string
+    # speed loop divides repeatedly). Under the reference's pinned pandas
+    # ^1.5 each section divides exactly once. Faithful port of the same
+    # semantics with per-column assignment (values identical under the
+    # pinned environment).
+    from sklearn.preprocessing import (
+        MinMaxScaler as _MM, RobustScaler as _RS, StandardScaler as _SS,
+    )
+
+    def scale_table_compat(
+        df, scale="standard", animal_ids=None, size_ref=("Nose", "Tail_base"),
+        inter_scale="mean", standardize=True, dist_standardize="per_column",
+        speed_standardize="per_column", coord_standardize="per_column",
+        log_distances=True,
+    ):
+        if not scale:
+            return df.copy()
+        if scale not in {"standard", "minmax", "robust"}:
+            raise ValueError("scale must be one of {'standard','minmax','robust', None/False}")
+        for m in (dist_standardize, speed_standardize, coord_standardize):
+            if m not in {"per_column", "groupwise", None}:
+                raise ValueError("standardize modes must be per_column/groupwise/None")
+        if inter_scale not in {"mean", "geom", "global"}:
+            raise ValueError("inter_scale must be one of {'mean','geom','global'}")
+
+        out = df.copy()
+        ct = ref_utils.infer_column_types(out)
+        bodyparts = sorted(ct["bodyparts"])
+
+        def _split_bp(bp):
+            return bp.split("_", 1) if "_" in bp else (None, bp)
+
+        if animal_ids is None:
+            prefixes = {_split_bp(bp)[0] for bp in bodyparts if _split_bp(bp)[0] is not None}
+            animal_ids = sorted(prefixes) or [None]
+        animal_ids = list(animal_ids)
+        bp_to_aid = {bp: _split_bp(bp)[0] for bp in bodyparts}
+
+        ref_a, ref_b = size_ref
+        s_by_aid = {}
+        for aid in animal_ids:
+            a = ref_a if aid is None else f"{aid}_{ref_a}"
+            b = ref_b if aid is None else f"{aid}_{ref_b}"
+            need = [(a, "x"), (a, "y"), (b, "x"), (b, "y")]
+            if all(c in out.columns for c in need):
+                dx = out[(a, "x")].to_numpy() - out[(b, "x")].to_numpy()
+                dy = out[(a, "y")].to_numpy() - out[(b, "y")].to_numpy()
+                s_by_aid[aid] = np.nanmedian(np.hypot(dx, dy))
+            else:
+                s_by_aid[aid] = np.nan
+        valid = [v for v in s_by_aid.values() if np.isfinite(v) and v > 0]
+        s_default = float(np.nanmedian(valid)) if valid else 1.0
+        s_by_aid = {
+            aid: (v if np.isfinite(v) and v > 0 else s_default)
+            for aid, v in s_by_aid.items()
+        }
+
+        def _comb(s1, s2):
+            if inter_scale == "mean":
+                return 0.5 * (s1 + s2)
+            if inter_scale == "geom":
+                return float(np.sqrt(s1 * s2))
+            return s_default
+
+        for aid in animal_ids:
+            if aid is None:
+                bps = [bp for bp in bodyparts if bp_to_aid.get(bp) is None]
+            else:
+                bps = [bp for bp in bodyparts if bp_to_aid.get(bp) == aid]
+            if not bps:
+                continue
+            s_val = s_by_aid[aid]
+            for bp in bps:
+                for ax in ("x", "y"):
+                    if (bp, ax) in out.columns:
+                        out[(bp, ax)] = out[(bp, ax)].to_numpy() / s_val
+                if bp in out.columns:
+                    out[bp] = out[bp].to_numpy() / s_val
+        for (bp1, bp2) in ct["dists"]:
+            a1, a2 = bp_to_aid.get(bp1), bp_to_aid.get(bp2)
+            s_val = (
+                s_by_aid.get(a1, s_default)
+                if a1 == a2
+                else _comb(s_by_aid.get(a1, s_default), s_by_aid.get(a2, s_default))
+            )
+            out[(bp1, bp2)] = out[(bp1, bp2)].to_numpy() / s_val
+        if log_distances and ct["dists"]:
+            for c in ct["dists"]:
+                arr = out[c].to_numpy().copy()
+                arr[arr < 0] = 0.0
+                out[c] = np.log1p(arr)
+        if not standardize:
+            return out
+
+        scaler_cls = {"standard": _SS, "minmax": _MM, "robust": _RS}[scale]
+
+        def _fit_transform(cols, mode):
+            if not cols or mode is None:
+                return
+            sc = scaler_cls()
+            arr = np.column_stack([out[c].to_numpy() for c in cols])
+            if mode == "per_column":
+                res = sc.fit_transform(arr)
+            else:
+                res = sc.fit_transform(arr.reshape(-1, 1)).reshape(arr.shape)
+            for i, c in enumerate(cols):
+                out[c] = res[:, i]
+
+        _fit_transform(ct["speeds"], speed_standardize)
+        if dist_standardize == "per_column":
+            _fit_transform(ct["dists"], "per_column")
+        elif dist_standardize == "groupwise":
+            _fit_transform(ct["inner_dists"], "groupwise")
+            _fit_transform(ct["intra_dists"], "groupwise")
+        _fit_transform(ct["coords"], coord_standardize)
+        return out
+
+    ref_utils.scale_table = scale_table_compat
+
     # reference utils.py:3584-3629 builds the outlier mask by assigning bool
     # arrays into a float frame copy (TypeError under pandas 3.0). Identical
     # semantics, bool frame from the start.

@@ -141,3 +141,30 @@ def test_areas_parity(ab_coords):
     ref, tpu, get_dt = ab_coords
     # areas go through a shoelace at f64; slightly looser than coords
     _assert_tables_match(ref.get_areas(), tpu.get_areas(), get_dt, tol=1e-8)
+
+
+def test_graph_dataset_parity(ab_coords):
+    """The full training-set build (merge -> two-stage scale -> window ->
+    node/edge split) matches the reference's windows element-wise.
+
+    The reference leaves angles out of its merge (deepof/data.py:2742-2747,
+    commented out) so the comparison runs with include_angles=False; the
+    deepof_tpu default additionally populates the angle tensor.
+    """
+    ref, tpu, get_dt = ab_coords
+    (train_r, _), meta_r, adj_r, _, _ = ref.get_graph_dataset(window_size=10)
+    (train_t, _), meta_t, adj_t, _, _ = tpu.get_graph_dataset(
+        window_size=10, include_angles=False
+    )
+    assert np.array_equal(np.asarray(adj_r), np.asarray(adj_t))
+    assert sorted(train_r.keys()) == sorted(train_t.keys())
+    for key in train_r.keys():
+        r = [np.asarray(a, float) for a in get_dt(train_r, key)]
+        t = [np.asarray(a, float) for a in train_t[key]]
+        for name, ra, ta in zip(("nodes", "edges", "angles"), r, t):
+            assert ra.shape == ta.shape, f"{key}/{name}: {ra.shape} vs {ta.shape}"
+            if ra.size == 0:
+                continue
+            assert (np.isnan(ra) == np.isnan(ta)).all(), f"{key}/{name}: NaNs"
+            d = np.nanmax(np.abs(np.nan_to_num(ra) - np.nan_to_num(ta)))
+            assert d < 1e-8, f"{key}/{name}: max|delta| = {d:.3e}"
