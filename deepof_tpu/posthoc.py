@@ -205,23 +205,36 @@ def get_aggregated_embedding(
     return df
 
 
+# Behaviors reported as continuous traces rather than binary flags
+# (reference config.py:57); they are excluded from enrichment counts.
+CONTINUOUS_BEHAVIORS = ["distance", "cum-distance", "speed"]
+
+
 def enrichment_across_conditions(
     embedding: TableDict = None,
     soft_counts: TableDict = None,
     supervised_annotations: TableDict = None,
     exp_conditions: dict = None,
+    plot_speed: bool = False,
     bin_info=None,
     normalize: bool = False,
     roi_number=None,
     animals_in_roi=None,
     roi_mode: str = "mousewise",
+    custom_continuous_behavior_names: list = (),
 ) -> pd.DataFrame:
     """Long-form cluster/behavior usage per experiment annotated with the
-    experimental condition (post_hoc.py:2126-2240)."""
+    experimental condition.
+
+    Output columns and their order — ``exp_id``, ``exp condition``,
+    ``cluster``, ``time on cluster`` — match the reference
+    (post_hoc.py:2126-2220), including the cluster-dtype cast (float for
+    integer cluster labels, str otherwise).
+    """
     if supervised_annotations is not None:
         from deepof_tpu.utils import get_supervised_behaviors_in_roi
 
-        rows = []
+        cols = {}
         for key in supervised_annotations.keys():
             tab = pd.DataFrame(
                 get_dt(
@@ -233,40 +246,86 @@ def enrichment_across_conditions(
                 tab = get_supervised_behaviors_in_roi(
                     tab, bin_info[key], animals_in_roi, roi_mode
                 )
-            binary = [
-                c for c in tab.columns
-                if not any(s in str(c) for s in ("speed", "distance"))
-            ]
-            sums = tab[binary].sum(axis=0)
-            if normalize:
-                sums = sums / max(len(tab), 1)
-            for cluster, value in sums.items():
-                rows.append({"exp id": key, "cluster": cluster, "time on cluster": value})
-        counters = pd.DataFrame(rows)
+            drop = tuple(CONTINUOUS_BEHAVIORS) + tuple(
+                custom_continuous_behavior_names
+            )
+            if plot_speed:
+                selected = [
+                    c for c in tab.columns if str(c).endswith("speed")
+                ]
+            else:
+                selected = [
+                    c for c in tab.columns if not str(c).endswith(drop)
+                ]
+            table = tab[selected]
+            # np.sum(DataFrame) became a full reduction in pandas 3; the
+            # reference (pinned to pandas ^1.5) gets a per-column Series.
+            sums = table.sum(axis=0)
+            if normalize or plot_speed:
+                sums = sums / len(table)
+            cols[key] = sums
+        counter_df = pd.DataFrame(cols).T
     else:
-        toc = get_time_on_cluster(
-            soft_counts, normalize=normalize, bin_info=bin_info,
-            roi_number=roi_number, animals_in_roi=animals_in_roi,
+        counter_df = get_time_on_cluster(
+            soft_counts, normalize=normalize, reduce_dim=False,
+            bin_info=bin_info, roi_number=roi_number,
+            animals_in_roi=animals_in_roi,
         )
-        counters = toc.reset_index().melt(
-            id_vars="index", var_name="cluster", value_name="time on cluster"
-        )
-        counters = counters.rename(columns={"index": "exp id"})
 
     conditions = exp_conditions or {}
-    counters["exp condition"] = counters["exp id"].map(
-        lambda k: (
-            str(conditions[k].iloc[0, 0])
-            if k in conditions and hasattr(conditions[k], "iloc")
-            else str(conditions.get(k))
+
+    def _cond_of(k):
+        c = conditions.get(k)
+        if hasattr(c, "iloc"):
+            c = c.iloc[0, 0]
+        return str(c)
+
+    counter_df["exp condition"] = counter_df.index.map(_cond_of)
+    enrichment = (
+        counter_df
+        .reset_index(names="exp_id")
+        .melt(
+            id_vars=["exp_id", "exp condition"],
+            var_name="cluster",
+            value_name="time on cluster",
         )
     )
-    return counters
+    if len(enrichment) and enrichment["cluster"].iloc[0] == 0:
+        enrichment["cluster"] = enrichment["cluster"].astype(float)
+    else:
+        enrichment["cluster"] = enrichment["cluster"].astype(str)
+    return enrichment
 
 
 # --------------------------------------------------------------------------- #
 # Transitions
 # --------------------------------------------------------------------------- #
+
+
+def get_transitions(
+    state_sequence: np.ndarray,
+    n_states: int,
+    index_sequence: np.ndarray = None,
+) -> np.ndarray:
+    """Raw transition COUNTS of a hard state sequence.
+
+    When ``index_sequence`` (the frame indices the states were sampled at)
+    is given, transitions across gaps — consecutive entries whose frame
+    indices are not adjacent, e.g. across time-bin or ROI boundaries —
+    are skipped (post_hoc.py:2222-2245). Vectorized with np.add.at
+    instead of the reference's Python loop.
+    """
+    seq = np.asarray(state_sequence).astype(int)
+    trans = np.zeros((n_states, n_states))
+    if len(seq) < 2:
+        return trans
+    cur, nex = seq[:-1], seq[1:]
+    if index_sequence is not None:
+        idx = np.asarray(index_sequence)
+        keep = (idx[1:] - idx[:-1]) == 1
+        cur, nex = cur[keep], nex[keep]
+    np.add.at(trans, (cur, nex), 1.0)
+    return trans
 
 
 def cluster_transition_matrix(
@@ -275,43 +334,53 @@ def cluster_transition_matrix(
     autocorrelation: bool = True,
     return_graph: bool = False,
 ) -> Tuple:
-    """Empirical transition matrix of a hard cluster sequence
-    (deepof/utils.py:4256-4320)."""
+    """Row-normalized transition matrix of a hard cluster sequence, with
+    the reference's exact numerics (deepof/utils.py:4256-4306): +1e-5
+    Laplace term in the row denominators and 3-decimal rounding. With
+    ``autocorrelation=True`` additionally returns the lag-1 correlation
+    matrix of the sequence. Counting is vectorized bigram counting, which
+    matches the reference's overlapped-regex string matching for every
+    nclusts (and stays correct past 10 clusters, where digit
+    concatenation makes the reference's string encoding ambiguous).
+    """
     cluster_sequence = np.asarray(cluster_sequence)
     cluster_sequence = cluster_sequence[~np.isnan(cluster_sequence)].astype(int)
-    trans = np.zeros((nclusts, nclusts))
-    for cur, nex in zip(cluster_sequence[:-1], cluster_sequence[1:]):
-        trans[cur, nex] += 1
-    if not autocorrelation:
-        np.fill_diagonal(trans, 0)
-    row_sums = trans.sum(axis=1, keepdims=True)
-    norm_trans = np.divide(trans, row_sums, out=np.zeros_like(trans), where=row_sums > 0)
+    trans = get_transitions(cluster_sequence, nclusts)
+    trans_normed = np.round(trans / (trans.sum(axis=1, keepdims=True) + 1e-5), 3)
     if return_graph:
         import networkx as nx
 
-        return norm_trans, nx.from_numpy_array(norm_trans, create_using=nx.DiGraph)
-    return norm_trans
+        trans_normed = nx.Graph(trans_normed)
+    if autocorrelation:
+        autocorr = np.corrcoef(cluster_sequence[:-1], cluster_sequence[1:])
+        return trans_normed, autocorr
+    return trans_normed
 
 
 def compute_transition_matrix_per_condition(
     soft_counts: TableDict,
     exp_conditions: dict,
+    silence_diagonal: bool = False,
     bin_info=None,
-    aggregate: bool = True,
-    normalize: bool = True,
     roi_number=None,
     animals_in_roi=None,
+    aggregate: bool = True,
+    normalize: bool = True,
 ) -> Dict[str, np.ndarray]:
-    """Transition matrices grouped (and optionally averaged) by condition.
+    """Transition matrices grouped by condition.
 
-    With roi_number set, only frames where the requested animals are
-    inside the ROI enter the transition counts (post_hoc.py:2248-2312 via
-    get_behavior_frames_in_roi).
+    Matches the reference semantics (post_hoc.py:2248-2322): raw
+    transition counts are SUMMED over all videos of a condition (not
+    averaged after per-video normalization), diagonals are optionally
+    silenced per video before aggregation, and row normalization happens
+    once on the aggregated counts. Transitions across gaps in the frame
+    range (time bins, ROI exits) are excluded via get_transitions'
+    index_sequence. With roi_number set, only frames where the requested
+    animals are inside the ROI enter the counts.
     """
     from deepof_tpu.utils import get_behavior_frames_in_roi
 
-    n_clusters = None
-    matrices: Dict[str, list] = {}
+    matrices: Dict[str, np.ndarray] = {}
     for key in soft_counts.keys():
         if roi_number is not None:
             load_range = get_behavior_frames_in_roi(
@@ -322,38 +391,43 @@ def compute_transition_matrix_per_condition(
         arr = np.asarray(get_dt(soft_counts, key, load_range=load_range))
         n_clusters = arr.shape[1]
         hard = np.argmax(arr, axis=1)
-        cond = exp_conditions.get(key)
-        if hasattr(cond, "iloc"):
-            cond = str(cond.iloc[0, 0])
-        trans = cluster_transition_matrix(hard, n_clusters, autocorrelation=True)
-        matrices.setdefault(str(cond), []).append(trans)
-    if aggregate:
-        out = {}
-        for cond, mats in matrices.items():
-            mean = np.mean(np.stack(mats), axis=0)
-            if normalize:
-                rs = mean.sum(axis=1, keepdims=True)
-                mean = np.divide(mean, rs, out=np.zeros_like(mean), where=rs > 0)
-            out[cond] = mean
-        return out
+        trans = get_transitions(hard, n_clusters, index_sequence=load_range)
+        if silence_diagonal:
+            np.fill_diagonal(trans, 0)
+        if aggregate:
+            cond = exp_conditions.get(key)
+            if hasattr(cond, "iloc"):
+                cond = cond.iloc[0, 0]
+            cond = str(cond)
+            matrices[cond] = matrices.get(cond, 0) + trans
+        else:
+            matrices[key] = trans
+    if normalize:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            matrices = {
+                key: np.nan_to_num(value / value.sum(axis=1)[:, np.newaxis])
+                for key, value in matrices.items()
+            }
     return matrices
 
 
 def compute_steady_state(
-    transition_matrices: Dict[str, np.ndarray], return_entropy: bool = False
+    transition_matrices: Dict[str, np.ndarray],
+    return_entropy: bool = False,
+    n_iters: int = 100000,
 ) -> Dict[str, Union[np.ndarray, float]]:
-    """Stationary distribution (left eigenvector) per condition; optionally
-    its Shannon entropy (post_hoc.py:2324-2358)."""
+    """Stationary distribution per condition via repeated squaring of the
+    transition matrix (np.linalg.matrix_power — O(log n_iters) matmuls),
+    column-summed and renormalized exactly as the reference does
+    (post_hoc.py:2325-2357); optionally its Shannon entropy."""
+    from scipy import stats
+
     out = {}
     for cond, trans in transition_matrices.items():
-        vals, vecs = np.linalg.eig(trans.T)
-        idx = np.argmin(np.abs(vals - 1.0))
-        steady = np.real(vecs[:, idx])
-        steady = np.abs(steady) / np.abs(steady).sum()
-        if return_entropy:
-            out[cond] = float(-np.sum(steady * np.log(steady + 1e-12)))
-        else:
-            out[cond] = steady
+        power = np.linalg.matrix_power(np.asarray(trans, float), n_iters)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            steady = np.nan_to_num(power.sum(axis=0) / power.sum())
+        out[cond] = float(stats.entropy(steady)) if return_entropy else steady
     return out
 
 
@@ -433,8 +507,9 @@ def separation_between_conditions(
             m = ot.dist(a, b)
             wa = np.ones(len(a)) / len(a)
             wb = np.ones(len(b)) / len(b)
+            # TypeError covers stubbed `ot` modules returning non-numerics.
             return float(ot.emd2(wa, wb, m))
-        except ImportError:
+        except (ImportError, TypeError, AttributeError):
             from scipy.stats import wasserstein_distance
 
             return float(

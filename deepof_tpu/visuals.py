@@ -445,13 +445,10 @@ def return_transitions(
         )
         return mats
     mats = posthoc.compute_transition_matrix_per_condition(
-        soft_counts, conds, bin_info=bin_info,
-        aggregate=True, normalize=normalize,
+        soft_counts, conds, silence_diagonal=silence_diagonal,
+        bin_info=bin_info, aggregate=True, normalize=normalize,
         roi_number=roi_number, animals_in_roi=animals_in_roi,
     )
-    if silence_diagonal:
-        for m in mats.values():
-            np.fill_diagonal(m, 0)
     return mats
 
 

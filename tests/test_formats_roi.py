@@ -194,7 +194,7 @@ def test_posthoc_roi_filtering(roi_coords):
         bin_info=bin_info, roi_number=1, animals_in_roi=[""],
     )
     for k in keys:
-        got = enr[(enr["exp id"] == k) & (enr["cluster"] == "moving")][
+        got = enr[(enr["exp_id"] == k) & (enr["cluster"] == "moving")][
             "time on cluster"
         ].iloc[0]
         assert got == bin_info[k][""].sum()
@@ -224,11 +224,15 @@ def test_transition_matrices_roi(roi_coords):
         aggregate=False,
     )
     # The filtered matrix differs from the full one...
-    assert not np.allclose(roi["c"][0], full["c"][0])
-    # ...and matches counting over exactly the in-ROI frame subset.
-    hard = np.asarray(sc[keys[0]]).argmax(1)[bin_info[keys[0]][""]]
-    want = posthoc.cluster_transition_matrix(hard, 3)
-    np.testing.assert_allclose(roi["c"][0], want)
+    assert not np.allclose(roi[keys[0]], full[keys[0]])
+    # ...and matches counting over exactly the in-ROI frame subset, with
+    # transitions across ROI-exit gaps excluded (index_sequence semantics).
+    mask = bin_info[keys[0]][""]
+    frames = np.arange(n)[mask]
+    hard = np.asarray(sc[keys[0]]).argmax(1)[mask]
+    counts = posthoc.get_transitions(hard, 3, index_sequence=frames)
+    want = np.nan_to_num(counts / counts.sum(axis=1, keepdims=True))
+    np.testing.assert_allclose(roi[keys[0]], want)
 
 
 def test_visuals_roi_plumbing(roi_coords):

@@ -41,7 +41,7 @@ def test_enrichment_and_conditions():
     df = posthoc.enrichment_across_conditions(
         soft_counts=sc, exp_conditions=conds, normalize=True
     )
-    assert set(df.columns) == {"exp id", "cluster", "time on cluster", "exp condition"}
+    assert set(df.columns) == {"exp_id", "cluster", "time on cluster", "exp condition"}
     assert set(df["exp condition"]) == {"A", "B"}
 
 
@@ -60,9 +60,12 @@ def test_transitions_and_steady_state():
 
 def test_cluster_transition_matrix_counts():
     seq = np.array([0, 0, 1, 1, 2, 0])
-    m = posthoc.cluster_transition_matrix(seq, 3)
+    m, autocorr = posthoc.cluster_transition_matrix(seq, 3)
     np.testing.assert_allclose(m[0], [0.5, 0.5, 0.0])
     np.testing.assert_allclose(m[2], [1.0, 0.0, 0.0])
+    assert autocorr.shape == (2, 2)
+    m_only = posthoc.cluster_transition_matrix(seq, 3, autocorrelation=False)
+    np.testing.assert_allclose(m_only, m)
 
 
 def test_separation_between_conditions_auc():
