@@ -5,6 +5,7 @@ from deepof_tpu.parallel.mesh import (
     data_sharding,
     distributed_init_if_needed,
     is_main_process,
+    ragged_eval,
     replicate_sharding,
     shard_batch,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "data_sharding",
     "distributed_init_if_needed",
     "is_main_process",
+    "ragged_eval",
     "replicate_sharding",
     "shard_batch",
 ]

@@ -72,12 +72,21 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data", pad_policy: str = "repeat"):
     """Place a pytree of host arrays on the mesh, batch-sharded.
 
-    Arrays whose leading dim is not divisible by the mesh size are padded by
-    repeating the final rows (the step functions are invariant to duplicate
-    samples up to metric averaging, matching drop_last=False semantics).
+    Arrays whose leading dim is not divisible by the mesh size are handled
+    per ``pad_policy``:
+
+    - ``"repeat"`` (default): pad by repeating the final rows. Train-step
+      gradients weight the repeated samples slightly more on the (rare)
+      ragged final batch of an epoch; with shuffling this is noise, and
+      epoch metrics are corrected by the true-size weighting in
+      ``_epoch_mean``. Use :func:`ragged_eval` where exact metrics matter.
+    - ``"drop"``: trim the trailing remainder rows (drop-last semantics).
+      Required for losses whose STRUCTURE padding corrupts — e.g.
+      contrastive objectives, where a duplicated row is a false hard
+      negative of its twin in the similarity matrix.
     """
     n = mesh.devices.size
     sharding = data_sharding(mesh, axis_name)
@@ -86,8 +95,41 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
         arr = np.asarray(arr)
         b = arr.shape[0]
         if b % n:
-            pad = n - (b % n)
-            arr = np.concatenate([arr, arr[-1:].repeat(pad, axis=0)], axis=0)
+            if pad_policy == "drop":
+                arr = arr[: (b // n) * n]
+            else:
+                pad = n - (b % n)
+                arr = np.concatenate([arr, arr[-1:].repeat(pad, axis=0)], axis=0)
         return jax.device_put(arr, sharding)
 
     return jax.tree_util.tree_map(place, batch)
+
+
+def ragged_eval(run, batch, mesh: Mesh, axis_name: str = "data"):
+    """Exact sharded evaluation of a possibly-ragged batch.
+
+    Splits the leading axis into a mesh-divisible head (evaluated sharded)
+    and the remainder tail (evaluated unsharded on the default device), then
+    combines the two log dicts weighted by their true sample counts — so
+    per-sample-mean metrics come out exactly as if computed over the raw
+    batch, with no padding bias. ``run`` maps the placed batch tuple to a
+    dict of scalar per-sample means. The tail shape is constant across an
+    epoch, so it costs at most one extra compile.
+
+    ``None`` entries in ``batch`` pass through untouched (optional streams).
+    """
+    n = mesh.devices.size
+    sizes = [np.asarray(a).shape[0] for a in batch if a is not None]
+    b = sizes[0] if sizes else 0
+    head = (b // n) * n
+    if head == b or head == 0:
+        return run(shard_batch(batch, mesh, axis_name))
+    split = lambda lo, hi: tuple(
+        None if a is None else np.asarray(a)[lo:hi] for a in batch
+    )
+    logs_head = run(shard_batch(split(0, head), mesh, axis_name))
+    logs_tail = run(split(head, b))
+    r = b - head
+    return {
+        k: (head * logs_head[k] + r * logs_tail[k]) / b for k in logs_head
+    }

@@ -37,6 +37,7 @@ from deepof_tpu.parallel.mesh import (
     create_mesh,
     distributed_init_if_needed,
     is_main_process,
+    ragged_eval,
     shard_batch,
 )
 from deepof_tpu.train.augment import (
@@ -471,7 +472,8 @@ def _run_epochs(
             if limit_train_batches and bi >= limit_train_batches:
                 break
             logs = train_fn(x, a, ang, idx, epoch)
-            logs_list.append((logs, len(idx)))
+            if logs:  # drop-last policies may skip sub-mesh-size batches
+                logs_list.append((logs, len(idx)))
         train_logs = _epoch_mean(
             [jax.device_get(l) for l, _ in logs_list],
             [n for _, n in logs_list],
@@ -584,9 +586,10 @@ def fit_vqvae(
 
     def eval_fn(x, a, ang, idx, epoch):
         ang = ang if use_angles else None
-        x, a, ang = shard_batch((x, a, ang), mesh)
-        return eval_step(
-            _merge_variables(state["params"], state["rest"]), x, a, ang=ang
+        variables = _merge_variables(state["params"], state["rest"])
+        return ragged_eval(
+            lambda b: eval_step(variables, b[0], b[1], ang=b[2]),
+            (x, a, ang), mesh,
         )
 
     start_epoch, restored = maybe_resume(checkpointer, state)
@@ -752,10 +755,12 @@ def fit_vade(
             rng, sub = jax.random.split(rng)
             klw = kl_schedule.weight_at(iteration["t"]) if kl_schedule else 0.0
             ang = ang if use_angles else None
-            x, a, ang = shard_batch((x, a, ang), mesh)
-            return eval_step(
-                _merge_variables(state["params"], state["rest"]), x, a, sub,
-                jnp.float32(klw), ang=ang,
+            variables = _merge_variables(state["params"], state["rest"])
+            return ragged_eval(
+                lambda b: eval_step(
+                    variables, b[0], b[1], sub, jnp.float32(klw), ang=b[2]
+                ),
+                (x, a, ang), mesh,
             )
 
         def on_best(epoch, val_loss):
@@ -997,7 +1002,12 @@ def fit_contrastive(
     def train_fn(x, a, ang, idx, epoch):
         nonlocal state, rng
         rng, sub = jax.random.split(rng)
-        (x,) = shard_batch((x,), mesh)
+        # Drop (not pad) the ragged remainder: a repeated row would act as
+        # a false hard negative of its twin in the contrastive similarity
+        # matrix.
+        (x,) = shard_batch((x,), mesh, pad_policy="drop")
+        if x.shape[0] == 0:
+            return {}
         p, o, r, logs = step(state["params"], state["opt_state"], state["rest"], x, sub)
         state = {"params": p, "opt_state": o, "rest": r}
         return logs

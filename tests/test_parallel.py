@@ -12,6 +12,7 @@ import pytest
 from deepof_tpu.parallel.mesh import (
     create_mesh,
     data_sharding,
+    ragged_eval,
     replicate_sharding,
     shard_batch,
 )
@@ -32,6 +33,42 @@ def test_shard_batch_pads_and_shards():
 
     tree = shard_batch({"a": x, "b": np.ones((16, 2))}, mesh)
     assert tree["a"].shape == (16, 3) and tree["b"].shape == (16, 2)
+
+
+def test_shard_batch_drop_policy():
+    """pad_policy='drop' trims the ragged remainder instead of padding —
+    required where duplicates corrupt loss structure (contrastive)."""
+    mesh = create_mesh()
+    x = np.arange(11 * 2, dtype=np.float32).reshape(11, 2)
+    placed = shard_batch(x, mesh, pad_policy="drop")
+    assert placed.shape == (8, 2)
+    np.testing.assert_array_equal(np.asarray(placed), x[:8])
+
+
+def test_ragged_eval_is_exact():
+    """Head+tail split evaluation reproduces the exact per-sample mean of a
+    ragged batch — no repeat-padding bias."""
+    mesh = create_mesh()
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(13, 4)).astype(np.float32)
+
+    @jax.jit
+    def metric(xb):
+        return {"m": jnp.mean(xb), "sq": jnp.mean(xb**2)}
+
+    logs = ragged_eval(lambda b: metric(b[0]), (x, None), mesh)
+    np.testing.assert_allclose(float(logs["m"]), x.mean(), rtol=1e-6)
+    np.testing.assert_allclose(float(logs["sq"]), (x**2).mean(), rtol=1e-6)
+
+    # Padded evaluation of the same batch is measurably biased.
+    padded = shard_batch(x, mesh)
+    biased = metric(padded)
+    assert abs(float(biased["m"]) - x.mean()) > 1e-8
+
+    # Divisible batches take the single sharded path untouched.
+    x16 = rng.normal(size=(16, 4)).astype(np.float32)
+    logs16 = ragged_eval(lambda b: metric(b[0]), (x16, None), mesh)
+    np.testing.assert_allclose(float(logs16["m"]), x16.mean(), rtol=1e-6)
 
 
 def test_sharded_step_matches_replicated():
