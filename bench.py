@@ -298,20 +298,27 @@ def _bench_train_step() -> dict:
 
 def _write_dlc_fixed_h5(path: str, values: np.ndarray, columns) -> None:
     """Minimal pandas-"fixed" DLC h5 (the subset io/readers.py reads),
-    written with h5py directly (pytables isn't installed here)."""
+    written with h5py directly (pytables isn't installed here). Level
+    names follow the DLC convention — the reference's h5 loader keys on
+    the "scorer" level name (deepof/utils.py:2212-2218)."""
     import h5py
 
     nlevels = len(columns[0])
+    names = (
+        ["scorer", "individuals", "bodyparts", "coords"]
+        if nlevels == 4 else ["scorer", "bodyparts", "coords"]
+    )
     with h5py.File(path, "w") as f:
         g = f.create_group("df")
         g.attrs["axis0_nlevels"] = nlevels
         for lvl in range(nlevels):
             level_values = sorted({c[lvl] for c in columns})
             index = {v: i for i, v in enumerate(level_values)}
-            g.create_dataset(
+            ds = g.create_dataset(
                 f"axis0_level{lvl}",
                 data=np.array([v.encode() for v in level_values]),
             )
+            ds.attrs["name"] = names[lvl].encode()
             g.create_dataset(
                 f"axis0_label{lvl}",
                 data=np.array([index[c[lvl]] for c in columns], np.int64),
