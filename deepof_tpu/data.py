@@ -862,7 +862,16 @@ class Coordinates:
         return os.path.join(self._project_path, self._project_name, "Tables")
 
     def _time_index(self, n: int):
-        return dutils.make_time_index(n, self._frame_rate)
+        # Building the string index costs one str(Timedelta) per frame;
+        # every getter re-indexes, so cache per (length, frame_rate).
+        cache = getattr(self, "_time_index_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_time_index_cache", cache)
+        key = (n, self._frame_rate)
+        if key not in cache:
+            cache[key] = dutils.make_time_index(n, self._frame_rate)
+        return cache[key]
 
     def get_start_times(self, start_marker: Optional[str] = None) -> Dict[str, str]:
         """Per-experiment start times as "HH:MM:SS(.sss)" strings."""

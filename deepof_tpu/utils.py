@@ -317,31 +317,62 @@ def scale_table(
     animal_ids = list(animal_ids)
     factors, default = compute_size_factors(out, animal_ids, size_ref)
 
+    # All-numeric tables (the hot feature-table case) run both stages on
+    # ONE positional float64 matrix — per-section pandas .loc label
+    # resolution and block splitting would otherwise dominate; the
+    # numeric ops are identical either way. Mixed-dtype or
+    # duplicate-label tables take the label-based path.
+    positional = out.shape[1] == len(num_cols) and out.columns.is_unique
+    if positional:
+        vals = out.to_numpy(dtype=np.float64).copy()
+        pos = {c: i for i, c in enumerate(out.columns)}
+
+        def read(cols):
+            return vals[:, [pos[c] for c in cols]]
+
+        def write(cols, arr):
+            vals[:, [pos[c] for c in cols]] = arr
+
+        def finish():
+            return pd.DataFrame(vals, index=out.index, columns=out.columns)
+    else:
+        def read(cols):
+            return out.loc[:, cols].to_numpy(float)
+
+        def write(cols, arr):
+            out.loc[:, cols] = arr
+
+        def finish():
+            return out
+
     # Stage 1: size normalization + distance compression.
     for cols, divisor in _size_divisor_plan(
         col_types, factors, default, inter_scale
     ):
-        out.loc[:, cols] = out.loc[:, cols].to_numpy(float) / divisor
+        write(cols, read(cols) / divisor)
     if log_distances and col_types["dists"]:
-        arr = out[col_types["dists"]].to_numpy(float).copy()
-        out.loc[:, col_types["dists"]] = np.log1p(np.clip(arr, 0.0, None))
+        write(
+            col_types["dists"],
+            np.log1p(np.clip(read(col_types["dists"]), 0.0, None)),
+        )
 
     if not standardize:
-        return out
+        return finish()
 
     # Stage 2: statistical standardization per section.
     for cols, mode in _standardize_section_plan(
         col_types, dist_standardize, speed_standardize, coord_standardize
     ):
-        arr = out[cols].to_numpy(float)
+        arr = read(cols)
         scaler = SCALERS[scale]()
         if mode == "per_column":
-            out.loc[:, cols] = scaler.fit_transform(arr)
+            write(cols, scaler.fit_transform(arr))
         else:  # groupwise: one shared scale across the whole section
-            out.loc[:, cols] = scaler.fit_transform(
-                arr.reshape(-1, 1)
-            ).reshape(arr.shape)
-    return out
+            write(
+                cols,
+                scaler.fit_transform(arr.reshape(-1, 1)).reshape(arr.shape),
+            )
+    return finish()
 
 
 def make_scaler(scale_kind: str):
