@@ -882,14 +882,6 @@ class Coordinates:
             }
         return {key: "00:00:00.000" for key in self._tables}
 
-    def get_table_lengths(self, tab_dict_for_binning=None) -> Dict[str, int]:
-        src = tab_dict_for_binning if tab_dict_for_binning is not None else self._tables
-        out = {}
-        for key in src.keys():
-            obj = get_dt(src, key)
-            out[key] = len(obj)
-        return out
-
     def get_exp_conditions(self):
         return self._exp_conditions
 

@@ -14,6 +14,7 @@ import pickle
 from typing import Any, Optional
 
 import numpy as np
+from sklearn.base import BaseEstimator, ClassifierMixin
 
 
 class SimpleSMOTE:
@@ -23,6 +24,16 @@ class SimpleSMOTE:
     def __init__(self, k_neighbors: int = 5, random_state: Optional[int] = None):
         self.k_neighbors = k_neighbors
         self.random_state = random_state
+
+    # sklearn clone() support (used by ResampledClassifier.fit and
+    # cross_validate; the reference inherits these from BaseEstimator)
+    def get_params(self, deep: bool = True):
+        return {"k_neighbors": self.k_neighbors, "random_state": self.random_state}
+
+    def set_params(self, **params):
+        for k, v in params.items():
+            setattr(self, k, v)
+        return self
 
     def fit_resample(self, x: np.ndarray, y: np.ndarray):
         from sklearn.neighbors import NearestNeighbors
@@ -57,24 +68,43 @@ class SimpleSMOTE:
         return np.concatenate(xs), np.concatenate(ys)
 
 
-class ResampledClassifier:
-    """Classifier wrapper that SMOTE-resamples before fitting; prediction
-    passes through (legacy_smote_handling.py:147-186)."""
 
-    def __init__(self, estimator, sampler: Optional[SimpleSMOTE] = None):
+class ResampledClassifier(BaseEstimator, ClassifierMixin):
+    """Classifier wrapper that resamples (X, y) inside fit before training
+    (legacy_smote_handling.py:147-186).
+
+    A proper sklearn estimator: clonable, usable inside Pipeline and
+    cross_validate, exposing fitted ``estimator_``/``resampler_``/
+    ``classes_`` attributes and delegating prediction to the fitted
+    estimator.
+    """
+
+    def __init__(self, estimator=None, resampler: Optional[Any] = None):
         self.estimator = estimator
-        self.sampler = sampler or SimpleSMOTE()
+        self.resampler = resampler
 
-    def fit(self, x, y):
-        xr, yr = self.sampler.fit_resample(x, y)
-        self.estimator.fit(xr, yr)
+    def fit(self, x, y, **fit_params):
+        from sklearn.base import clone
+
+        x, y = np.asarray(x), np.asarray(y)
+        self.estimator_ = clone(self.estimator)
+        if self.resampler is None:
+            xr, yr = x, y
+        else:
+            self.resampler_ = clone(self.resampler)
+            xr, yr = self.resampler_.fit_resample(x, y)
+        self.estimator_.fit(xr, yr, **fit_params)
+        self.classes_ = getattr(self.estimator_, "classes_", np.unique(yr))
         return self
 
     def predict(self, x):
-        return self.estimator.predict(x)
+        return self.estimator_.predict(np.asarray(x))
 
-    def predict_proba(self, x):  # pragma: no cover
-        return self.estimator.predict_proba(x)
+    def predict_proba(self, x):
+        return self.estimator_.predict_proba(np.asarray(x))
+
+    def score(self, x, y):  # pragma: no cover - convenience
+        return self.estimator_.score(np.asarray(x), np.asarray(y))
 
 
 _SHIMS = {

@@ -72,12 +72,29 @@ def aggregate_windows(windows: jnp.ndarray, aggregate: str | None) -> jnp.ndarra
 
 
 def aggregate_windows_labels(windows: np.ndarray, aggregate: str) -> np.ndarray:
-    """Host-side "wta"/"lta" label aggregation (most/least frequent row in
-    each window; deepof/utils.py:3448-3463)."""
-    n = windows.shape[0]
-    out = np.empty((n, 1, windows.shape[2]), dtype=windows.dtype)
-    for i in range(n):
-        rows, counts = np.unique(windows[i], return_counts=True, axis=0)
-        pick = np.argmax(counts) if aggregate == "wta" else np.argmin(counts)
-        out[i, 0] = rows[pick]
+    """Host-side "wta"/"lta" label aggregation (deepof/utils.py:3448-3463).
+
+    "wta" is the per-column mode over the window (the reference applies
+    scipy.stats.mode along the window axis; ties resolve to the smallest
+    value). "lta" picks the least frequent *row combination* in each window
+    (the reference's np.unique(..., axis=0) argmin-count loop; ties resolve
+    to the lexicographically smallest row, matching np.unique's sort order).
+    """
+    n, _, d = windows.shape
+    out = np.empty((n, 1, d), dtype=windows.dtype)
+    if aggregate == "wta":
+        # vectorized per-column mode: count occurrences of each distinct
+        # value per (window, column) cell, pick the max (first on ties —
+        # values are scanned in sorted order, matching scipy.stats.mode)
+        values = np.unique(windows)
+        counts = np.stack(
+            [(windows == v).sum(axis=1) for v in values], axis=0
+        )  # (V, N, D)
+        out[:, 0, :] = values[np.argmax(counts, axis=0)]
+    elif aggregate == "lta":
+        for i in range(n):
+            rows, counts = np.unique(windows[i], return_counts=True, axis=0)
+            out[i, 0] = rows[np.argmin(counts)]
+    else:
+        raise ValueError(f"Unknown label aggregate mode: {aggregate}")
     return out

@@ -681,64 +681,192 @@ def annotate_time_chunks(
 # --------------------------------------------------------------------------- #
 
 
-def train_supervised_cluster_detectors(
+def chunk_cv_splitter(
     chunk_stats: pd.DataFrame,
-    hard_counts: np.ndarray,
-    chunk_labels: Optional[np.ndarray] = None,
+    bin_info: dict,
     n_folds: int = None,
-    verbose: int = 1,
-):
-    """Per-cluster gradient-boosting detectors with grouped CV
-    (post_hoc.py:2745-2820). Uses sklearn HistGradientBoosting (catboost is
-    not available in this environment) with SMOTE-style class balancing."""
+) -> list:
+    """Grouped CV folds that never split one experiment across train/test
+    (post_hoc.py:2709-2742).
+
+    ``bin_info`` maps each experiment to its chunk index array; chunks are
+    assumed sorted by experiment, so repeating the experiment ordinal per
+    chunk yields the group labels. One fold per experiment by default
+    (leave-one-experiment-out).
+    """
+    from sklearn.model_selection import GroupKFold
+
+    fold_lengths = np.array([len(value) for value in bin_info.values()])
+    cv_indices = np.repeat(np.arange(len(bin_info)), fold_lengths)
+    splitter = GroupKFold(
+        n_splits=(n_folds if n_folds is not None else len(bin_info))
+    ).split(chunk_stats, groups=cv_indices)
+    return list(splitter)
+
+
+def _make_cluster_detector(verbose: int):
+    """Scaler -> SMOTE-resampled gradient-boosting pipeline
+    (post_hoc.py:2764-2773; catboost is replaced by sklearn's
+    HistGradientBoosting, the closest available GBM)."""
     from sklearn.ensemble import HistGradientBoostingClassifier
-    from sklearn.metrics import accuracy_score
-    from sklearn.model_selection import GroupKFold, StratifiedKFold, cross_val_predict
     from sklearn.pipeline import Pipeline
     from sklearn.preprocessing import StandardScaler
 
-    x = np.nan_to_num(chunk_stats.to_numpy(float))
-    y = np.asarray(hard_counts).astype(int)
+    from deepof_tpu.legacy_compat import ResampledClassifier, SimpleSMOTE
 
-    clf = Pipeline(
+    return Pipeline(
         [
-            ("scaler", StandardScaler()),
-            ("gbm", HistGradientBoostingClassifier(max_iter=200)),
+            ("normalization", StandardScaler()),
+            ("classifier", ResampledClassifier(
+                estimator=HistGradientBoostingClassifier(
+                    max_iter=200, verbose=int(verbose > 2),
+                ),
+                resampler=SimpleSMOTE(random_state=42),
+            )),
         ]
     )
-    if chunk_labels is not None:
-        cv = GroupKFold(n_splits=n_folds or min(5, len(np.unique(chunk_labels))))
-        groups = chunk_labels
-    else:
-        cv = StratifiedKFold(n_splits=n_folds or 5, shuffle=True, random_state=42)
-        groups = None
-    preds = cross_val_predict(clf, x, y, cv=cv, groups=groups)
-    acc = accuracy_score(y, preds)
+
+
+def train_supervised_cluster_detectors(
+    chunk_stats: pd.DataFrame,
+    hard_counts: np.ndarray,
+    bin_info: dict,
+    n_folds: int = None,
+    verbose: int = 1,
+):
+    """Supervised cluster detectors from kinematic chunk features
+    (post_hoc.py:2745-2818).
+
+    Cross-validates a scaler -> SMOTE-resampled GBM pipeline over
+    leave-one-experiment-out folds (chunks from the same experiment are
+    never shared between train and test), then refits on the full dataset
+    for SHAP explainability.
+
+    Returns:
+        full_cluster_clf: pipeline trained on all chunks.
+        cluster_gbm_performance: sklearn cross_validate dict with weighted
+            OVO/OVR ROC-AUC train+test scores and the fold estimators.
+        groups: the CV folds used.
+    """
+    from sklearn.model_selection import cross_validate
+
+    groups = chunk_cv_splitter(chunk_stats, bin_info, n_folds=n_folds)
+
+    hard_values = (
+        hard_counts.values if hasattr(hard_counts, "values") else np.asarray(hard_counts)
+    )
     if verbose:
-        print(f"Cluster detector CV accuracy: {acc:.3f}")
-    clf.fit(x, y)
-    return clf, preds, acc
+        print("Training cross-validated models for performance estimation...")
+    cluster_gbm_performance = cross_validate(
+        _make_cluster_detector(verbose),
+        chunk_stats.values,
+        hard_values,
+        scoring=["roc_auc_ovo_weighted", "roc_auc_ovr_weighted"],
+        cv=groups,
+        return_train_score=True,
+        return_estimator=True,
+        n_jobs=-1,
+        verbose=(verbose > 1),
+    )
+
+    if verbose:
+        print("Training on full dataset for feature importance estimation...")
+    full_cluster_clf = _make_cluster_detector(verbose)
+    full_cluster_clf.fit(chunk_stats.values, hard_values)
+
+    if verbose:
+        print("Done!")
+    return full_cluster_clf, cluster_gbm_performance, groups
 
 
 def explain_clusters(
     chunk_stats: pd.DataFrame,
     hard_counts: np.ndarray,
-    cluster_detector,
-    samples: int = 100,
+    full_cluster_clf,
+    samples: int = 10000,
+    n_jobs: int = -1,
 ):
-    """SHAP explanations of the cluster detectors (post_hoc.py:2824-2869).
-    Requires the optional shap package."""
+    """SHAP feature importance for the trained cluster detectors
+    (post_hoc.py:2824-2869). Requires the optional shap package.
+
+    Scales (and SMOTE-resamples, matching the training distribution) the
+    chunk features before passing them to a KernelExplainer whose
+    background set is a k-means summary with one centroid per cluster.
+
+    Returns (shap_values, explainer, processed_stats).
+    """
     try:
         import shap
     except ImportError as e:
         raise ImportError(
             "explain_clusters requires the optional 'shap' package; use "
-            "cluster_detector.named_steps['gbm'].feature_importances_ or "
-            "sklearn.inspection.permutation_importance as an alternative."
+            "permutation_importance on full_cluster_clf as an alternative."
         ) from e
-    x = np.nan_to_num(chunk_stats.to_numpy(float))[:samples]  # pragma: no cover
-    explainer = shap.KernelExplainer(cluster_detector.predict_proba, x)  # pragma: no cover
-    return explainer.shap_values(x)  # pragma: no cover
+    from sklearn.base import clone  # pragma: no cover
+
+    scaler = full_cluster_clf.named_steps["normalization"]  # pragma: no cover
+    clfwrap = full_cluster_clf.named_steps["classifier"]  # pragma: no cover
+
+    x_scaled = scaler.transform(chunk_stats.values)  # pragma: no cover
+    resampler = getattr(clfwrap, "resampler_", None) or getattr(  # pragma: no cover
+        clfwrap, "resampler", None
+    )
+    if resampler is not None:  # pragma: no cover
+        x_scaled, _ = clone(resampler).fit_resample(x_scaled, hard_counts)
+    processed_stats = pd.DataFrame(x_scaled, columns=chunk_stats.columns)  # pragma: no cover
+
+    n_clusters = len(np.unique(hard_counts))  # pragma: no cover
+    explainer = shap.KernelExplainer(  # pragma: no cover
+        clfwrap.predict_proba,
+        data=shap.kmeans(processed_stats, n_clusters),
+        normalize=False,
+    )
+    if samples is not None and samples < chunk_stats.shape[0]:  # pragma: no cover
+        processed_stats = processed_stats.sample(samples)
+    shap_values = explainer.shap_values(  # pragma: no cover
+        processed_stats, nsamples=samples, n_jobs=n_jobs
+    )
+    return shap_values, explainer, processed_stats  # pragma: no cover
+
+
+def compute_UMAP(
+    embeddings: np.ndarray, cluster_assignments: np.ndarray, random_state: int = 0
+):  # pragma: no cover — requires optional umap-learn
+    """LDA-then-UMAP 2D projection for embedding visualization
+    (post_hoc.py:2359-2386).
+
+    Reduces embeddings with a supervised LDA (components capped at
+    min(dim, n_clusters - 1)) and projects the result to 2D with UMAP
+    (min_dist=0.99, random init), matching the reference's parameters.
+    """
+    assert np.unique(cluster_assignments).size > 1, (
+        "LDA could not be computed, as these soft_counts correspond to a "
+        "collapsed model that only contains a single cluster!"
+    )
+    from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+
+    try:
+        import umap
+    except ImportError as e:
+        raise ImportError(
+            "compute_UMAP requires the optional 'umap-learn' package."
+        ) from e
+
+    lda = LinearDiscriminantAnalysis(
+        n_components=int(
+            min(embeddings.shape[1], len(set(cluster_assignments)) - 1)
+        ),
+    )
+    reduced = lda.fit_transform(embeddings, cluster_assignments)
+    reducer = umap.UMAP(
+        min_dist=0.99,
+        n_components=2,
+        random_state=random_state,
+        n_jobs=1 if random_state is not None else -1,
+        transform_seed=random_state,
+        init="random",
+    )
+    return reducer.fit_transform(reduced)
 
 
 def recluster(

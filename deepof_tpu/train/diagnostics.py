@@ -70,6 +70,40 @@ def compute_diagnostics(
     return out
 
 
+def alignment_score(
+    q: np.ndarray, tau_star: Optional[np.ndarray] = None
+) -> Dict[str, float]:
+    """Balance-and-certainty score used for best-score checkpointing.
+
+    Reference semantics (logging.py:236-293): conf_norm = 1 - mean
+    per-sample entropy of q over log K; bal_norm = 1 - KL(q_marginal ||
+    tau_marginal)/log K when a teacher marginal is available, else the
+    normalized marginal entropy of q; alignment_score = conf_norm *
+    bal_norm. Only marginals of tau_star are used, so the teacher rows
+    need not align with the q rows.
+    """
+    q = np.clip(np.asarray(q, np.float64), 1e-8, None)
+    q = q / q.sum(axis=1, keepdims=True)
+    k = q.shape[1]
+    log_k = np.log(max(float(k), 2.0))
+    mean_entropy = float(-(q * np.log(q)).sum(axis=1).mean())
+    q_marg = np.clip(q.mean(axis=0), 1e-9, None)
+    conf_norm = float(np.clip(1.0 - mean_entropy / log_k, 0.0, 1.0))
+    if tau_star is not None:
+        tau_marg = np.clip(np.asarray(tau_star, np.float64).mean(axis=0), 1e-9, None)
+        kl = max(0.0, float((q_marg * (np.log(q_marg) - np.log(tau_marg))).sum()))
+        bal_norm = float(np.clip(1.0 - kl / log_k, 0.0, 1.0))
+    else:
+        bal_norm = float(
+            np.clip(-(q_marg * np.log(q_marg)).sum() / log_k, 0.0, 1.0)
+        )
+    return {
+        "conf_norm": conf_norm,
+        "bal_norm": bal_norm,
+        "alignment_score": conf_norm * bal_norm,
+    }
+
+
 def compute_gmm_diagnostics(params: Dict) -> Dict[str, float]:
     """GMM-health metrics from VaDE latent-space parameters."""
     out = {}

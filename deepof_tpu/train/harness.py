@@ -88,6 +88,10 @@ class ModelBundle:
     history: Dict[str, List[float]] = field(default_factory=dict)
     best_variables: Optional[Dict] = None
     best_val: Optional[float] = None
+    # Best balance-and-certainty score snapshot (reference tracks best-val
+    # and best-score checkpoints separately, training.py:1196-1248).
+    best_score_variables: Optional[Dict] = None
+    best_score: Optional[float] = None
 
     def apply(self, *args, **kwargs):
         return self.model.apply(self.variables, *args, **kwargs)
@@ -450,13 +454,21 @@ def _run_epochs(
     phase: str = "",
     start_epoch: int = 0,
     on_best=None,
+    score_fn=None,
+    on_best_score=None,
 ):
     """Generic epoch loop with best-val tracking; returns best val loss.
 
-    `on_best(epoch, val_loss)` fires whenever the validation loss improves
-    (reference: best-val checkpoint tracking, training.py:1196-1248).
+    `on_best(epoch, val_loss)` fires whenever the validation loss improves.
+    When `score_fn(epoch) -> float` is given, a separate best-*score*
+    checkpoint is tracked with the reference's rule (training.py:1196-1248):
+    the score must improve, or tie within 0.01 with a lower validation
+    loss, and only after max(3, ceil(0.1 * n_epochs)) epochs have passed.
     """
     best_val = np.inf
+    best_score, best_score_val = -np.inf, np.inf
+    score_start_epoch = max(3, int(np.ceil(0.1 * n_epochs)))
+    score_tol = 0.01
     np_rng = np.random.default_rng(rng_seed)
     for epoch in range(start_epoch, n_epochs):
         t0 = time.time()
@@ -497,6 +509,20 @@ def _run_epochs(
                 best_val = epoch_val
                 if on_best is not None:
                     on_best(epoch, float(epoch_val))
+            if score_fn is not None:
+                score_value = float(score_fn(epoch))
+                val_logs["alignment_score"] = score_value
+                improved = np.isfinite(score_value) and (
+                    score_value > best_score
+                    or (
+                        abs(score_value - best_score) <= score_tol
+                        and epoch_val < best_score_val
+                    )
+                )
+                if improved and epoch > score_start_epoch:
+                    best_score, best_score_val = score_value, epoch_val
+                    if on_best_score is not None:
+                        on_best_score(epoch, score_value, float(epoch_val))
 
         for k, v in train_logs.items():
             history.setdefault(f"{phase}{k}", []).append(v)
@@ -769,6 +795,39 @@ def fit_vade(
             )
             best["val"] = val_loss
 
+        def score_fn(epoch):
+            # Balance-and-certainty score on up to 4 validation batches
+            # (reference: compute_diagnostics max_batches=4, logging.py:149).
+            from deepof_tpu.train.diagnostics import alignment_score
+
+            variables = _merge_variables(state["params"], state["rest"])
+            qs = []
+            for bi, (x, a, ang, _) in enumerate(
+                val_ds.batches(common.batch_size, shuffle=False)
+            ):
+                if bi >= 4:
+                    break
+                ang_b = jnp.asarray(ang) if use_angles else None
+                qs.append(np.asarray(model.apply(
+                    variables, jnp.asarray(x), jnp.asarray(a), ang_b,
+                    method="group",
+                )))
+            if not qs:
+                return float("nan")
+            return alignment_score(np.concatenate(qs), tau_star)["alignment_score"]
+
+        def on_best_score(epoch, score, val_loss):
+            best["score_variables"] = jax.device_get(
+                _merge_variables(state["params"], state["rest"])
+            )
+            best["score"] = score
+
+        # Score checkpointing mirrors the reference's apply_distill gate
+        # (training.py:1217): only when a teacher drives distillation.
+        track_score = (
+            track_best and tau_star is not None
+            and val_ds is not None and len(val_ds) > 0
+        )
         return _run_epochs(
             n_epochs=n_epochs, train_ds=train_ds, val_ds=val_ds,
             batch_size=common.batch_size, mesh=mesh, rng_seed=common.seed or 0,
@@ -783,6 +842,8 @@ def fit_vade(
                 epoch_callback if track_best else None,
             ),
             on_best=on_best if track_best else None,
+            score_fn=score_fn if track_score else None,
+            on_best_score=on_best_score if track_score else None,
         )
 
     # Phase 1: pretrain (VAE mode, KL -> N(0, I)).
@@ -934,6 +995,8 @@ def fit_vade(
         history=history,
         best_variables=best.get("variables"),
         best_val=best.get("val"),
+        best_score_variables=best.get("score_variables"),
+        best_score=best.get("score"),
     )
 
 
@@ -1221,6 +1284,18 @@ def train_deepof_model(
 
     log_summary = {k: v[-1] if v else None for k, v in bundle.history.items()}
 
+    # Best balance-and-certainty score model — the reference's second return
+    # value (model_score; training.py:592-885, 1252-1255).
+    bundle_score = None
+    if bundle.best_score_variables is not None:
+        bundle_score = ModelBundle(
+            model=bundle.model,
+            variables=bundle.best_score_variables,
+            rebuild_spec=bundle.rebuild_spec,
+            history=bundle.history,
+            best_score=bundle.best_score,
+        )
+
     if save_weights and is_main_process():
         model_dir = os.path.join(output_path, "models")
         name = (
@@ -1235,8 +1310,12 @@ def train_deepof_model(
                 rebuild_spec=bundle.rebuild_spec,
                 history=bundle.history,
             ).save(os.path.join(model_dir, name.replace(".ckpt", "_best.ckpt")))
+        if bundle_score is not None:
+            bundle_score.save(
+                os.path.join(model_dir, name.replace(".ckpt", "_best_score.ckpt"))
+            )
 
-    return bundle, None, None, log_summary
+    return bundle, bundle_score, None, log_summary
 
 
 def deep_unsupervised_embedding(

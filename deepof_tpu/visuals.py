@@ -816,27 +816,103 @@ def animate_skeleton(
 # --------------------------------------------------------------------------- #
 
 
+def _balanced_accuracy_from_cm(cm: np.ndarray, cluster_index: int) -> float:
+    """((TP/(TP+FN)) + (TN/(TN+FP))) / 2 for one cluster of a confusion
+    matrix (visuals.py:3588-3601)."""
+    tp = cm[cluster_index, cluster_index]
+    fp = cm[:, cluster_index].sum() - tp
+    fn = cm[cluster_index, :].sum() - tp
+    tn = cm.sum() - tp - fp - fn
+    return float(((tp / (tp + fn)) + (tn / (tn + fp))) / 2)
+
+
 def plot_cluster_detection_performance(
+    coordinates,
     chunk_stats: pd.DataFrame,
+    cluster_gbm_performance: dict,
     hard_counts: np.ndarray,
-    cluster_detector,
-    confusion: bool = True,
+    groups: list,
     save: bool = False,
+    visualization: str = "confusion_matrix",
     ax: Any = None,
     **kwargs,
 ):
-    """Confusion matrix / per-cluster accuracy of the supervised cluster
-    detectors (visuals.py:3521-3659)."""
-    from sklearn.metrics import ConfusionMatrixDisplay, confusion_matrix
+    """Per-fold confusion matrix or balanced-accuracy bars for the
+    cross-validated cluster detectors (visuals.py:3521-3659).
 
-    preds = cluster_detector.predict(np.nan_to_num(chunk_stats.to_numpy(float)))
+    Consumes the (cluster_gbm_performance, groups) output of
+    posthoc.train_supervised_cluster_detectors: each fold's estimator is
+    evaluated on its held-out chunks, and the fold confusion matrices are
+    summed (confusion_matrix view) or per-cluster balanced accuracies
+    plotted with their spread (balanced_accuracy view).
+    """
+    from sklearn.metrics import confusion_matrix
+
+    hard_values = (
+        hard_counts.values if hasattr(hard_counts, "values") else np.asarray(hard_counts)
+    )
+    labels = np.unique(hard_values)
+    n_clusters = len(labels)
+    confusion_matrices = [
+        confusion_matrix(
+            hard_values[fold[1]],
+            clf.predict(chunk_stats.values[fold[1]]),
+            labels=labels,
+        )
+        for clf, fold in zip(cluster_gbm_performance["estimator"], groups)
+    ]
+
     own_fig = ax is None
     if own_fig:
-        fig, ax = plt.subplots()
+        fig, ax = plt.subplots(figsize=(10, 10))
     else:
         fig = ax.figure
-    cm = confusion_matrix(hard_counts, preds, normalize="true")
-    ConfusionMatrixDisplay(cm).plot(ax=ax, colorbar=False)
+
+    cluster_names = [f"cluster {i}" for i in sorted(set(np.asarray(hard_values)))]
+    if visualization == "confusion_matrix":
+        from scipy.cluster.hierarchy import dendrogram, linkage
+
+        cm = np.stack(confusion_matrices).sum(axis=0).astype(float)
+        cm = cm / cm.sum(axis=1)[:, np.newaxis]
+        cm = pd.DataFrame(cm, index=cluster_names, columns=cluster_names)
+        # reorder rows/columns so similar clusters sit together
+        order = dendrogram(
+            linkage(cm, method="average", metric="euclidean"), no_plot=True
+        )["leaves"]
+        cm = cm.iloc[order, order]
+        im = ax.imshow(cm.to_numpy(), cmap="Blues")
+        ax.set_xticks(range(n_clusters), cm.columns, rotation=90)
+        ax.set_yticks(range(n_clusters), cm.index)
+        for i in range(n_clusters):
+            for j in range(n_clusters):
+                ax.text(j, i, f"{cm.iloc[i, j]:.2f}", ha="center", va="center",
+                        fontsize=8)
+        fig.colorbar(im, ax=ax)
+        ax.set_title("Confusion matrix for multiclass state prediction")
+    elif visualization == "balanced_accuracy":
+        per_cluster = np.array(
+            [
+                [_balanced_accuracy_from_cm(cm, c) for cm in confusion_matrices]
+                for c in range(n_clusters)
+            ]
+        )
+        means = per_cluster.mean(axis=1)
+        ax.bar(range(n_clusters), means, color="#5b8db8")
+        for c in range(n_clusters):
+            ax.scatter(
+                np.full(per_cluster.shape[1], c), per_cluster[c],
+                color="black", s=12, zorder=3,
+            )
+        ax.axhline(1 / n_clusters, linestyle="--", color="black")
+        ax.set_ylim(0, 1)
+        ax.set_xticks(range(n_clusters), [str(c) for c in range(n_clusters)])
+        ax.set_xlabel("Cluster")
+        ax.set_ylabel("Balanced accuracy")
+        ax.set_title("Supervised cluster mapping performance")
+    else:
+        raise ValueError(
+            "visualization should be 'confusion_matrix' or 'balanced_accuracy'"
+        )
     return _maybe_save(fig, save, "cluster_detection")
 
 

@@ -310,6 +310,29 @@ def test_rolling_windows_matches_stride_tricks(step):
     np.testing.assert_allclose(got, expected, rtol=1e-7)
 
 
+def test_wta_matches_scipy_mode():
+    from scipy.stats import mode
+
+    from deepof_tpu.ops.windows import aggregate_windows_labels
+
+    labels = RNG.integers(0, 3, size=(40, 9, 5))
+    got = aggregate_windows_labels(labels, "wta")
+    expected = mode(labels, axis=1).mode
+    np.testing.assert_array_equal(got[:, 0, :], expected)
+
+
+def test_lta_least_frequent_row():
+    from deepof_tpu.ops.windows import aggregate_windows_labels
+
+    # reference semantics: least frequent row combination per window
+    # (deepof/utils.py:3455-3462)
+    labels = RNG.integers(0, 2, size=(30, 7, 4))
+    got = aggregate_windows_labels(labels, "lta")
+    for i in range(labels.shape[0]):
+        rows, counts = np.unique(labels[i], return_counts=True, axis=0)
+        np.testing.assert_array_equal(got[i, 0], rows[np.argmin(counts)])
+
+
 # --------------------------------------------------------------------- #
 # bouts
 # --------------------------------------------------------------------- #

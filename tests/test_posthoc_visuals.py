@@ -91,12 +91,54 @@ def test_chunk_summary_statistics():
 def test_cluster_detectors_and_recluster():
     rng = np.random.default_rng(0)
     x = pd.DataFrame(rng.normal(size=(120, 6)))
-    y = rng.integers(0, 3, 120)
-    x.iloc[:, 0] += y  # make it learnable
-    clf, preds, acc = posthoc.train_supervised_cluster_detectors(
-        x, y, verbose=0
+    y = pd.Series(rng.integers(0, 3, 120))
+    x.iloc[:, 0] += 3.0 * y  # make it learnable
+    # four synthetic experiments of 30 chunks each
+    bin_info = {f"exp{i}": np.arange(30) + 30 * i for i in range(4)}
+    full_clf, perf, groups = posthoc.train_supervised_cluster_detectors(
+        x, y, bin_info, verbose=0
     )
-    assert acc > 0.4
+    # leave-one-experiment-out: one fold per experiment, and no fold ever
+    # mixes chunks of one experiment between train and test
+    assert len(groups) == 4
+    exp_of = np.repeat(np.arange(4), 30)
+    for tr, te in groups:
+        assert set(exp_of[tr]).isdisjoint(set(exp_of[te]))
+    # cross_validate contract: weighted OVO/OVR AUCs + estimators
+    assert "test_roc_auc_ovo_weighted" in perf
+    assert "train_roc_auc_ovr_weighted" in perf
+    assert len(perf["estimator"]) == 4
+    assert np.mean(perf["test_roc_auc_ovo_weighted"]) > 0.7
+    # full classifier is SMOTE-resampled scaler->GBM pipeline
+    from deepof_tpu.legacy_compat import ResampledClassifier
+
+    assert isinstance(full_clf.named_steps["classifier"], ResampledClassifier)
+    assert full_clf.named_steps["classifier"].resampler_ is not None
+    acc = (full_clf.predict(x.values) == y.values).mean()
+    assert acc > 0.6
+
+
+def test_plot_cluster_detection_performance():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(1)
+    x = pd.DataFrame(rng.normal(size=(120, 6)))
+    y = pd.Series(rng.integers(0, 3, 120))
+    x.iloc[:, 0] += 3.0 * y
+    bin_info = {f"exp{i}": np.arange(30) + 30 * i for i in range(4)}
+    _, perf, groups = posthoc.train_supervised_cluster_detectors(
+        x, y, bin_info, verbose=0
+    )
+    from deepof_tpu import visuals
+
+    for viz in ("confusion_matrix", "balanced_accuracy"):
+        fig = visuals.plot_cluster_detection_performance(
+            None, x, perf, y, groups, visualization=viz
+        )
+        plt.close("all")
 
     embs = TableDict(
         {"e1": rng.normal(size=(50, 4)), "e2": rng.normal(size=(50, 4))},
@@ -265,3 +307,42 @@ def test_export_video_helpers():
     pos = np.array([[[20.0, 20.0], [25, 25], [70, 70], [75, 75]]])
     out = _draw_mouse_labels(frame.copy(), coords, pos, 0)
     assert out.sum() > 0  # labels rendered pixels
+
+
+# --------------------------------------------------------------------- #
+# legacy compat: SMOTE + resampled classifier
+# --------------------------------------------------------------------- #
+
+
+def test_simple_smote_balances_classes():
+    from deepof_tpu.legacy_compat import SimpleSMOTE
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.normal(size=(80, 4)), rng.normal(5, 1, size=(20, 4))])
+    y = np.array([0] * 80 + [1] * 20)
+    xr, yr = SimpleSMOTE(random_state=42).fit_resample(x, y)
+    _, counts = np.unique(yr, return_counts=True)
+    assert counts[0] == counts[1] == 80
+    # synthetic minority points interpolate within the minority cloud
+    assert xr[yr == 1].mean() > 3.0
+
+
+def test_resampled_classifier_sklearn_contract():
+    from sklearn.base import clone
+    from sklearn.linear_model import LogisticRegression
+
+    from deepof_tpu.legacy_compat import ResampledClassifier, SimpleSMOTE
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.normal(size=(90, 3)), rng.normal(4, 1, size=(30, 3))])
+    y = np.array([0] * 90 + [1] * 30)
+    clf = ResampledClassifier(
+        estimator=LogisticRegression(), resampler=SimpleSMOTE(random_state=0)
+    )
+    cloned = clone(clf)  # sklearn clonability (needed by cross_validate)
+    cloned.fit(x, y)
+    assert hasattr(cloned, "estimator_") and hasattr(cloned, "resampler_")
+    assert set(cloned.classes_) == {0, 1}
+    proba = cloned.predict_proba(x)
+    assert proba.shape == (120, 2)
+    assert (cloned.predict(x) == y).mean() > 0.9

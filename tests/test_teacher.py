@@ -72,6 +72,33 @@ def test_initialize_gmm_from_teacher():
     np.testing.assert_allclose(np.asarray(prior).sum(), 1.0, rtol=1e-5)
 
 
+def test_vade_best_score_checkpoint():
+    """Distilled VaDE tracks a separate best-score model (the reference's
+    second return value; training.py:1196-1248, 1252-1255)."""
+    train, test = _preprocessed()
+    adj = _adjacency()
+    bundle, bundle_score, _, _ = train_deepof_model(
+        ((train, test), {}, adj), adjacency_matrix=adj, model_name="VaDE",
+        encoder_type="recurrent", batch_size=16, latent_dim=4, epochs=6,
+        n_clusters=3, pretrain_epochs=0, save_weights=False, verbose=False,
+        limit_train_batches=1, limit_val_batches=1,
+        use_turtle_teacher=True,
+        teacher_outer_steps=4, teacher_inner_steps=2, teacher_batch_size=32,
+    )
+    # Score history is recorded on the main phase's validation logs.
+    assert "val_alignment_score" in bundle.history
+    scores = bundle.history["val_alignment_score"]
+    assert len(scores) == 6 and all(0.0 <= s <= 1.0 for s in scores)
+    # Best-score snapshot exists (score can only be tracked after
+    # max(3, ceil(0.1*epochs)) epochs, so 6 epochs guarantee a window).
+    assert bundle_score is not None
+    assert 0.0 <= bundle_score.best_score <= 1.0
+    x = np.random.default_rng(0).normal(size=(2, W, N, 3)).astype(np.float32)
+    a = np.random.default_rng(1).normal(size=(2, W, E, 1)).astype(np.float32)
+    q = np.asarray(bundle_score.group(x, a))
+    np.testing.assert_allclose(q.sum(1), 1.0, rtol=1e-4)
+
+
 def test_vade_with_teacher_and_refresh():
     """Distilled VaDE trains end-to-end with a mid-training TURTLE refresh
     and GMM reinit (training.py:1770-1810)."""
