@@ -99,12 +99,21 @@ class RecurrentBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, T, F) -> (B, 2*latent)."""
         d = min(64, self.latent_dim)
-        mask = frame_validity_mask(x)
         y = nn.Conv(
             features=2 * d, kernel_size=(5,), padding="SAME", use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32,
         )(x.astype(self.dtype))
         y = nn.relu(y)
+        # The reference packs the GRU sequences with lengths counted from
+        # the post-relu conv activations (models_new.py:233-236): a step
+        # whose 2d conv channels are ALL zero shortens the packed length,
+        # and pack_padded_sequence keeps the first `length` steps — a
+        # PREFIX mask, regardless of where the zero landed. With masked
+        # carries, gating on this prefix reproduces packing exactly
+        # (forward processes steps [0, L); backward starts its scan at
+        # L-1; outputs past L are zero-padded).
+        lengths = jnp.sum(jnp.any(y > 0, axis=-1), axis=1)
+        mask = jnp.arange(y.shape[1])[None, :] < lengths[:, None]
         y, _ = BiGRU(2 * d, dtype=self.dtype)(y, mask)
         y = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype)(y)
         _, final = BiGRU(d, dtype=self.dtype)(y, mask)

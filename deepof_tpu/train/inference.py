@@ -162,12 +162,6 @@ def _make_scanned_forward(
                 jnp.take(w, ang_idx, axis=2)[..., None]
                 if ang_idx is not None else None
             )
-            if model_name == "Contrastive":
-                half = window // 2
-                base = (window - half) // 2
-                xw = xw[:, base : base + half]
-                aw = aw[:, base : base + half]
-                angw = angw[:, base : base + half] if angw is not None else None
             emb, sc = fwd(xw, aw, angw)
             if sc is None:
                 sc = emb[:, :0]
@@ -290,7 +284,10 @@ def embedding_per_video(
     model_name = model.rebuild_spec["model"]
     window_size = model.rebuild_spec["input_shape"][0]
     if model_name == "Contrastive":
-        window_size = model.rebuild_spec["input_shape"][0]
+        # The contrastive encoder operates on half-windows: inference
+        # re-preprocesses at model.window_size = T_train // 2 and feeds
+        # each window whole (model_utils_new.py:553, models_new.py:2016).
+        window_size = model.rebuild_spec["input_shape"][0] // 2
 
     embeddings, soft_counts = {}, {}
     from deepof_tpu.utils import progress
