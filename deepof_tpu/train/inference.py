@@ -109,7 +109,7 @@ def _model_forward_fn(bundle, model_name):
 
 def _make_scanned_forward(
     bundle, model_name, layout, window, block, n_blocks, feat_dim,
-    use_pallas, interpret,
+    use_pallas, interpret, mesh=None,
 ):
     """One jitted program: scan over window blocks, gather + forward.
 
@@ -117,6 +117,12 @@ def _make_scanned_forward(
     elsewhere), reorders node features, and runs the encoder — replacing
     hundreds of small host-dispatched batches with a single device program
     (the fix for VERDICT weak #3/#5).
+
+    With a ``mesh``, the per-frame features are replicated and each block's
+    windows are sharded along the mesh's data axis, so the encoder forward
+    runs data-parallel across all chips (the inference counterpart of the
+    training-side batch sharding; makes the "per v5e-8" target concrete
+    instead of a one-chip x8 extrapolation).
     """
     node_idx = jnp.asarray(layout["node"], jnp.int32)
     edge_idx = jnp.asarray(layout["edge"], jnp.int32)
@@ -139,7 +145,22 @@ def _make_scanned_forward(
         idx = jnp.arange(block)[:, None] + jnp.arange(window)[None, :]
         return rows[idx]
 
-    @jax.jit
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        block_spec = PartitionSpec(mesh.axis_names[0])
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+        def shard_windows(w):
+            return jax.lax.with_sharding_constraint(
+                w, NamedSharding(mesh, block_spec)
+            )
+    else:
+        replicated = None
+
+        def shard_windows(w):
+            return w
+
     def run(feats_padded):
         starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
 
@@ -147,7 +168,7 @@ def _make_scanned_forward(
             rows = lax.dynamic_slice_in_dim(
                 feats_padded, s, rows_per_block, axis=0
             )
-            w = gather(rows)
+            w = shard_windows(gather(rows))
             xf = jnp.take(w, node_idx, axis=2)
             xw = jnp.stack(
                 [
@@ -174,7 +195,9 @@ def _make_scanned_forward(
             scs.reshape(flat, scs.shape[-1]),
         )
 
-    return run
+    if mesh is not None:
+        return jax.jit(run, in_shardings=(replicated,))
+    return jax.jit(run)
 
 
 def scanned_windowed_forward(
@@ -186,6 +209,7 @@ def scanned_windowed_forward(
     block: int = 1024,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    mesh=None,
 ):
     """Embeddings + soft counts for ALL stride-1 windows of one recording.
 
@@ -210,6 +234,10 @@ def scanned_windowed_forward(
     if n_windows <= 0:
         return np.zeros((0, 1), np.float32), None
     block = min(block, max(64, 1 << (n_windows - 1).bit_length()))
+    if mesh is not None:
+        # every device gets an equal slice of each block
+        n_dev = int(mesh.devices.size)
+        block = max(block - block % n_dev, n_dev)
     n_blocks = -(-n_windows // block)
     # Bucket the scan length to powers of two: recompiles stay O(log T)
     # across experiments of different lengths; excess blocks are trimmed.
@@ -224,12 +252,12 @@ def scanned_windowed_forward(
         model_name, window, block, n_blocks, f,
         tuple(layout["node"]), tuple(layout["edge"]),
         tuple(layout["angle"]) if layout.get("angle") is not None else None,
-        use_pallas, interpret,
+        use_pallas, interpret, id(mesh) if mesh is not None else None,
     )
     if key not in cache:
         cache[key] = _make_scanned_forward(
             bundle, model_name, layout, window, block, n_blocks, f,
-            use_pallas, interpret,
+            use_pallas, interpret, mesh=mesh,
         )
 
     feats_padded = np.zeros((pad_t, f), np.float32)
@@ -261,6 +289,7 @@ def embedding_per_video(
     frac_bps_below: float = 0.5,
     n_micro: int = 200,
     lagtime: int = 3,
+    mesh=None,
 ):
     """Produce embeddings and soft_counts TableDicts for every experiment.
 
@@ -340,6 +369,7 @@ def embedding_per_video(
 
         emb, sc = scanned_windowed_forward(
             model, feats, layout, window_size, model_name, block=batch_size,
+            mesh=mesh,
         )
         embeddings[key] = pd.DataFrame(emb)
         if sc is not None:
