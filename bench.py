@@ -22,6 +22,10 @@ import time
 
 import numpy as np
 
+# TPU v5e (lite) peak dense throughput: 197 TFLOP/s bf16 per chip
+# (394 TOPS int8). MFU below is achieved-FLOP/s over this peak.
+_V5E_PEAK_BF16_FLOPS = 197e12
+
 
 def _synthesize(t: int, nodes, frame_rate: float, seed: int = 0):
     """Smooth random-walk multi-animal trajectories in pixel space."""
@@ -63,10 +67,9 @@ def main():
     _enable_compile_cache()
 
     frame_rate = 25.0
-    # Default 10 simulated minutes: throughput is T-independent once the
-    # batch pipeline is saturated, and per-dispatch latency through the
-    # remote TPU tunnel stays bounded.
-    duration_s = int(os.environ.get("DEEPOF_TPU_BENCH_SECONDS", 600))
+    # The north-star workload: a 1-hour 25 fps recording (90,000 frames;
+    # BASELINE.json). Override with DEEPOF_TPU_BENCH_SECONDS for quick runs.
+    duration_s = int(os.environ.get("DEEPOF_TPU_BENCH_SECONDS", 3600))
     t = int(frame_rate * duration_s)
     window = 25
     batch = int(os.environ.get("DEEPOF_TPU_BENCH_BATCH", 4096))
@@ -196,6 +199,24 @@ def main():
     frames_per_sec = t / elapsed
     target = frame_rate * 50.0  # 50x real time
 
+    # MFU of the embed program: XLA-estimated FLOPs / elapsed vs the v5e
+    # peak (VERDICT r2 item 6b). cost_analysis covers the whole scanned
+    # program (gather + encoder over all windows).
+    mfu_embed = None
+    try:
+        t_emb0 = time.time()
+        jax.block_until_ready(embed_all(preprocess_jit(pos, lik)))
+        t_emb = time.time() - t_emb0
+        cost = embed_all.lower(
+            jax.ShapeDtypeStruct((t, feat_dim), jnp.float32)
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        mfu_embed = flops / t_emb / _V5E_PEAK_BF16_FLOPS
+    except Exception as e:  # pragma: no cover
+        print(f"embed MFU estimation failed: {e}", file=sys.stderr)
+
     train_bench = None
     try:
         train_bench = _bench_train_step()
@@ -216,23 +237,35 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / target, 3),
     }
+    if mfu_embed is not None:
+        result["mfu_embed"] = round(mfu_embed, 5)
     if public_fps is not None:
         # Second metric (VERDICT r1 weak #3): the user-facing API path
         # Project.create -> get_graph_dataset -> embedding_per_video.
-        result["public_api_frames_per_sec"] = round(public_fps, 1)
-        result["public_api_vs_baseline"] = round(public_fps / target, 3)
+        fps_value, stages = public_fps
+        result["public_api_frames_per_sec"] = round(fps_value, 1)
+        result["public_api_vs_baseline"] = round(fps_value / target, 3)
+        if stages:
+            result["public_api_stages_s"] = {
+                k: round(v, 3) for k, v in stages.items()
+            }
     if train_bench is not None:
         # bf16 compute policy vs float32 on the jitted VQVAE train step
-        # (the AMP equivalent, SURVEY §2.3).
+        # (the AMP equivalent, SURVEY §2.3), with MFU and a batch sweep.
         result.update(train_bench)
     print(json.dumps(result))
 
 
 def _bench_train_step() -> dict:
-    """Jitted VQVAE train-step throughput, float32 vs bfloat16 compute."""
+    """Jitted VQVAE train-step throughput, float32 vs bfloat16 compute.
+
+    Reports steps/s at the reference batch size (256), MFU (XLA-estimated
+    FLOPs / wall-clock vs the v5e bf16 peak), and a batch-size sweep so the
+    bf16 speedup can be judged against its arithmetic-intensity ceiling
+    (VERDICT r2 items 6b/6c).
+    """
     import jax
     import jax.numpy as jnp
-    import optax
 
     from deepof_tpu.core.graph import connect_mouse, build_body_graph
     from deepof_tpu.models import build_model
@@ -242,7 +275,12 @@ def _bench_train_step() -> dict:
         make_vqvae_step,
     )
 
-    window, batch = 25, 256
+    window = 25
+    sweep = tuple(
+        int(b) for b in os.environ.get(
+            "DEEPOF_TPU_BENCH_TRAIN_BATCHES", "256,1024,4096"
+        ).split(",")
+    )
     graph = build_body_graph(
         sorted(connect_mouse(graph_preset="deepof_14").nodes),
         animal_ids=[""], graph_preset="deepof_14",
@@ -250,49 +288,78 @@ def _bench_train_step() -> dict:
     n = len(graph.nodes)
     e = len(graph.edges)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(batch, window, n, 3)), jnp.float32)
-    a = jnp.asarray(rng.normal(size=(batch, window, e, 1)), jnp.float32)
 
     out = {}
+    sweep_out = {}
     for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         model = build_model(
             "VQVAE", (window, n, 3), (window, e, 1), graph.adjacency,
             latent_dim=8, n_components=10, encoder_type="recurrent",
             use_gnn=True, dtype=dtype,
         )
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)}, x[:2], a[:2], train=False
-        )
-        params, rest = _split_variables(variables)
-        optimizer = _make_optimizer(3e-4)
-        opt_state = optimizer.init(params)
-        step = make_vqvae_step(model, optimizer)
-        key = jax.random.PRNGKey(1)
-        n_steps = 20
-
-        @jax.jit
-        def run_steps(params, opt_state, rest):
-            # One dispatch for all steps: per-call latency through the
-            # remote tunnel would otherwise dominate the comparison.
-            def one(carry, _):
-                p, o, r = carry
-                p, o, r, logs = step(p, o, r, x, a, key)
-                return (p, o, r), logs["total_loss"]
-
-            (params, opt_state, rest), losses = jax.lax.scan(
-                one, (params, opt_state, rest), None, length=n_steps
+        for batch in sweep:
+            x = jnp.asarray(
+                rng.normal(size=(batch, window, n, 3)), jnp.float32
             )
-            return params, opt_state, rest, losses
+            a = jnp.asarray(
+                rng.normal(size=(batch, window, e, 1)), jnp.float32
+            )
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0)}, x[:2], a[:2], train=False
+            )
+            params, rest = _split_variables(variables)
+            optimizer = _make_optimizer(3e-4)
+            opt_state = optimizer.init(params)
+            step = make_vqvae_step(model, optimizer)
+            key = jax.random.PRNGKey(1)
+            n_steps = 20
 
-        p2, o2, r2, losses = run_steps(params, opt_state, rest)
-        jax.block_until_ready(losses)
-        t0 = time.time()
-        p2, o2, r2, losses = run_steps(params, opt_state, rest)
-        jax.block_until_ready(losses)
-        out[f"train_step_{name}_per_s"] = round(n_steps / (time.time() - t0), 2)
+            @jax.jit
+            def run_steps(params, opt_state, rest, x=x, a=a, step=step):
+                # One dispatch for all steps: per-call latency through the
+                # remote tunnel would otherwise dominate the comparison.
+                def one(carry, _):
+                    p, o, r = carry
+                    p, o, r, logs = step(p, o, r, x, a, key)
+                    return (p, o, r), logs["total_loss"]
+
+                (params, opt_state, rest), losses = jax.lax.scan(
+                    one, (params, opt_state, rest), None, length=n_steps
+                )
+                return params, opt_state, rest, losses
+
+            p2, o2, r2, losses = run_steps(params, opt_state, rest)
+            jax.block_until_ready(losses)
+            t0 = time.time()
+            p2, o2, r2, losses = run_steps(params, opt_state, rest)
+            jax.block_until_ready(losses)
+            elapsed = time.time() - t0
+            steps_per_s = n_steps / elapsed
+            sweep_out[f"{name}_b{batch}_steps_per_s"] = round(steps_per_s, 2)
+            if batch == sweep[0]:
+                out[f"train_step_{name}_per_s"] = round(steps_per_s, 2)
+                try:
+                    cost = run_steps.lower(
+                        params, opt_state, rest
+                    ).compile().cost_analysis()
+                    if isinstance(cost, (list, tuple)):
+                        cost = cost[0]
+                    flops = float(cost.get("flops", 0.0))
+                    out[f"mfu_train_{name}"] = round(
+                        flops / elapsed / _V5E_PEAK_BF16_FLOPS, 5
+                    )
+                except Exception as exc:  # pragma: no cover
+                    print(f"train MFU ({name}) failed: {exc}", file=sys.stderr)
+
     out["bf16_train_speedup"] = round(
         out["train_step_bf16_per_s"] / out["train_step_f32_per_s"], 3
     )
+    for batch in sweep[1:]:
+        f32 = sweep_out.get(f"f32_b{batch}_steps_per_s")
+        bf16 = sweep_out.get(f"bf16_b{batch}_steps_per_s")
+        if f32 and bf16:
+            sweep_out[f"bf16_speedup_b{batch}"] = round(bf16 / f32, 3)
+    out["train_batch_sweep"] = sweep_out
     return out
 
 
@@ -326,9 +393,10 @@ def _write_dlc_fixed_h5(path: str, values: np.ndarray, columns) -> None:
         g.create_dataset("block0_values", data=values)
 
 
-def _bench_public_path(frame_rate: float) -> float:
-    """frames/s through the PUBLIC API: Project.create ->
-    get_graph_dataset -> embedding_per_video on a synthetic DLC project."""
+def _bench_public_path(frame_rate: float):
+    """(frames/s, stage-seconds dict) through the PUBLIC API:
+    Project.create -> get_graph_dataset -> embedding_per_video on a
+    synthetic DLC project at the north-star 1-hour workload."""
     import shutil
     import tempfile
 
@@ -341,10 +409,11 @@ def _bench_public_path(frame_rate: float) -> float:
     from deepof_tpu.core.graph import connect_mouse
     from deepof_tpu.data import Project
     from deepof_tpu.models import build_model
+    from deepof_tpu.profiling import StageTimer
     from deepof_tpu.train.harness import ModelBundle
     from deepof_tpu.train.inference import embedding_per_video
 
-    duration_s = int(os.environ.get("DEEPOF_TPU_BENCH_PUBLIC_SECONDS", 120))
+    duration_s = int(os.environ.get("DEEPOF_TPU_BENCH_PUBLIC_SECONDS", 3600))
     t = int(frame_rate * duration_s)
     window = 25
     animal_ids = ["B", "W"]
@@ -425,18 +494,33 @@ def _bench_public_path(frame_rate: float) -> float:
             coords, tab_dict, bundle, meta, global_scaler=scaler,
             batch_size=4096,
         )
-        elapsed = None
+        elapsed, stages = None, None
         for _ in range(2):
+            timer = StageTimer()
             t0 = time.time()
-            coords, (dataset, meta, adjacency, tab_dict, scaler) = run_public()
-            embeddings, _ = embedding_per_video(
-                coords, tab_dict, bundle, meta, global_scaler=scaler,
-                batch_size=4096,
-            )
-            jax.block_until_ready(len(embeddings))
+            with timer.stage("project_create"):
+                proj = Project(
+                    project_path=tmp, project_name="bench",
+                    video_path=f"{tmp}/Videos", table_path=f"{tmp}/Tables",
+                    arena="circular-autodetect", video_scale="380 mm",
+                    table_format="h5", frame_rate=frame_rate,
+                    animal_ids=animal_ids,
+                )
+                coords = proj.create(force=True, test=True, verbose=False)
+            with timer.stage("get_graph_dataset"):
+                dataset, meta, adjacency, tab_dict, scaler = (
+                    coords.get_graph_dataset(window_size=window)
+                )
+            with timer.stage("embedding_per_video"):
+                embeddings, _ = embedding_per_video(
+                    coords, tab_dict, bundle, meta, global_scaler=scaler,
+                    batch_size=4096,
+                )
+                jax.block_until_ready(len(embeddings))
             rep = time.time() - t0
-            elapsed = rep if elapsed is None else min(elapsed, rep)
-        return t / elapsed
+            if elapsed is None or rep < elapsed:
+                elapsed, stages = rep, timer.as_dict()
+        return t / elapsed, stages
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -350,8 +350,9 @@ class TableDict(dict):
                         arr = np.array(tab[clip_cols].to_numpy(float))
                         arr[np.abs(arr) > interpolate_normalized] = np.nan
                         tab[clip_cols] = pd.DataFrame(
-                            arr, index=tab.index, columns=clip_cols
-                        ).interpolate(limit_direction="both")
+                            _interp_nan_block(arr),
+                            index=tab.index, columns=clip_cols,
+                        )
 
             if angles_df is not None:
                 angles_df = angles_df.interpolate(limit_direction="both")
@@ -416,11 +417,32 @@ def _filter_low_variance(tab: pd.DataFrame, threshold) -> pd.DataFrame:
     return tab.iloc[:, keep]
 
 
+def _interp_nan_block(arr: np.ndarray) -> np.ndarray:
+    """Linear interpolation of NaN runs per column, nearest-filled at both
+    edges — pandas ``interpolate(limit_direction="both")`` semantics on a
+    positional index, computed with np.interp per NaN-carrying column
+    (vectorized rows; orders of magnitude faster than the per-column
+    pandas path on long recordings). All-NaN columns are left as NaN."""
+    nan_cols = np.flatnonzero(np.isnan(arr).any(axis=0))
+    if nan_cols.size == 0:
+        return arr
+    t = np.arange(arr.shape[0], dtype=np.float64)
+    for c in nan_cols:
+        col = arr[:, c]
+        m = np.isnan(col)
+        if m.all():
+            continue
+        arr[m, c] = np.interp(t[m], t[~m], col[~m])
+    return arr
+
+
 def _sanitize_numeric(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     num = out.select_dtypes(include=[np.number]).columns
     if len(num) > 0:
-        out[num] = out[num].interpolate(limit_direction="both").fillna(0.0)
+        block = out[num].to_numpy(np.float64).copy()
+        block = np.nan_to_num(_interp_nan_block(block), nan=0.0)
+        out[num] = pd.DataFrame(block, index=out.index, columns=num)
     return out
 
 

@@ -510,7 +510,11 @@ class Project:
             )
             out_pos = np.asarray(out_pos, dtype=np.float64)
             if self.iterative_imputation == "full":
-                out_pos = self._full_imputation(out_pos, np.asarray(presence))
+                # np.array copy: the device array surfaces as a read-only
+                # view and _full_imputation writes imputed blocks in place.
+                out_pos = self._full_imputation(
+                    np.array(out_pos), np.asarray(presence)
+                )
 
             tab_dict[key] = out_pos
             lik_dict[key] = np.asarray(lik, dtype=np.float64)
@@ -552,10 +556,12 @@ class Project:
                 )
                 continue
             flat = block.reshape(t_p, -1)
-            imputed = np.asarray(iterative_ridge_impute(jnp.asarray(flat, jnp.float32)))
+            # np.array (not asarray): device arrays surface as read-only
+            # views, and the observed positions are written back in place.
+            imputed = np.array(iterative_ridge_impute(jnp.asarray(flat, jnp.float32)))
             imputed = imputed.reshape(t_p, b_a, 2)
             imputed[original] = block[original]
-            smoothed = np.asarray(kalman_rts_smooth(jnp.asarray(imputed, jnp.float32)))
+            smoothed = np.array(kalman_rts_smooth(jnp.asarray(imputed, jnp.float32)))
             smoothed[original] = block[original]
             constrained = np.asarray(
                 enforce_skeleton_constraints(

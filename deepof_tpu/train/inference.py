@@ -321,27 +321,31 @@ def embedding_per_video(
     embeddings, soft_counts = {}, {}
     from deepof_tpu.utils import progress
 
+    # Scale ALL experiments in one preprocess pass (the scaler is
+    # pretrained, so scaling is per-table and order-free): one call
+    # amortizes the per-call pandas/binning overhead the reference pays
+    # per experiment (model_utils_new.py:556-585 loops preprocess per key).
+    processed, _, _ = to_preprocess.preprocess(
+        coordinates=coordinates,
+        scale=scale,
+        window_size=window_size,
+        window_step=1,
+        shuffle=False,
+        pretrained_scaler=global_scaler,
+        dist_standardize=meta_info.get("dist_standardize", "per_column"),
+        speed_standardize=meta_info.get("speed_standardize", "per_column"),
+        coord_standardize=meta_info.get("coord_standardize", "per_column"),
+        return_windows=False,
+        test_videos=0,
+    )
+    scaled_tables = processed[0]
+
     for key in progress(
         list(to_preprocess.keys()), desc="Computing embeddings", verbose=True
     ):
-        single = to_preprocess.filter_videos([key])
-        single[key] = get_dt(single, key)
-        if hasattr(single[key], "isna") and single[key].isna().all().all():
-            continue
-
-        processed, _, _ = single.preprocess(
-            coordinates=coordinates,
-            scale=scale,
-            window_size=window_size,
-            window_step=1,
-            shuffle=False,
-            pretrained_scaler=global_scaler,
-            dist_standardize=meta_info.get("dist_standardize", "per_column"),
-            speed_standardize=meta_info.get("speed_standardize", "per_column"),
-            coord_standardize=meta_info.get("coord_standardize", "per_column"),
-            return_windows=False,
-        )
-        tab_scaled = get_dt(processed[0], key)
+        if key not in scaled_tables.keys():
+            continue  # all-NaN tables are dropped by preprocess
+        tab_scaled = get_dt(scaled_tables, key)
         feats = np.asarray(tab_scaled.to_numpy(), np.float32)
         all_cols = list(tab_scaled.columns)
 
