@@ -201,7 +201,10 @@ class TableDict(dict):
             x_test = current_table_dict.filter_videos(test_keys)
             x_train = current_table_dict.filter_videos(train_keys)
         else:
-            x_train = copy.deepcopy(current_table_dict)
+            # Shallow copy: downstream windowing REPLACES dict entries, it
+            # never mutates the tables in place, so deep-copying every
+            # DataFrame (the reference's approach) is pure overhead.
+            x_train = current_table_dict.filter_videos(list(keys))
         return x_train, x_test, test_keys
 
     # ------------------------------------------------------------------ #
@@ -437,8 +440,14 @@ def _interp_nan_block(arr: np.ndarray) -> np.ndarray:
 
 
 def _sanitize_numeric(df: pd.DataFrame) -> pd.DataFrame:
+    num = df.select_dtypes(include=[np.number]).columns
+    if len(num) == len(df.columns):
+        # all-numeric (the feature-table hot path): build the result frame
+        # directly from the sanitized block — no .copy() consolidation.
+        block = df.to_numpy(np.float64).copy()
+        block = np.nan_to_num(_interp_nan_block(block), nan=0.0)
+        return pd.DataFrame(block, index=df.index, columns=df.columns)
     out = df.copy()
-    num = out.select_dtypes(include=[np.number]).columns
     if len(num) > 0:
         block = out[num].to_numpy(np.float64).copy()
         block = np.nan_to_num(_interp_nan_block(block), nan=0.0)

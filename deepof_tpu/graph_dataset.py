@@ -147,6 +147,13 @@ def get_graph_dataset(
             "preprocess=False graph datasets are not yet supported."
         )
 
+    # Scale WITHOUT windowing: stride-1 windows expand the data ~window_size
+    # times, so splitting the (T, F) per-frame tables into node/edge/angle
+    # parts FIRST and windowing each part directly avoids materializing the
+    # full-F window stack and the 3D fancy-index gather over it (the two
+    # dominant costs of the training-set build at recording scale).
+    window_step = int(kwargs.pop("window_step", 1))
+    shuffle = bool(kwargs.pop("shuffle", False))
     to_preprocess, metainfo, global_scaler = tab_dict.preprocess(
         coordinates=coordinates,
         bin_size=bin_size,
@@ -159,6 +166,7 @@ def get_graph_dataset(
         coord_standardize=coord_standardize,
         window_size=window_size,
         scale=scale,
+        return_windows=False,
         **kwargs,
     )
     metainfo["node_columns"] = feature_names[node_sorting_indices]
@@ -170,20 +178,32 @@ def get_graph_dataset(
     edge_idx = np.asarray(edge_sorting_indices, dtype=int)
     angle_idx = np.asarray(angle_sorting_indices, dtype=int)
 
+    from deepof_tpu.ops.windows import rolling_windows_host
+
+    rng = np.random.default_rng(42) if shuffle else None
     for k, part in enumerate(to_preprocess):
         num_rows = 0
         dataset = None
         for key in part.keys():
             tab, table_path = get_dt(part, key, return_path=True)
-            tab = np.asarray(tab)
-            dataset = (
-                tab[:, :, node_idx],
-                tab[:, :, edge_idx],
-                tab[:, :, angle_idx] if len(angle_idx) else np.zeros(
-                    (tab.shape[0], tab.shape[1], 0)
-                ),
+            frames = np.asarray(tab)  # (T, F) scaled per-frame features
+            windows = tuple(
+                rolling_windows_host(
+                    frames[:, idx], window_size, window_step,
+                    # shuffling fancy-indexes (and thus materializes) below
+                    contiguous=False,
+                )
+                if len(idx)
+                else np.zeros(
+                    (max(frames.shape[0] - window_size + 1, 0), window_size, 0)
+                )[::window_step]
+                for idx in (node_idx, edge_idx, angle_idx)
             )
-            num_rows += tab.shape[0]
+            if rng is not None:
+                order = rng.permutation(windows[0].shape[0])
+                windows = tuple(w[order] for w in windows)
+            dataset = windows
+            num_rows += dataset[0].shape[0]
             path = None
             if isinstance(table_path, dict):
                 path = os.path.splitext(table_path["h5_file"])[0]

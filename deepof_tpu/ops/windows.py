@@ -36,14 +36,20 @@ def rolling_windows(
 
 
 def rolling_windows_host(
-    arr: np.ndarray, window_size: int, window_step: int = 1
+    arr: np.ndarray, window_size: int, window_step: int = 1,
+    contiguous: bool = True,
 ) -> np.ndarray:
     """Host-side window materialization via numpy stride tricks.
 
-    Zero-copy view + one contiguous copy — replaces per-window Python-loop
-    stacking in the dataset build (the reference's own approach,
-    deepof/utils.py:3354-3377). The device paths (inference, bench) gather
-    windows on-chip instead (rolling_windows / the Pallas kernel).
+    Replaces per-window Python-loop stacking in the dataset build (the
+    reference's own approach, deepof/utils.py:3354-3377). With
+    ``contiguous=False`` the (W, window, F) array is returned as a
+    zero-copy strided VIEW of the per-frame data: stride-1 windows are
+    ~window_size-fold redundant, so skipping the copy keeps the training
+    set at per-frame memory footprint; consumers that batch (WindowDataset)
+    or serialize (h5 spill) materialize only what they touch. The device
+    paths (inference, bench) gather windows on-chip instead
+    (rolling_windows / the Pallas kernel).
     """
     arr = np.asarray(arr)
     if arr.shape[0] < window_size:
@@ -51,7 +57,7 @@ def rolling_windows_host(
     view = np.lib.stride_tricks.sliding_window_view(arr, window_size, axis=0)
     # view: (W, ...features, window) -> (W, window, ...features)
     view = np.moveaxis(view, -1, 1)[::window_step]
-    return np.ascontiguousarray(view)
+    return np.ascontiguousarray(view) if contiguous else view
 
 
 def aggregate_windows(windows: jnp.ndarray, aggregate: str | None) -> jnp.ndarray:
