@@ -48,10 +48,10 @@ from deepof_tpu.ops import (
     binary_moving_median,
     filter_short_true_segments,
     moving_average,
-    multi_step_paired_smoothing,
     point_in_polygon,
     point_to_polygon_distance,
 )
+from deepof_tpu.ops.bouts import _filter_short_host, multi_step_paired_smoothing_host
 from deepof_tpu.ops.geometry import ellipse_to_polygon
 
 
@@ -308,8 +308,10 @@ def calculate_close_range(df: pd.DataFrame, mouse_id: str, bodypart: str, thresh
 
 
 def _smoothed_immobility(speed: np.ndarray, tol: float, min_length: int) -> np.ndarray:
-    imm = np.asarray(moving_average(jnp.asarray((speed <= tol).astype(np.float32)), min_length)) > 0
-    return np.asarray(filter_short_true_segments(jnp.asarray(imm), min_length))
+    # Host path: the series are tiny 1-D signals, and np.convolve matches the
+    # reference's moving_average float semantics exactly (utils.py:3504-3517).
+    imm = np.convolve((speed <= tol).astype(float), np.ones(min_length) / min_length, mode="same") > 0
+    return _filter_short_host(imm, min_length)
 
 
 def stationary_lookaround(
@@ -356,11 +358,7 @@ def stationary_lookaround(
     head_up = ear_dist("Left_ear") & ear_dist("Right_ear")
     active = immobile & nose_activity & body_inactivity & head_up & ~close_range.astype(bool)
     inactive = immobile & ~(nose_activity & body_inactivity & head_up & ~close_range.astype(bool))
-    out = np.array(
-        multi_step_paired_smoothing(
-            jnp.asarray(active), jnp.asarray(inactive), jnp.asarray(immobile), min_length
-        )
-    )
+    out = multi_step_paired_smoothing_host(active, inactive, immobile, min_length)
     pos_idx = speed_dframe.index.get_indexer(nan_pos)
     out[pos_idx[pos_idx >= 0]] = False
     return out
@@ -394,12 +392,9 @@ def detect_activity(
     )
     stat_active = immobile & activity
     stat_passive = immobile & ~activity
-    stat_active, stat_passive = multi_step_paired_smoothing(
-        jnp.asarray(stat_active), jnp.asarray(stat_passive), jnp.asarray(immobile),
-        min_length, get_both=True,
+    stat_active, stat_passive = multi_step_paired_smoothing_host(
+        stat_active, stat_passive, immobile, min_length, get_both=True
     )
-    stat_active = np.array(stat_active)
-    stat_passive = np.array(stat_passive)
     moving = ~(stat_active | stat_passive)
     idx = speed_dframe.index.get_indexer(nan_pos)
     idx = idx[idx >= 0]

@@ -194,19 +194,81 @@ def detect_arena_contour(
     return simplify_polygon(poly), None
 
 
-def _detect_with_sam(frame: np.ndarray, segmentation_model) -> np.ndarray:
-    """SAM-based arena mask -> contour (requires segment-anything)."""
-    predictor = segmentation_model  # pragma: no cover
-    predictor.set_image(frame)  # pragma: no cover
-    h, w = frame.shape[:2]  # pragma: no cover
-    masks, scores, _ = predictor.predict(  # pragma: no cover
+def mask_to_arena_params(mask: np.ndarray, arena_type: str):
+    """Fit arena parameters to a binary segmentation mask.
+
+    The offline-testable core of SAM autodetection (reference
+    arena_utils.py:1036-1068 ``arena_parameter_extraction``): largest
+    contour of the mask, then an ellipse fit for circular arenas or a
+    simplified vertex polygon for polygonal ones.
+
+    Returns ``(polygon_px, ellipse_or_None)`` in the same convention as
+    :func:`detect_arena_contour`.
+    """
+    m = (np.asarray(mask) > 0).astype(np.uint8) * 255
+    contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        raise ValueError("Segmentation mask is empty; cannot fit an arena.")
+    cnt = max(contours, key=cv2.contourArea)[:, 0, :].astype(float)
+    if "circular" in arena_type:
+        ellipse = fit_ellipse_to_polygon(cnt)
+        return extract_corners_from_arena(ellipse), ellipse
+    return simplify_polygon(cnt), None
+
+
+def _polygon_area(poly: np.ndarray) -> float:
+    """Shoelace area of a polygon given as an (N, 2) vertex array."""
+    p = np.asarray(poly, dtype=float)
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1)))
+
+
+def select_mask_by_reference(
+    masks: np.ndarray,
+    scores: np.ndarray,
+    arena_type: str,
+    arena_reference: Optional[np.ndarray] = None,
+):
+    """Pick one of SAM's multimask proposals and fit the arena to it.
+
+    Mirrors arena_utils.py:700-723: with a user-annotated reference arena,
+    choose the proposal whose fitted arena area is closest to the
+    reference's; otherwise take the highest-scoring mask.
+    """
+    if arena_reference is None:
+        best = int(np.argmax(scores))
+        return mask_to_arena_params(masks[best], arena_type)
+    ref_area = _polygon_area(arena_reference)
+    fits, deltas = [], []
+    for m in masks:
+        try:
+            poly, ellipse = mask_to_arena_params(m, arena_type)
+        except ValueError:
+            continue
+        fits.append((poly, ellipse))
+        deltas.append(abs(_polygon_area(poly) - ref_area))
+    if not fits:
+        raise ValueError("No SAM mask proposal contained a fittable arena.")
+    return fits[int(np.argmin(deltas))]
+
+
+def _detect_with_sam(
+    frame: np.ndarray,
+    segmentation_model,
+    arena_type: str,
+    arena_reference: Optional[np.ndarray] = None,
+):
+    """SAM arena detection: centre-point prompt on the median frame, then
+    reference-guided proposal selection (requires segment-anything)."""
+    predictor = segmentation_model
+    predictor.set_image(frame)
+    h, w = frame.shape[:2]
+    masks, scores, _ = predictor.predict(
         point_coords=np.array([[w // 2, h // 2]]),
         point_labels=np.array([1]),
         multimask_output=True,
     )
-    mask = masks[np.argmax(scores)].astype(np.uint8) * 255  # pragma: no cover
-    contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)  # pragma: no cover
-    return max(contours, key=cv2.contourArea)[:, 0, :].astype(float)  # pragma: no cover
+    return select_mask_by_reference(masks, scores, arena_type, arena_reference)
 
 
 # --------------------------------------------------------------------------- #
@@ -285,20 +347,13 @@ def get_arenas(
     if "autodetect" in arena:
         scales, arena_params, video_resolution = {}, {}, {}
         roi_dicts = {}
-        segmentation_model = _maybe_load_sam(segmentation_model_path)
+        segmentation_model = _maybe_load_sam(segmentation_model_path, download=True)
         for key, vid in (videos or {}).items():
             frame = median_frame(os.path.join(video_path, vid))
             h, w = frame.shape[:2]
             video_resolution[key] = (h, w)
             if segmentation_model is not None:  # pragma: no cover
-                poly = _detect_with_sam(frame, segmentation_model)
-                ellipse = (
-                    fit_ellipse_to_polygon(poly) if "circular" in arena else None
-                )
-                if ellipse is not None:
-                    poly = extract_corners_from_arena(ellipse)
-                else:
-                    poly = simplify_polygon(poly)
+                poly, ellipse = _detect_with_sam(frame, segmentation_model, arena)
             else:
                 poly, ellipse = detect_arena_contour(frame, arena)
 
@@ -444,14 +499,68 @@ def _collect_points_gui(frame: np.ndarray, key: str, purpose: str):  # pragma: n
     return np.asarray(points, float)
 
 
-def _maybe_load_sam(segmentation_model_path: Optional[str]):
+# Where the reference hosts its SAM vit_h checkpoint (utils.py:3743-3780,
+# arena_utils.py:289-293) and where it caches it relative to the package.
+SAM_CHECKPOINT_URL = "https://datashare.mpcdf.mpg.de/s/GccLGXXZmw34f8o/download"
+SAM_CHECKPOINT_RELPATH = os.path.join(
+    "trained_models", "arena_segmentation", "sam_vit_h_4b8939.pth"
+)
+
+
+def resolve_segmentation_checkpoint(
+    segmentation_model_path: Optional[str],
+    download: bool = True,
+    fetcher=None,
+) -> Optional[str]:
+    """Resolve (and, on miss, download) the SAM checkpoint path.
+
+    Mirrors the reference's ``load_precompiled_model`` checkpoint handling
+    (utils.py:3743-3780): when no path is given, default to the package
+    cache location; when the file is absent and ``download`` is on, stream
+    it from the reference's public URL.  ``fetcher(url, dest_path)`` is
+    injectable so tests (and air-gapped deploys) can supply the bytes
+    without network access.  Returns the existing path, or None when it
+    could not be materialized.
+    """
+    if segmentation_model_path is None:
+        segmentation_model_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), SAM_CHECKPOINT_RELPATH
+        )
+    if os.path.exists(segmentation_model_path):
+        return segmentation_model_path
+    if not download:
+        return None
+    os.makedirs(os.path.dirname(segmentation_model_path) or ".", exist_ok=True)
+    try:
+        if fetcher is not None:
+            fetcher(SAM_CHECKPOINT_URL, segmentation_model_path)
+        else:  # pragma: no cover - needs network
+            import urllib.request
+
+            print("Arena segmentation model not found. Downloading...")
+            tmp = segmentation_model_path + ".part"
+            urllib.request.urlretrieve(SAM_CHECKPOINT_URL, tmp)
+            os.replace(tmp, segmentation_model_path)
+    except Exception as exc:
+        warnings.warn(
+            f"Could not download the SAM checkpoint ({exc}); falling back "
+            "to contrast-based arena detection."
+        )
+        return None
+    return segmentation_model_path if os.path.exists(segmentation_model_path) else None
+
+
+def _maybe_load_sam(segmentation_model_path: Optional[str], download: bool = False):
     """Load a SAM predictor when segment-anything is importable; else None."""
     try:  # pragma: no cover
         from segment_anything import SamPredictor, sam_model_registry
     except ImportError:
         return None
-    if segmentation_model_path is None or not os.path.exists(segmentation_model_path):  # pragma: no cover
+    path = resolve_segmentation_checkpoint(  # pragma: no cover
+        segmentation_model_path, download=download
+    )
+    if path is None:  # pragma: no cover
         return None
-    sam = sam_model_registry["vit_h"](checkpoint=segmentation_model_path)  # pragma: no cover
+    sam = sam_model_registry["vit_h"](checkpoint=path)  # pragma: no cover
     sam.to(device="cpu")  # pragma: no cover
     return SamPredictor(sam)  # pragma: no cover

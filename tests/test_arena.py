@@ -1,0 +1,141 @@
+"""Arena autodetection: mask fitting, SAM proposal selection, checkpoint
+resolution (reference arena_utils.py:611-723, 1036-1068; utils.py:3743-3780).
+
+The mask->arena fit stage is exercised offline with synthetic masks — no
+segment-anything needed — and the SAM flow itself through a fake predictor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from deepof_tpu.arena import (
+    SAM_CHECKPOINT_URL,
+    _detect_with_sam,
+    mask_to_arena_params,
+    resolve_segmentation_checkpoint,
+    select_mask_by_reference,
+)
+
+
+def _ellipse_mask(h=480, w=640, center=(320, 240), axes=(200, 150), angle=20.0):
+    mask = np.zeros((h, w), np.uint8)
+    cv2.ellipse(mask, center, axes, angle, 0, 360, 255, -1)
+    return mask
+
+
+def test_mask_to_arena_params_circular():
+    center, axes, angle = (320, 240), (200, 150), 20.0
+    poly, ellipse = mask_to_arena_params(_ellipse_mask(), "circular-autodetect")
+    (cx, cy), (a, b), ang = ellipse
+    assert cx == pytest.approx(center[0], abs=2)
+    assert cy == pytest.approx(center[1], abs=2)
+    assert sorted([a, b]) == pytest.approx(sorted(axes), abs=3)
+    # fitEllipse may report the minor axis first with the angle rotated 90
+    # degrees — the same ellipse; compare major-axis orientation mod 180.
+    major_ang = (ang if a >= b else ang + 90.0) % 180.0
+    assert major_ang == pytest.approx(angle, abs=3)
+    # The rasterized polygon traces the same ellipse.
+    assert poly.shape[1] == 2 and len(poly) >= 32
+    d = np.linalg.norm(poly - np.array(center), axis=1)
+    assert d.min() >= min(axes) - 5 and d.max() <= max(axes) + 5
+
+
+def test_mask_to_arena_params_polygonal():
+    mask = np.zeros((480, 640), np.uint8)
+    corners = np.array([(100, 60), (540, 60), (540, 420), (100, 420)])
+    cv2.fillPoly(mask, [corners], 255)
+    poly, ellipse = mask_to_arena_params(mask, "polygonal-autodetect")
+    assert ellipse is None
+    assert 4 <= len(poly) <= 8
+    # Every true corner is recovered within a couple of pixels.
+    for c in corners:
+        assert np.linalg.norm(np.asarray(poly, float) - c, axis=1).min() < 3
+
+    with pytest.raises(ValueError):
+        mask_to_arena_params(np.zeros((10, 10), np.uint8), "circular-autodetect")
+
+
+def test_select_mask_by_reference_prefers_closest_area():
+    right = _ellipse_mask(axes=(200, 150))
+    small = _ellipse_mask(axes=(40, 30))
+    big = _ellipse_mask(axes=(310, 230))
+    masks = np.stack([small, right, big]) > 0
+    scores = np.array([0.9, 0.2, 0.5])  # SAM confidence favors the wrong one
+
+    # Without a reference: highest score wins (the small mask).
+    _, ellipse = select_mask_by_reference(masks, scores, "circular-autodetect")
+    assert max(ellipse[1]) < 60
+
+    # With a reference arena of the true size: area match overrides score.
+    ref = mask_to_arena_params(right, "circular-autodetect")[0]
+    _, ellipse = select_mask_by_reference(
+        masks, scores, "circular-autodetect", arena_reference=ref
+    )
+    assert sorted(ellipse[1]) == pytest.approx([150, 200], abs=3)
+
+
+class _FakePredictor:
+    """Duck-typed SamPredictor: center-point prompt -> three proposals."""
+
+    def __init__(self, masks, scores):
+        self.masks, self.scores = masks, scores
+        self.image = None
+
+    def set_image(self, image):
+        self.image = image
+
+    def predict(self, point_coords, point_labels, multimask_output):
+        assert self.image is not None and multimask_output
+        h, w = self.image.shape[:2]
+        np.testing.assert_array_equal(point_coords, [[w // 2, h // 2]])
+        return self.masks, self.scores, None
+
+
+def test_detect_with_sam_flow():
+    frame = np.zeros((480, 640, 3), np.uint8)
+    masks = np.stack([_ellipse_mask(axes=(200, 150)), _ellipse_mask(axes=(50, 40))]) > 0
+    predictor = _FakePredictor(masks, np.array([0.3, 0.8]))
+    poly, ellipse = _detect_with_sam(frame, predictor, "circular-autodetect")
+    assert max(ellipse[1]) < 60  # highest score
+    ref = mask_to_arena_params(masks[0].astype(np.uint8) * 255, "circular-autodetect")[0]
+    poly, ellipse = _detect_with_sam(
+        frame, predictor, "circular-autodetect", arena_reference=ref
+    )
+    assert sorted(ellipse[1]) == pytest.approx([150, 200], abs=3)
+
+
+def test_resolve_segmentation_checkpoint(tmp_path):
+    existing = tmp_path / "sam.pth"
+    existing.write_bytes(b"weights")
+    assert resolve_segmentation_checkpoint(str(existing)) == str(existing)
+
+    # Missing + download off -> None, nothing created.
+    missing = tmp_path / "sub" / "sam.pth"
+    assert resolve_segmentation_checkpoint(str(missing), download=False) is None
+    assert not missing.exists()
+
+    # Download-on-miss through an injected fetcher (utils.py:3743-3780).
+    fetched = []
+
+    def fetcher(url, dest):
+        fetched.append(url)
+        with open(dest, "wb") as f:
+            f.write(b"sam-bytes")
+
+    out = resolve_segmentation_checkpoint(str(missing), fetcher=fetcher)
+    assert out == str(missing) and missing.read_bytes() == b"sam-bytes"
+    assert fetched == [SAM_CHECKPOINT_URL]
+
+    # A failing fetcher degrades to the contrast fallback with a warning.
+    def bad_fetcher(url, dest):
+        raise OSError("no network")
+
+    with pytest.warns(UserWarning, match="falling back"):
+        assert (
+            resolve_segmentation_checkpoint(str(tmp_path / "other.pth"), fetcher=bad_fetcher)
+            is None
+        )

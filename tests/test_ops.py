@@ -381,6 +381,79 @@ def test_multi_step_paired_smoothing_merges_and_filters():
     assert not out[145:155].any()
 
 
+def _reference_paired_smoothing(behavior, not_behavior, exclude, min_length):
+    """Inline emulation of the reference cascade (utils.py:3260-3352):
+    np.convolve moving averages, a per-frame conflict loop, binary moving
+    median, and short-segment filtering — the bit-exact oracle."""
+
+    def mavg(x, lag):
+        return np.convolve(x, np.ones(lag) / lag, mode="same")
+
+    b = mavg(behavior, min_length).astype(bool)
+    n = mavg(not_behavior, min_length).astype(bool)
+    b_avg = mavg(b.astype(float), min_length * 4)
+    n_avg = mavg(n.astype(float), min_length * 4)
+    for i in range(len(b)):  # utils.py:3285-3296
+        if b[i] and n[i]:
+            if b_avg[i] >= n_avg[i]:
+                n[i] = False
+            else:
+                b[i] = False
+    b &= exclude
+    n &= exclude
+    pad = (min_length * 4) // 2
+    med = np.zeros(len(b), dtype=bool)
+    for i in range(pad, len(b) - pad):  # utils.py:3519-3534
+        med[i] = b[i - pad : i + pad + 1].sum() > pad
+    b = med
+    n &= ~b
+
+    def fshort(x):
+        out = np.zeros(len(x), dtype=bool)
+        count = 0
+        for i in range(len(x)):  # utils.py:4000-4036
+            if x[i]:
+                count += 1
+            else:
+                if count >= min_length:
+                    out[i - count : i] = True
+                count = 0
+        if count >= min_length:
+            out[len(x) - count :] = True
+        return out
+
+    b, n = fshort(b), fshort(n)
+    return b & exclude, n & exclude
+
+
+def test_multi_step_paired_smoothing_host_matches_reference_cascade():
+    """The host twin used by the supervised annotators is bit-identical to
+    the reference cascade — including exact conflict-average ties, which
+    both sides resolve through the same np.convolve float64 noise."""
+    from deepof_tpu.ops.bouts import multi_step_paired_smoothing_host
+
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        a = rng.random(300) < 0.35
+        nb = rng.random(300) < 0.35
+        excl = rng.random(300) < 0.9
+        host_b, host_n = multi_step_paired_smoothing_host(
+            a, nb, excl, min_length=6, get_both=True
+        )
+        ref_b, ref_n = _reference_paired_smoothing(a.copy(), nb.copy(), excl, 6)
+        np.testing.assert_array_equal(host_b, ref_b)
+        np.testing.assert_array_equal(host_n, ref_n)
+
+    # And it agrees with the jitted cascade on a tie-free input (the two
+    # only ever differ on exact conflict-average ties).
+    a = np.zeros(200, dtype=bool)
+    a[40:80] = True
+    a[83:120] = True
+    host = multi_step_paired_smoothing_host(a, min_length=6)
+    jit = np.asarray(ops.multi_step_paired_smoothing(jnp.asarray(a), min_length=6))
+    np.testing.assert_array_equal(host, jit)
+
+
 # --------------------------------------------------------------------- #
 # bursts (kleinberg, host-side)
 # --------------------------------------------------------------------- #

@@ -10,14 +10,12 @@ Expected agreement:
   - column sets AND order: identical (the ordering is load-bearing API,
     reference annotation_utils.py:1646-1700);
   - continuous columns (speed): <= 1e-6;
-  - binary behaviors: exact, EXCEPT the detect_activity triple
-    (stat-active / stat-passive / moving), where the reference resolves
-    exact mathematical ties in its conflict-smoothing averages through
-    float64 convolution rounding noise (utils.py:3285-3296: ties like
-    19/24 vs 19/24 come out as 0.7916666666666664 >= 0.7916666666666665
-    -> False). deepof_tpu computes the same averages exactly and applies
-    the documented ">=" tie-break deterministically, so tie frames may
-    differ; those columns are pinned at >= 95% frame agreement instead.
+  - binary behaviors: exact, INCLUDING the detect_activity triple
+    (stat-active / stat-passive / moving). The reference resolves exact
+    mathematical ties in its conflict-smoothing averages through float64
+    convolution rounding noise (utils.py:3285-3296); the annotators run
+    the host smoothing twin whose averages are np.convolve itself, so
+    that noise is reproduced bit-for-bit and parity is exact.
 """
 
 from __future__ import annotations
@@ -34,7 +32,6 @@ pytestmark = pytest.mark.skipif(
 )
 
 FIXROOT = "/root/reference/tests/test_examples"
-TIE_NOISE_COLS = ("stat-active", "stat-passive", "moving")
 
 
 def _copy_fixture(src: str, dst: str) -> None:
@@ -124,16 +121,15 @@ def test_supervised_values_parity(ab_supervised):
             finite = ~np.isnan(r)
             if set(np.unique(r[finite])) <= {0.0, 1.0}:
                 agree = np.mean((r == t) | (np.isnan(r) & np.isnan(t)))
-                if str(c).endswith(TIE_NOISE_COLS):
-                    assert agree >= 0.95, (
-                        f"{key}/{c}: agreement {agree:.3f} below the "
-                        "tie-noise allowance"
-                    )
-                else:
-                    assert agree == 1.0, (
-                        f"{key}/{c}: {int(round((1 - agree) * len(r)))} "
-                        "frames differ"
-                    )
+                # Exact for every column, including the detect_activity
+                # triple: the annotators now run the host smoothing twin,
+                # whose conflict averages are np.convolve itself, so the
+                # reference's tie-resolution float noise is reproduced
+                # bit-for-bit (ops/bouts.py multi_step_paired_smoothing_host).
+                assert agree == 1.0, (
+                    f"{key}/{c}: {int(round((1 - agree) * len(r)))} "
+                    "frames differ"
+                )
             else:
                 d = np.nanmax(np.abs(r - t))
                 assert d <= 1e-6, f"{key}/{c}: max|delta| {d:.2e}"
