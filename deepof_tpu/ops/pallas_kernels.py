@@ -83,15 +83,24 @@ def window_gather_standardize(
         (T - window + 1, window, F) standardized windows.
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     t, f = feats.shape
     n_windows = t - window + 1
-    n_blocks = -(-n_windows // block)
-    padded_t = n_blocks * block + window - 1
     # Mosaic memref slices must be lane-aligned: pad the feature axis to a
     # multiple of 128 (sd pads with ones to keep the affine finite).
     f_pad = -(-f // 128) * 128
+    # Cap the per-grid-step block so the VMEM working set (the out block,
+    # double-buffered by the pipeline, plus the overlapping row scratch)
+    # stays well under the ~16 MB scoped-vmem limit; the grid absorbs the
+    # extra steps. Without this, wide features x large blocks OOM at
+    # compile time (e.g. 2048x25x256 f32 = 52 MB).
+    bytes_per = jnp.dtype(feats.dtype).itemsize
+    budget = 4 * 1024 * 1024
+    max_block = max(64, budget // max(window * f_pad * bytes_per, 1))
+    max_block = 1 << (int(max_block).bit_length() - 1)  # floor pow2
+    block = min(block, max_block)
+    n_blocks = -(-n_windows // block)
+    padded_t = n_blocks * block + window - 1
     if padded_t > t or f_pad > f:
         feats = jnp.pad(feats, ((0, padded_t - t), (0, f_pad - f)))
     mu2 = jnp.pad(mu.reshape(1, f), ((0, 0), (0, f_pad - f))).astype(feats.dtype)
@@ -106,7 +115,7 @@ def window_gather_standardize(
         ),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, f_pad), lambda i: (0, 0)),
             pl.BlockSpec((1, f_pad), lambda i: (0, 0)),
         ],

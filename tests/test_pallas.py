@@ -91,8 +91,12 @@ def test_scanned_forward_matches_batched(model_name, use_pallas):
         "angle": None,
     }
 
+    # Contrastive operates on half-windows: the caller (embedding_per_video)
+    # re-preprocesses at window // 2 and feeds each window whole, so the
+    # scan window IS the half (reference model_utils_new.py:553).
+    scan_window = half if model_name == "Contrastive" else window
     emb, sc = scanned_windowed_forward(
-        bundle, feats, layout, window, model_name, block=16,
+        bundle, feats, layout, scan_window, model_name, block=16,
         use_pallas=use_pallas, interpret=use_pallas,
     )
 
@@ -100,16 +104,12 @@ def test_scanned_forward_matches_batched(model_name, use_pallas):
     from deepof_tpu.graph_dataset import reorder_and_reshape
     from deepof_tpu.ops.windows import rolling_windows_host
 
-    w = rolling_windows_host(feats, window)
+    w = rolling_windows_host(feats, scan_window)
     x_all = reorder_and_reshape(w[:, :, : 3 * n])
     a_all = w[:, :, 3 * n :][..., None]
-    if model_name == "Contrastive":
-        base = (window - half) // 2
-        x_all = x_all[:, base : base + half]
-        a_all = a_all[:, base : base + half]
     emb_ref, sc_ref = _batched_forward(bundle, x_all, a_all, model_name, 32)
 
-    assert emb.shape == (t - window + 1, 4)
+    assert emb.shape == (t - scan_window + 1, 4)
     np.testing.assert_allclose(emb, emb_ref, rtol=2e-4, atol=1e-5)
     if model_name == "Contrastive":
         assert sc is None
