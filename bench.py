@@ -207,12 +207,29 @@ def main():
         t_emb0 = time.time()
         jax.block_until_ready(embed_all(preprocess_jit(pos, lik)))
         t_emb = time.time() - t_emb0
-        cost = embed_all.lower(
-            jax.ShapeDtypeStruct((t, feat_dim), jnp.float32)
-        ).compile().cost_analysis()
+        # XLA's cost_analysis counts every scan/while body ONCE, so
+        # lowering the scanned program directly under-reports FLOPs by the
+        # trip count (~n_batches x window). Count honestly instead: lower
+        # ONE batch forward with the GRU time scans unrolled (the
+        # DEEPOF_TPU_GRU_UNROLL knob, read at trace time), then multiply
+        # by the number of batches the scan executes.
+        e_feats = feat_dim - 3 * n
+
+        def one_batch_fwd(xw, aw):
+            out = model.apply(variables, xw, aw, train=False)
+            return out["encoder_output"], out["soft_counts"]
+
+        os.environ["DEEPOF_TPU_GRU_UNROLL"] = str(window)
+        try:
+            cost = jax.jit(one_batch_fwd).lower(
+                jax.ShapeDtypeStruct((batch, window, n, 3), jnp.float32),
+                jax.ShapeDtypeStruct((batch, window, e_feats, 1), jnp.float32),
+            ).compile().cost_analysis()
+        finally:
+            os.environ["DEEPOF_TPU_GRU_UNROLL"] = "1"
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = float(cost.get("flops", 0.0)) * n_batches
         mfu_embed = flops / t_emb / _V5E_PEAK_BF16_FLOPS
     except Exception as e:  # pragma: no cover
         print(f"embed MFU estimation failed: {e}", file=sys.stderr)
@@ -339,14 +356,22 @@ def _bench_train_step() -> dict:
             if batch == sweep[0]:
                 out[f"train_step_{name}_per_s"] = round(steps_per_s, 2)
                 try:
-                    cost = run_steps.lower(
-                        params, opt_state, rest
-                    ).compile().cost_analysis()
+                    # cost_analysis counts scan/while bodies once: lower a
+                    # SINGLE train step with the GRU time scans unrolled
+                    # (trace-time knob) so the per-step FLOPs are real,
+                    # then scale by the measured steps/s.
+                    os.environ["DEEPOF_TPU_GRU_UNROLL"] = str(window)
+                    try:
+                        cost = jax.jit(step).lower(
+                            params, opt_state, rest, x, a, key
+                        ).compile().cost_analysis()
+                    finally:
+                        os.environ["DEEPOF_TPU_GRU_UNROLL"] = "1"
                     if isinstance(cost, (list, tuple)):
                         cost = cost[0]
-                    flops = float(cost.get("flops", 0.0))
+                    flops_per_step = float(cost.get("flops", 0.0))
                     out[f"mfu_train_{name}"] = round(
-                        flops / elapsed / _V5E_PEAK_BF16_FLOPS, 5
+                        flops_per_step * steps_per_s / _V5E_PEAK_BF16_FLOPS, 5
                     )
                 except Exception as exc:  # pragma: no cover
                     print(f"train MFU ({name}) failed: {exc}", file=sys.stderr)
