@@ -162,7 +162,7 @@ class TableDict(dict):
         merged = {}
         for key in self.keys():
             tabs = [get_dt(td, key) for td in dicts]
-            merged_tab = pd.concat(tabs, axis=1, join="inner")
+            merged_tab = _hconcat_single_block(tabs)
             path = (
                 os.path.join(self._table_path, key, f"{key}_{file_name}")
                 if self._table_path
@@ -267,6 +267,20 @@ class TableDict(dict):
         samples = {"speed": [], "dist": [], "coord": [], "inner": [], "intra": []}
         valid_keys: List[str] = []
 
+        # Pass 3 applies the IDENTICAL local scaling (scale_table never
+        # touches angle columns, and both passes run with
+        # coord_standardize=None), so cache pass-1 results and reuse them —
+        # recomputing the two-stage scaler per table is the single largest
+        # preprocess cost at recording scale. Bounded by a byte budget so
+        # many-video projects fall back to rescaling instead of holding
+        # every scaled frame in RAM. Only valid without low-variance
+        # filtering (which runs before scaling in pass 1 only).
+        scaled_cache: Dict[str, pd.DataFrame] = {}
+        cache_budget = int(
+            os.environ.get("DEEPOF_TPU_SCALE_CACHE_BYTES", 2_000_000_000)
+        )
+        cache_ok = bool(scale) and pretrained_scaler is None and not filter_low_variance
+
         for key in keys_list:
             tab = get_dt(self, key)
             tab = tab.iloc[bin_info[key]]
@@ -286,6 +300,11 @@ class TableDict(dict):
                     coord_standardize=None,
                     log_distances=log_distances,
                 )
+                if cache_ok and cache_budget > 0:
+                    nbytes = int(local.shape[0]) * int(local.shape[1]) * 8
+                    if nbytes <= cache_budget:
+                        scaled_cache[key] = local
+                        cache_budget -= nbytes
                 ct = dutils.infer_column_types(local)
                 n_take = min(samples_max, len(local))
                 if n_take > 0:
@@ -313,29 +332,42 @@ class TableDict(dict):
             dist_standardize, speed_standardize, coord_standardize,
         )
 
-        # Pass 3: apply scaling per table.
+        # Pass 3: apply scaling per table (reusing pass-1 local scaling
+        # when cached — the two passes are identical by construction).
         table_temp = self.new_dict_same_header({})
         for key in valid_keys:
-            tab = get_dt(self, key).iloc[bin_info[key]]
-            orig_cols = tab.columns
-            ct = dutils.infer_column_types(tab)
+            cached = scaled_cache.pop(key, None)
+            if cached is not None:
+                orig_cols = cached.columns
+                ct = dutils.infer_column_types(cached)
+                angle_cols = ct["angles"]
+                # Angle columns pass through scale_table untouched, so the
+                # cached frame still holds their original values.
+                angles_df = cached[angle_cols].copy() if angle_cols else None
+                tab = cached.drop(columns=angle_cols, errors="ignore")
+            else:
+                tab = get_dt(self, key).iloc[bin_info[key]]
+                orig_cols = tab.columns
+                ct = dutils.infer_column_types(tab)
 
-            angle_cols = ct["angles"]
-            angles_df = tab[angle_cols].copy() if angle_cols else None
-            tab = tab.drop(columns=angle_cols, errors="ignore")
-            tab = _filter_low_variance(tab, filter_low_variance)
+                angle_cols = ct["angles"]
+                angles_df = tab[angle_cols].copy() if angle_cols else None
+                tab = tab.drop(columns=angle_cols, errors="ignore")
+                tab = _filter_low_variance(tab, filter_low_variance)
+
+                if scale:
+                    tab = dutils.scale_table(
+                        tab,
+                        scale=scale,
+                        animal_ids=animal_ids,
+                        standardize=True,
+                        dist_standardize=dist_standardize,
+                        speed_standardize=speed_standardize,
+                        coord_standardize=None,
+                        log_distances=log_distances,
+                    )
 
             if scale:
-                tab = dutils.scale_table(
-                    tab,
-                    scale=scale,
-                    animal_ids=animal_ids,
-                    standardize=True,
-                    dist_standardize=dist_standardize,
-                    speed_standardize=speed_standardize,
-                    coord_standardize=None,
-                    log_distances=log_distances,
-                )
                 tab = _apply_global_scaler(
                     tab, global_scaler,
                     speed_standardize, dist_standardize, coord_standardize,
@@ -410,6 +442,34 @@ class TableDict(dict):
 # --------------------------------------------------------------------------- #
 
 
+def _hconcat_single_block(tabs: List[pd.DataFrame]):
+    """Column-wise concat that produces a SINGLE consolidated float64
+    block when every part is an all-float64 frame on the same index.
+
+    ``pd.concat(axis=1)`` keeps each part as its own block; every later
+    ``to_numpy`` on the merged feature table then pays a full
+    ``_interleave`` copy (~100 MB at recording scale, several times per
+    preprocess). Building the frame from one hstacked matrix makes all of
+    those reads single-block. Falls back to ``pd.concat`` (identical
+    semantics) for mixed dtypes or mismatched indexes."""
+    if all(isinstance(t, pd.DataFrame) for t in tabs) and len(tabs) > 1:
+        idx = tabs[0].index
+        if all(t.index.equals(idx) for t in tabs[1:]):
+            blocks = []
+            for t in tabs:
+                if not all(dt == np.float64 for dt in t.dtypes):
+                    break
+                blocks.append(t.to_numpy())
+            else:
+                cols = tabs[0].columns
+                for t in tabs[1:]:
+                    cols = cols.append(t.columns)
+                return pd.DataFrame(
+                    np.hstack(blocks), index=idx, columns=cols, copy=False
+                )
+    return pd.concat(tabs, axis=1, join="inner")
+
+
 def _filter_low_variance(tab: pd.DataFrame, threshold) -> pd.DataFrame:
     if not threshold:
         return tab
@@ -443,16 +503,62 @@ def _sanitize_numeric(df: pd.DataFrame) -> pd.DataFrame:
     num = df.select_dtypes(include=[np.number]).columns
     if len(num) == len(df.columns):
         # all-numeric (the feature-table hot path): build the result frame
-        # directly from the sanitized block — no .copy() consolidation.
-        block = df.to_numpy(np.float64).copy()
-        block = np.nan_to_num(_interp_nan_block(block), nan=0.0)
-        return pd.DataFrame(block, index=df.index, columns=df.columns)
+        # directly from the sanitized block — no .copy() consolidation,
+        # and no extra copy when to_numpy already converted dtypes.
+        block = df.to_numpy(np.float64)
+        if not block.flags.writeable:
+            block = block.copy()
+        block = np.nan_to_num(_interp_nan_block(block), nan=0.0, copy=False)
+        return pd.DataFrame(
+            block, index=df.index, columns=df.columns, copy=False
+        )
     out = df.copy()
     if len(num) > 0:
         block = out[num].to_numpy(np.float64).copy()
-        block = np.nan_to_num(_interp_nan_block(block), nan=0.0)
+        block = np.nan_to_num(_interp_nan_block(block), nan=0.0, copy=False)
         out[num] = pd.DataFrame(block, index=out.index, columns=num)
     return out
+
+
+class _StandardScalerLite:
+    """Drop-in for a fitted ``sklearn.preprocessing.StandardScaler``
+    (transform / inverse_transform / mean_ / var_ / scale_), fitted
+    NaN-aware in two passes over a list of sample blocks WITHOUT
+    materializing ``np.vstack(bucket)`` — at recording scale that vstack
+    is a full extra copy of every sampled frame per section."""
+
+    def __init__(self, mean, var):
+        self.mean_ = mean
+        self.var_ = var
+        scale = np.sqrt(var)
+        # sklearn's _handle_zeros_in_scale: constant features divide by 1.
+        scale[(scale == 0.0) | ~np.isfinite(scale)] = 1.0
+        self.scale_ = scale
+
+    def transform(self, x):
+        return (np.asarray(x, dtype=np.float64) - self.mean_) / self.scale_
+
+    def inverse_transform(self, x):
+        return np.asarray(x, dtype=np.float64) * self.scale_ + self.mean_
+
+
+def _fast_fit_standard(bucket) -> _StandardScalerLite:
+    n_cols = bucket[0].shape[1]
+    count = np.zeros(n_cols, dtype=np.int64)
+    total = np.zeros(n_cols, dtype=np.float64)
+    for a in bucket:
+        count += np.sum(~np.isnan(a), axis=0)
+        total += np.nansum(a, axis=0)
+    safe = np.maximum(count, 1)
+    mean = total / safe
+    ssd = np.zeros(n_cols, dtype=np.float64)
+    for a in bucket:
+        d = a - mean
+        ssd += np.nansum(d * d, axis=0)
+    var = ssd / safe
+    mean[count == 0] = np.nan
+    var[count == 0] = np.nan
+    return _StandardScalerLite(mean, var)
 
 
 def _collect_section(local, bucket, cols, idx, mode):
@@ -477,6 +583,8 @@ def _fit_global_scaler(
     def fit_2d(bucket):
         if not bucket:
             return None
+        if scale == "standard":
+            return _fast_fit_standard(bucket)
         sc = dutils.make_scaler(scale)
         sc.fit(np.vstack(bucket))
         return sc
@@ -484,6 +592,8 @@ def _fit_global_scaler(
     def fit_1d(bucket):
         if not bucket:
             return None
+        if scale == "standard":
+            return _fast_fit_standard([b.reshape(-1, 1) for b in bucket])
         sc = dutils.make_scaler(scale)
         sc.fit(np.concatenate(bucket).reshape(-1, 1))
         return sc

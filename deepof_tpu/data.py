@@ -508,16 +508,20 @@ class Project:
                 int(3),  # lin_interp_limit (deepof/utils.py:230)
                 self._animal_slices,
             )
-            out_pos = np.asarray(out_pos, dtype=np.float64)
+            # Keep the device dtype (f64 on the CPU parity path, f32 on
+            # accelerators): getters upcast on access, and f32 storage
+            # halves both host materialization and the pickled project.
+            out_pos = np.asarray(out_pos)
             if self.iterative_imputation == "full":
-                # np.array copy: the device array surfaces as a read-only
-                # view and _full_imputation writes imputed blocks in place.
+                # f64 copy: the device array surfaces as a read-only view,
+                # _full_imputation writes imputed blocks in place, and the
+                # MICE sweep is specified in double precision.
                 out_pos = self._full_imputation(
-                    np.array(out_pos), np.asarray(presence)
+                    np.array(out_pos, dtype=np.float64), np.asarray(presence)
                 )
 
             tab_dict[key] = out_pos
-            lik_dict[key] = np.asarray(lik, dtype=np.float64)
+            lik_dict[key] = np.asarray(lik)
             presence_dict[key] = np.asarray(presence)
 
         self._presence = presence_dict
@@ -642,9 +646,11 @@ class Project:
             d, a, ar = _feature_pass(
                 jnp.asarray(pos), pairs, bridges, tuple(poly_list)
             )
-            dist_dict[key] = np.asarray(d, dtype=np.float64)
-            angle_dict[key] = np.asarray(a, dtype=np.float64)
-            area_dict[key] = np.asarray(ar, dtype=np.float64)
+            # Device dtype preserved (see preprocess_tables): the getters
+            # upcast their (graph-filtered) slices to float64 on access.
+            dist_dict[key] = np.asarray(d)
+            angle_dict[key] = np.asarray(a)
+            area_dict[key] = np.asarray(ar)
 
         pair_names = [
             tuple(sorted((nodes[i], nodes[j]))) for i, j in all_pair_indices(len(nodes))
@@ -690,7 +696,7 @@ class Project:
             ego=self.ego,
             version=self.version,
         )
-        coordinates.reset_supervised_parameters()
+        coordinates.reset_supervised_parameters(save=False)
         coordinates.save(timestamp=False)
         if verbose:
             print("Done!")
@@ -943,8 +949,13 @@ class Coordinates:
         if tab_dict_for_binning is None:
             lengths = {key: len(self._tables[key]) for key in self._tables}
         else:
+            # Metainfo-only: never materialize the table just to count rows.
             lengths = {
-                k: int(np.asarray(get_dt(tab_dict_for_binning, k)).shape[0])
+                k: int(
+                    get_dt(tab_dict_for_binning, k, only_metainfo=True)[
+                        "num_rows"
+                    ]
+                )
                 for k in tab_dict_for_binning.keys()
             }
         if start_marker is None:
@@ -1053,7 +1064,9 @@ class Coordinates:
         """Tracking likelihood per bodypart as DataFrames."""
         tabs = {}
         for key, lik in self._quality.items():
-            df = pd.DataFrame(lik, columns=self._nodes)
+            df = pd.DataFrame(
+                np.asarray(lik, dtype=np.float64), columns=self._nodes
+            )
             df.index = self._time_index(len(df))
             tabs[key] = df
         return TableDict(
@@ -1326,15 +1339,40 @@ class Coordinates:
         invert_roi: bool = False,
         filter_on_graph: bool = True,
     ) -> pd.DataFrame:
-        arr = np.array(self._distances[key], dtype=np.float64)
-        df = pd.DataFrame(arr, columns=self._pair_names)
-        df.index = self._time_index(len(df))
-
+        # All column filters (ego / selected_id / graph) commute with the
+        # row-wise ops below (ROI nan-masking, per-column speed, missing-
+        # animal masking), so resolve the kept column set FIRST and slice
+        # the stored array once — the full all-pairs matrix (C(n,2) cols x
+        # T rows) is never materialized as a DataFrame. At recording scale
+        # this is the difference between copying ~20 graph edges and
+        # copying 378 pair columns per call.
+        pair_cols = list(self._pair_names)
+        keep_idx = list(range(len(pair_cols)))
         if getattr(self, "_ego", False):
             # Keep only distances involving the ego body part
             # (deepof/data.py:1089-1092).
-            keep = [c for c in df.columns if any(self._ego in str(x) for x in c)]
-            df = df.loc[:, keep]
+            keep_idx = [
+                i for i in keep_idx
+                if any(self._ego in str(x) for x in pair_cols[i])
+            ]
+        if selected_id:
+            sel = set(
+                dutils.filter_columns(
+                    [pair_cols[i] for i in keep_idx], selected_id
+                )
+            )
+            keep_idx = [i for i in keep_idx if pair_cols[i] in sel]
+        if filter_on_graph:
+            edges = set(self._body_graph.edge_names)
+            keep_idx = [
+                i for i in keep_idx
+                if tuple(sorted(pair_cols[i])) in edges
+            ]
+        arr = np.array(
+            np.asarray(self._distances[key])[:, keep_idx], dtype=np.float64
+        )
+        df = pd.DataFrame(arr, columns=[pair_cols[i] for i in keep_idx])
+        df.index = self._time_index(len(df))
 
         if roi_number is not None:
             mask_df = self._roi_row_mask(key, roi_number, animals_in_roi, invert_roi)
@@ -1344,8 +1382,6 @@ class Coordinates:
                     if all(str(x).startswith(aid) for x in c)
                 ] if aid else list(df.columns)
                 df.loc[rows, cols] = np.nan
-        if selected_id:
-            df = df.loc[:, dutils.filter_columns(df.columns, selected_id)]
         if speed:
             sp = np.asarray(
                 rolling_speed(
@@ -1357,10 +1393,6 @@ class Coordinates:
             )
             df = pd.DataFrame(sp, columns=df.columns, index=df.index)
         df = self._set_missing_animals_frame(df, key)
-        if filter_on_graph:
-            edges = set(self._body_graph.edge_names)
-            keep = [c for c in df.columns if tuple(sorted(c)) in edges]
-            df = df.loc[:, keep]
         return df
 
     def get_distances(
@@ -1404,13 +1436,22 @@ class Coordinates:
         animals_in_roi=None,
         invert_roi: bool = False,
     ) -> pd.DataFrame:
-        arr = np.array(self._angles[key], dtype=np.float64)
-        if degrees:
-            arr = np.degrees(arr)
-        df = pd.DataFrame(arr, columns=[tuple(b) for b in self._bridge_names])
-        df.index = self._time_index(len(df))
+        # Column filters commute with the row ops below — subset the
+        # stored array before any DataFrame is built (see
+        # get_distances_at_key).
+        angle_cols = [tuple(b) for b in self._bridge_names]
         if selected_id:
-            df = df.loc[:, dutils.filter_columns(df.columns, selected_id)]
+            sel = set(dutils.filter_columns(angle_cols, selected_id))
+            keep_idx = [i for i, c in enumerate(angle_cols) if c in sel]
+        else:
+            keep_idx = list(range(len(angle_cols)))
+        arr = np.array(
+            np.asarray(self._angles[key])[:, keep_idx], dtype=np.float64
+        )
+        if degrees:
+            np.degrees(arr, out=arr)
+        df = pd.DataFrame(arr, columns=[angle_cols[i] for i in keep_idx])
+        df.index = self._time_index(len(df))
         if speed:
             sp = np.asarray(
                 rolling_speed(
@@ -1544,11 +1585,14 @@ class Coordinates:
             self.reset_supervised_parameters()
         return copy.copy(self._supervised_parameters)
 
-    def reset_supervised_parameters(self):
+    def reset_supervised_parameters(self, save: bool = True):
         self._supervised_parameters = config.default_supervised_parameters(
             self._frame_rate
         )
-        self.save(timestamp=False)
+        # create() saves the whole project right after resetting; skipping
+        # the inner save there avoids pickling recording-scale tables twice.
+        if save:
+            self.save(timestamp=False)
 
     def set_supervised_parameters(self, hparams: dict = None):
         params = self.get_supervised_parameters()
@@ -1579,7 +1623,9 @@ class Coordinates:
 
             name += datetime.now().strftime("%Y%m%d-%H%M%S")
         with open(os.path.join(out_dir, f"{name}.pkl"), "wb") as f:
-            pickle.dump(self, f)
+            # Protocol 5: numpy blocks serialize via out-of-band buffers —
+            # materially faster on recording-scale tables.
+            pickle.dump(self, f, protocol=5)
 
     # ------------------------------------------------------------------ #
     # Analysis entry points (wired to later layers)

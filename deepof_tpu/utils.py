@@ -301,13 +301,8 @@ def scale_table(
     if inter_scale not in ("mean", "geom", "global"):
         raise ValueError("inter_scale must be one of {'mean','geom','global'}")
 
-    out = df.copy()
-    # Normalize numeric dtypes: feature tables built on the float32 device
-    # path would otherwise reject float64 scaled values on assignment.
-    num_cols = out.select_dtypes(include=[np.number]).columns
-    if len(num_cols) and not all(out[c].dtype == np.float64 for c in num_cols):
-        out[num_cols] = out[num_cols].astype(np.float64)
-    col_types = infer_column_types(out)
+    num_cols = df.select_dtypes(include=[np.number]).columns
+    col_types = infer_column_types(df)
 
     if animal_ids is None:
         animal_ids = sorted(
@@ -315,17 +310,23 @@ def scale_table(
         ) or [None]
     # Keep ids exactly as passed: "" stays "" (see compute_size_factors).
     animal_ids = list(animal_ids)
-    factors, default = compute_size_factors(out, animal_ids, size_ref)
+    factors, default = compute_size_factors(df, animal_ids, size_ref)
 
     # All-numeric tables (the hot feature-table case) run both stages on
     # ONE positional float64 matrix — per-section pandas .loc label
     # resolution and block splitting would otherwise dominate; the
-    # numeric ops are identical either way. Mixed-dtype or
+    # numeric ops are identical either way, and the input frame is never
+    # touched (no defensive df.copy / astype passes — at recording scale
+    # those are two extra ~100 MB copies per call). Mixed-dtype or
     # duplicate-label tables take the label-based path.
-    positional = out.shape[1] == len(num_cols) and out.columns.is_unique
+    positional = df.shape[1] == len(num_cols) and df.columns.is_unique
     if positional:
-        vals = out.to_numpy(dtype=np.float64).copy()
-        pos = {c: i for i, c in enumerate(out.columns)}
+        vals = df.to_numpy(dtype=np.float64)
+        if not vals.flags.writeable:
+            # pandas 3 returns a read-only CoW view when no dtype
+            # conversion is needed.
+            vals = vals.copy()
+        pos = {c: i for i, c in enumerate(df.columns)}
 
         def read(cols):
             return vals[:, [pos[c] for c in cols]]
@@ -334,8 +335,19 @@ def scale_table(
             vals[:, [pos[c] for c in cols]] = arr
 
         def finish():
-            return pd.DataFrame(vals, index=out.index, columns=out.columns)
+            return pd.DataFrame(
+                vals, index=df.index, columns=df.columns, copy=False
+            )
     else:
+        out = df.copy()
+        # Normalize numeric dtypes: feature tables built on the float32
+        # device path would otherwise reject float64 scaled values on
+        # assignment.
+        if len(num_cols) and not all(
+            out[c].dtype == np.float64 for c in num_cols
+        ):
+            out[num_cols] = out[num_cols].astype(np.float64)
+
         def read(cols):
             return out.loc[:, cols].to_numpy(float)
 
