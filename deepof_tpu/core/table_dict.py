@@ -283,7 +283,7 @@ class TableDict(dict):
 
         for key in keys_list:
             tab = get_dt(self, key)
-            tab = tab.iloc[bin_info[key]]
+            tab = _take_rows(tab, bin_info[key])
             if tab.isna().all().all():
                 continue
             valid_keys.append(key)
@@ -306,25 +306,30 @@ class TableDict(dict):
                         scaled_cache[key] = local
                         cache_budget -= nbytes
                 ct = dutils.infer_column_types(local)
+                # Sample positionally from ONE matrix view — per-section
+                # label selection (take_nd) copies the full column set per
+                # section at recording scale.
+                lv = local.to_numpy()
+                pos = {c: i for i, c in enumerate(local.columns)}
                 n_take = min(samples_max, len(local))
                 if n_take > 0:
                     idx = rng.choice(len(local), size=n_take, replace=False)
                     if speed_standardize and ct["speeds"]:
-                        _collect_section(local, samples["speed"], ct["speeds"], idx, speed_standardize)
+                        _collect_section(lv, pos, samples["speed"], ct["speeds"], idx, speed_standardize)
                     if dist_standardize and ct["dists"]:
                         if dist_standardize == "per_column":
-                            _collect_section(local, samples["dist"], ct["dists"], idx, "per_column")
+                            _collect_section(lv, pos, samples["dist"], ct["dists"], idx, "per_column")
                         else:
                             if ct["inner_dists"]:
-                                _collect_section(local, samples["inner"], ct["inner_dists"], idx, "groupwise")
+                                _collect_section(lv, pos, samples["inner"], ct["inner_dists"], idx, "groupwise")
                             if ct["intra_dists"]:
-                                _collect_section(local, samples["intra"], ct["intra_dists"], idx, "groupwise")
+                                _collect_section(lv, pos, samples["intra"], ct["intra_dists"], idx, "groupwise")
                     coord_cols = [
                         c for c in local.columns
                         if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
                     ]
                     if coord_standardize and coord_cols:
-                        _collect_section(local, samples["coord"], coord_cols, idx, coord_standardize)
+                        _collect_section(lv, pos, samples["coord"], coord_cols, idx, coord_standardize)
 
         # Pass 2: fit the global scalers.
         global_scaler = _fit_global_scaler(
@@ -337,6 +342,51 @@ class TableDict(dict):
         table_temp = self.new_dict_same_header({})
         for key in valid_keys:
             cached = scaled_cache.pop(key, None)
+
+            def _positional_ok(frame):
+                return frame.columns.is_unique and all(
+                    dt == np.float64 for dt in frame.dtypes
+                )
+
+            fast = None
+            if cached is not None and _positional_ok(cached):
+                fast = cached
+            elif cached is None and not filter_low_variance:
+                # Pretrained-scaler / unscaled runs never populate the
+                # cache; scale locally here and take the same positional
+                # finish (low-variance filtering changes the column set,
+                # so it stays on the label path below).
+                tab = _take_rows(get_dt(self, key), bin_info[key])
+                if _positional_ok(tab):
+                    if scale:
+                        tab = dutils.scale_table(
+                            tab,
+                            scale=scale,
+                            animal_ids=animal_ids,
+                            standardize=True,
+                            dist_standardize=dist_standardize,
+                            speed_standardize=speed_standardize,
+                            coord_standardize=None,
+                            log_distances=log_distances,
+                        )
+                    fast = tab
+            if fast is not None:
+                # Fully positional finish on ONE matrix: global-scaler
+                # sections, outlier clip + reinterpolation, angle
+                # interpolation, and the final sanitize all write in place;
+                # column order never changes so no reindex/concat copies.
+                tab = _finish_scaled_positional(
+                    fast, global_scaler if scale else None, scale,
+                    interpolate_normalized,
+                    speed_standardize, dist_standardize, coord_standardize,
+                )
+                path = (
+                    os.path.join(self._table_path, key, f"{key}_{file_name}")
+                    if self._table_path
+                    else None
+                )
+                table_temp[key] = save_dt(tab, path, save_as_paths)
+                continue
             if cached is not None:
                 orig_cols = cached.columns
                 ct = dutils.infer_column_types(cached)
@@ -346,7 +396,7 @@ class TableDict(dict):
                 angles_df = cached[angle_cols].copy() if angle_cols else None
                 tab = cached.drop(columns=angle_cols, errors="ignore")
             else:
-                tab = get_dt(self, key).iloc[bin_info[key]]
+                tab = _take_rows(get_dt(self, key), bin_info[key])
                 orig_cols = tab.columns
                 ct = dutils.infer_column_types(tab)
 
@@ -449,24 +499,33 @@ def _hconcat_single_block(tabs: List[pd.DataFrame]):
     ``pd.concat(axis=1)`` keeps each part as its own block; every later
     ``to_numpy`` on the merged feature table then pays a full
     ``_interleave`` copy (~100 MB at recording scale, several times per
-    preprocess). Building the frame from one hstacked matrix makes all of
-    those reads single-block. Falls back to ``pd.concat`` (identical
-    semantics) for mixed dtypes or mismatched indexes."""
+    preprocess). Building the frame from one hstacked float64 matrix makes
+    all of those reads single-block — and performs any float32→float64
+    upcast (device-dtype speed tables) exactly once, here. Falls back to
+    ``pd.concat`` (identical semantics) for non-float dtypes or mismatched
+    indexes."""
     if all(isinstance(t, pd.DataFrame) for t in tabs) and len(tabs) > 1:
         idx = tabs[0].index
         if all(t.index.equals(idx) for t in tabs[1:]):
             blocks = []
             for t in tabs:
-                if not all(dt == np.float64 for dt in t.dtypes):
+                if not all(
+                    np.issubdtype(dt, np.floating) for dt in t.dtypes
+                ):
                     break
                 blocks.append(t.to_numpy())
             else:
                 cols = tabs[0].columns
                 for t in tabs[1:]:
                     cols = cols.append(t.columns)
-                return pd.DataFrame(
-                    np.hstack(blocks), index=idx, columns=cols, copy=False
+                out = np.empty(
+                    (len(idx), sum(b.shape[1] for b in blocks)), np.float64
                 )
+                start = 0
+                for b in blocks:
+                    out[:, start : start + b.shape[1]] = b
+                    start += b.shape[1]
+                return pd.DataFrame(out, index=idx, columns=cols, copy=False)
     return pd.concat(tabs, axis=1, join="inner")
 
 
@@ -561,12 +620,107 @@ def _fast_fit_standard(bucket) -> _StandardScalerLite:
     return _StandardScalerLite(mean, var)
 
 
-def _collect_section(local, bucket, cols, idx, mode):
-    arr = local[cols].to_numpy(float)[idx]
+def _collect_section(vals, pos, bucket, cols, idx, mode):
+    """Gather the sampled rows of one column section straight out of the
+    table's matrix view (``vals``): ``np.ix_`` copies only the sample,
+    where label selection would copy every row of the section first."""
+    arr = vals[np.ix_(idx, [pos[c] for c in cols])]
+    if arr.dtype != np.float64:
+        arr = arr.astype(np.float64)
     if mode == "per_column":
         bucket.append(arr)
     else:
         bucket.append(arr.reshape(-1))
+
+
+def _take_rows(tab: pd.DataFrame, rows) -> pd.DataFrame:
+    """``tab.iloc[rows]`` that recognizes a contiguous row range and slices
+    instead — ``.iloc`` with an index array materializes a full copy of the
+    table, which at recording scale (rows = the whole table, the common
+    case) is a ~100 MB memcpy per pass."""
+    rows = np.asarray(rows)
+    if rows.ndim == 1 and rows.size > 1:
+        first, last = int(rows[0]), int(rows[-1])
+        if last - first + 1 == rows.size and np.array_equal(
+            rows, np.arange(first, last + 1)
+        ):
+            if first == 0 and last + 1 == len(tab):
+                return tab
+            return tab.iloc[first : last + 1]
+    return tab.iloc[rows]
+
+
+def _finish_scaled_positional(
+    local: pd.DataFrame,
+    global_scaler,
+    scale,
+    interpolate_normalized,
+    speed_standardize,
+    dist_standardize,
+    coord_standardize,
+) -> pd.DataFrame:
+    """Pass-3 finish for an all-float64, unique-column locally-scaled table,
+    done entirely on one (T, F) matrix: apply the global section scalers,
+    clip + reinterpolate standardized outliers, interpolate the (unscaled)
+    angle columns, and sanitize — semantically identical to the label-based
+    path (_apply_global_scaler + per-frame concat/reindex/_sanitize_numeric)
+    but with zero block splitting or column reordering copies."""
+    ct = dutils.infer_column_types(local)
+    cols = local.columns
+    m = local.to_numpy()
+    if not m.flags.writeable:
+        m = m.copy()
+    pos = {c: i for i, c in enumerate(cols)}
+
+    def section(section_cols):
+        return np.asarray([pos[c] for c in section_cols], dtype=int)
+
+    coord_cols = [
+        c for c in cols
+        if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
+    ]
+    if global_scaler is not None:
+
+        def app2d(section_cols, scaler):
+            if section_cols and scaler is not None:
+                ii = section(section_cols)
+                m[:, ii] = scaler.transform(m[:, ii])
+
+        def app1d(section_cols, scaler):
+            if section_cols and scaler is not None:
+                ii = section(section_cols)
+                arr = m[:, ii]
+                m[:, ii] = scaler.transform(arr.reshape(-1, 1)).reshape(arr.shape)
+
+        if speed_standardize == "per_column":
+            app2d(ct["speeds"], global_scaler.get("speed"))
+        elif speed_standardize == "groupwise":
+            app1d(ct["speeds"], global_scaler.get("speed"))
+        if dist_standardize == "per_column":
+            app2d(ct["dists"], global_scaler.get("dist"))
+        elif dist_standardize == "groupwise":
+            app1d(ct["inner_dists"], global_scaler.get("dist_inner"))
+            app1d(ct["intra_dists"], global_scaler.get("dist_intra"))
+        if coord_standardize == "per_column":
+            app2d(coord_cols, global_scaler.get("coord"))
+        elif coord_standardize == "groupwise":
+            app1d(coord_cols, global_scaler.get("coord"))
+
+    if scale == "standard" and interpolate_normalized:
+        clip_cols = list(dict.fromkeys(ct["scalars"] + coord_cols))
+        if clip_cols:
+            ii = section(clip_cols)
+            sub = m[:, ii]
+            sub[np.abs(sub) > interpolate_normalized] = np.nan
+            m[:, ii] = _interp_nan_block(sub)
+
+    if ct["angles"]:
+        ii = section(ct["angles"])
+        m[:, ii] = _interp_nan_block(m[:, ii])
+
+    # _sanitize_numeric semantics, in place on the same matrix.
+    m = np.nan_to_num(_interp_nan_block(m), nan=0.0, copy=False)
+    return pd.DataFrame(m, index=local.index, columns=cols, copy=False)
 
 
 def _fit_global_scaler(

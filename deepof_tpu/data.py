@@ -16,6 +16,7 @@ import os
 import pickle
 import re
 import warnings
+from collections import OrderedDict
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -162,6 +163,97 @@ def _feature_pass(pos: jnp.ndarray, pairs, bridges, polys):
         else jnp.zeros((pos.shape[0], 0), dtype=pos.dtype)
     )
     return dists, angles, areas
+
+
+class _DerivedKinematics:
+    """On-demand derived kinematics (the reference computes and stores
+    these eagerly at create() time, deepof/data.py:996-1100).
+
+    Distances, angles and areas are pure functions of the stored mm
+    positions, so instead of materializing the full all-pairs distance
+    matrix on the host (C(n,2) columns x T rows per video — by far the
+    largest device->host transfer in create()), each video's triple is
+    recomputed by the same fused device program on first access, and only
+    the requested column subsets ever cross to the host. A small LRU keeps
+    the most recent triples on device. Nothing heavy is pickled: the
+    positions dict is the same object as Coordinates._tables, so pickle
+    memoization stores it once, and the device cache is dropped."""
+
+    def __init__(self, tables, pairs, bridges, polys, cache_size: int = 4):
+        self._tables = tables
+        self._pairs = tuple(map(tuple, pairs))
+        self._bridges = tuple(map(tuple, bridges))
+        self._polys = tuple(tuple(int(i) for i in p) for p in polys)
+        self._cache_size = int(cache_size)
+        self._cache = OrderedDict()
+
+    def parts(self, key):
+        trip = self._cache.pop(key, None)
+        if trip is None:
+            trip = _feature_pass(
+                jnp.asarray(self._tables[key]),
+                self._pairs, self._bridges, self._polys,
+            )
+        self._cache[key] = trip
+        while len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return trip
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_cache"] = OrderedDict()
+        return state
+
+
+class _LazyArray:
+    """Stub standing in for one derived table inside the _distances /
+    _angles / _areas dicts; realizes to a device array on demand and
+    pickles as a thin reference into the shared _DerivedKinematics."""
+
+    __slots__ = ("store", "key", "part")
+
+    def __init__(self, store: _DerivedKinematics, key: str, part: int):
+        self.store, self.key, self.part = store, key, part
+
+    def realize(self):
+        return self.store.parts(self.key)[self.part]
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self.realize())
+        if dtype is not None and out.dtype != dtype:
+            out = out.astype(dtype)
+        elif copy:
+            out = out.copy()
+        return out
+
+    def __len__(self):
+        return len(self.store._tables[self.key])
+
+    def __getstate__(self):
+        return (self.store, self.key, self.part)
+
+    def __setstate__(self, state):
+        self.store, self.key, self.part = state
+
+
+def _fetch_columns(arr, keep_idx, n_cols) -> np.ndarray:
+    """Writable host float64 copy of the selected columns of a (T, C)
+    table that may be numpy, a device array, or a _LazyArray —
+    device-resident tables are gathered ON device so only the kept
+    columns cross the host boundary."""
+    if isinstance(arr, _LazyArray):
+        arr = arr.realize()
+    full = len(keep_idx) == n_cols
+    if isinstance(arr, jax.Array) and not isinstance(arr, np.ndarray):
+        if not full:
+            arr = jnp.take(
+                arr, jnp.asarray(np.asarray(keep_idx, np.int32)), axis=1
+            )
+        return np.array(np.asarray(arr), dtype=np.float64)
+    a = np.asarray(arr)
+    if not full:
+        a = a[:, keep_idx]
+    return np.array(a, dtype=np.float64)
 
 
 # --------------------------------------------------------------------------- #
@@ -636,21 +728,15 @@ class Project:
                 "Not all areas could be computed with the available bodyparts."
             )
 
-        from deepof_tpu.utils import progress as _progress
-
-        dist_dict, angle_dict, area_dict = {}, {}, {}
-        for key, pos in _progress(
-            list(tab_dict.items()), desc="Computing distances/angles/areas",
-            verbose=verbose,
-        ):
-            d, a, ar = _feature_pass(
-                jnp.asarray(pos), pairs, bridges, tuple(poly_list)
-            )
-            # Device dtype preserved (see preprocess_tables): the getters
-            # upcast their (graph-filtered) slices to float64 on access.
-            dist_dict[key] = np.asarray(d)
-            angle_dict[key] = np.asarray(a)
-            area_dict[key] = np.asarray(ar)
+        # Derived kinematics stay DEFERRED: each video's
+        # distances/angles/areas triple is recomputed on device on first
+        # access and only requested column subsets are fetched
+        # (_DerivedKinematics). Eager computation shipped the full
+        # all-pairs matrix host-side — the single largest create() cost.
+        store = _DerivedKinematics(tab_dict, pairs, bridges, tuple(poly_list))
+        dist_dict = {k: _LazyArray(store, k, 0) for k in tab_dict}
+        angle_dict = {k: _LazyArray(store, k, 1) for k in tab_dict}
+        area_dict = {k: _LazyArray(store, k, 2) for k in tab_dict}
 
         pair_names = [
             tuple(sorted((nodes[i], nodes[j]))) for i, j in all_pair_indices(len(nodes))
@@ -1368,9 +1454,7 @@ class Coordinates:
                 i for i in keep_idx
                 if tuple(sorted(pair_cols[i])) in edges
             ]
-        arr = np.array(
-            np.asarray(self._distances[key])[:, keep_idx], dtype=np.float64
-        )
+        arr = _fetch_columns(self._distances[key], keep_idx, len(pair_cols))
         df = pd.DataFrame(arr, columns=[pair_cols[i] for i in keep_idx])
         df.index = self._time_index(len(df))
 
@@ -1445,9 +1529,7 @@ class Coordinates:
             keep_idx = [i for i, c in enumerate(angle_cols) if c in sel]
         else:
             keep_idx = list(range(len(angle_cols)))
-        arr = np.array(
-            np.asarray(self._angles[key])[:, keep_idx], dtype=np.float64
-        )
+        arr = _fetch_columns(self._angles[key], keep_idx, len(angle_cols))
         if degrees:
             np.degrees(arr, out=arr)
         df = pd.DataFrame(arr, columns=[angle_cols[i] for i in keep_idx])

@@ -306,3 +306,70 @@ def test_manual_arena_annotation(tmp_path):
         point_provider=circ_provider, verbose=False,
     )
     assert coords._scales["test"][2] == pytest.approx(300.0)
+
+
+def test_lazy_kinematics_realize_and_pickle(single_coords):
+    """Derived kinematics (distances/angles/areas) are stored as lazy
+    device-side recompute stubs (data._DerivedKinematics): getters see the
+    same values, pickling keeps only the thin stubs, and a load round-trip
+    reproduces every table exactly."""
+    import pickle
+
+    from deepof_tpu.data import _LazyArray
+
+    coords = single_coords
+    assert all(
+        isinstance(v, _LazyArray) for v in coords._distances.values()
+    )
+    d = coords.get_distances(filter_on_graph=False)
+    a = coords.get_angles()
+    ar = coords.get_areas()
+
+    loaded = pickle.loads(pickle.dumps(coords))
+    d2 = loaded.get_distances(filter_on_graph=False)
+    a2 = loaded.get_angles()
+    ar2 = loaded.get_areas()
+    for key in d.keys():
+        np.testing.assert_array_equal(d[key].to_numpy(), d2[key].to_numpy())
+        np.testing.assert_array_equal(a[key].to_numpy(), a2[key].to_numpy())
+        np.testing.assert_array_equal(ar[key].to_numpy(), ar2[key].to_numpy())
+    # np-protocol access (used by annotate's area percentiles) works too.
+    assert np.asarray(coords._areas["test"]).shape == ar["test"].shape
+
+
+def test_preprocess_positional_fast_paths_exact(single_coords, monkeypatch):
+    """The single-matrix positional preprocess finishes (cached pass-1
+    reuse AND the pretrained-scaler route) are bit-identical to the
+    label-based pandas path."""
+    coords = single_coords
+    _, meta, _, tab_dict, scaler = coords.get_graph_dataset(window_size=10)
+
+    kwargs = dict(
+        coordinates=coords, window_size=10, scale="standard",
+        return_windows=False,
+        dist_standardize="per_column", speed_standardize="per_column",
+        coord_standardize="per_column",
+    )
+
+    # Training route: cached positional fast path vs cache-disabled label path.
+    monkeypatch.setenv("DEEPOF_TPU_SCALE_CACHE_BYTES", "0")
+    (tr_label, _), _, sc_label = tab_dict.preprocess(**kwargs)
+    monkeypatch.delenv("DEEPOF_TPU_SCALE_CACHE_BYTES")
+    (tr_fast, _), _, sc_fast = tab_dict.preprocess(**kwargs)
+    for key in tr_label.keys():
+        np.testing.assert_array_equal(
+            np.asarray(tr_label[key]), np.asarray(tr_fast[key])
+        )
+
+    # Inference route: pretrained scaler; the tiny low-variance threshold
+    # keeps every column but forces the label path.
+    (inf_fast, _), _, _ = tab_dict.preprocess(
+        **kwargs, pretrained_scaler=scaler
+    )
+    (inf_label, _), _, _ = tab_dict.preprocess(
+        **kwargs, pretrained_scaler=scaler, filter_low_variance=1e-300
+    )
+    for key in inf_label.keys():
+        np.testing.assert_array_equal(
+            np.asarray(inf_label[key]), np.asarray(inf_fast[key])
+        )
