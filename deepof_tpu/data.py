@@ -613,7 +613,12 @@ class Project:
                 )
 
             tab_dict[key] = out_pos
-            lik_dict[key] = np.asarray(lik)
+            # Host copy straight from the raw table: `lik` was only moved
+            # to device as a kernel input, pulling it back would be a
+            # pointless device round trip.
+            lik_dict[key] = np.asarray(
+                ordered.likelihood, dtype=np.float64 if use_f64 else np.float32
+            )
             presence_dict[key] = np.asarray(presence)
 
         self._presence = presence_dict
