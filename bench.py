@@ -39,6 +39,14 @@ def _synthesize(t: int, nodes, frame_rate: float, seed: int = 0):
     return pos.astype(np.float32), lik.astype(np.float32)
 
 
+_T0 = time.time()
+
+
+def _mark(phase: str) -> None:
+    """Stderr progress heartbeat so long runs show where time goes."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {phase}", file=sys.stderr, flush=True)
+
+
 def _enable_compile_cache():
     """Persistent compilation cache: repeat runs (e.g. the driver's) skip
     the slow remote compile. Idempotent; called by every bench entry point
@@ -186,9 +194,11 @@ def main():
     lik = jnp.asarray(lik_np)
 
     # Warmup (compile).
+    _mark("fused path: warmup compile start")
     embs, counts = full_pipeline(pos, lik)
     jax.block_until_ready(embs)
 
+    _mark("fused path: warmup done, timing")
     n_reps = 3
     t0 = time.time()
     for _ in range(n_reps):
@@ -204,6 +214,7 @@ def main():
     # program (gather + encoder over all windows).
     mfu_embed = None
     try:
+        _mark("embed MFU: measuring")
         t_emb0 = time.time()
         jax.block_until_ready(embed_all(preprocess_jit(pos, lik)))
         t_emb = time.time() - t_emb0
@@ -219,6 +230,7 @@ def main():
             out = model.apply(variables, xw, aw, train=False)
             return out["encoder_output"], out["soft_counts"]
 
+        _mark("embed MFU: lowering unrolled forward")
         os.environ["DEEPOF_TPU_GRU_UNROLL"] = str(window)
         try:
             cost = jax.jit(one_batch_fwd).lower(
@@ -236,12 +248,14 @@ def main():
 
     train_bench = None
     try:
+        _mark("train bench: start")
         train_bench = _bench_train_step()
     except Exception as e:  # pragma: no cover
         print(f"train-step bench failed: {e}", file=sys.stderr)
 
     public_fps = None
     try:
+        _mark("public path bench: start")
         public_fps = _bench_public_path(frame_rate)
     except Exception as e:  # pragma: no cover - keep the primary metric alive
         import traceback
@@ -315,6 +329,7 @@ def _bench_train_step() -> dict:
             use_gnn=True, dtype=dtype,
         )
         for batch in sweep:
+            _mark(f"train bench: {name} batch={batch}")
             x = jnp.asarray(
                 rng.normal(size=(batch, window, n, 3)), jnp.float32
             )
@@ -360,6 +375,7 @@ def _bench_train_step() -> dict:
                     # SINGLE train step with the GRU time scans unrolled
                     # (trace-time knob) so the per-step FLOPs are real,
                     # then scale by the measured steps/s.
+                    _mark(f"train MFU ({name}): lowering unrolled step")
                     os.environ["DEEPOF_TPU_GRU_UNROLL"] = str(window)
                     try:
                         cost = jax.jit(step).lower(
@@ -482,6 +498,7 @@ def _bench_public_path(frame_rate: float):
             coords = proj.create(force=True, test=True, verbose=False)
             return coords, coords.get_graph_dataset(window_size=window)
 
+        _mark("public path: first run_public")
         coords, (dataset, meta, adjacency, tab_dict, scaler) = run_public()
 
         n = len(meta["node_columns"]) // 3
@@ -510,15 +527,18 @@ def _bench_public_path(frame_rate: float):
         # the timed passes then measure the steady-state user experience,
         # reported as the min over repetitions (standard steady-state
         # practice — any residual one-off cost inflates only the max).
+        _mark("public path: warmup embed 1")
         embedding_per_video(
             coords, tab_dict, bundle, meta, global_scaler=scaler,
             batch_size=4096,
         )
+        _mark("public path: warmup cycle 2")
         coords, (dataset, meta, adjacency, tab_dict, scaler) = run_public()
         embedding_per_video(
             coords, tab_dict, bundle, meta, global_scaler=scaler,
             batch_size=4096,
         )
+        _mark("public path: timed passes")
         elapsed, stages = None, None
         for _ in range(2):
             timer = StageTimer()
