@@ -68,7 +68,7 @@ def main():
 
     from deepof_tpu.core.graph import build_body_graph, connect_mouse
     from deepof_tpu.data import _preprocess_positions
-    from deepof_tpu.models import build_model
+    from deepof_tpu.models import build_model, init_variables
     from deepof_tpu.ops import align_trajectories, pairwise_distances, rolling_speed
     from deepof_tpu.ops.smoothing import savgol_edges_host
 
@@ -114,8 +114,8 @@ def main():
         "VQVAE", (window, n, 3), (window, e, 1), graph.adjacency,
         latent_dim=8, n_components=10, encoder_type="recurrent", use_gnn=True,
     )
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)},
+    variables = init_variables(
+        model, {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, window, n, 3), jnp.float32),
         jnp.zeros((1, window, e, 1), jnp.float32),
         train=False,
@@ -336,8 +336,9 @@ def _bench_train_step() -> dict:
             a = jnp.asarray(
                 rng.normal(size=(batch, window, e, 1)), jnp.float32
             )
-            variables = model.init(
-                {"params": jax.random.PRNGKey(0)}, x[:2], a[:2], train=False
+            variables = init_variables(
+                model, {"params": jax.random.PRNGKey(0)}, x[:2], a[:2],
+                train=False,
             )
             params, rest = _split_variables(variables)
             optimizer = _make_optimizer(3e-4)
@@ -508,8 +509,8 @@ def _bench_public_path(frame_rate: float):
             latent_dim=8, n_components=10, encoder_type="recurrent",
             use_gnn=True,
         )
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)},
+        variables = init_variables(
+            model, {"params": jax.random.PRNGKey(0)},
             jnp.zeros((1, window, n, 3), jnp.float32),
             jnp.zeros((1, window, e, 1), jnp.float32),
             train=False,

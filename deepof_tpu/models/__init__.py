@@ -19,7 +19,7 @@ from deepof_tpu.models.decoders import (
     TransformerDecoder,
 )
 from deepof_tpu.models.heads import GaussianMixtureLatent, VectorQuantizer
-from deepof_tpu.models.zoo import Contrastive, VaDE, VQVAE, build_model
+from deepof_tpu.models.zoo import Contrastive, VaDE, VQVAE, build_model, init_variables
 
 __all__ = [
     "CensNetConv",
@@ -37,4 +37,5 @@ __all__ = [
     "VaDE",
     "VQVAE",
     "build_model",
+    "init_variables",
 ]

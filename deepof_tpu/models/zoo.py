@@ -205,6 +205,22 @@ class Contrastive(nn.Module):
         return self.encoder(x, a, angles=angles, train=train)
 
 
+def init_variables(model, rngs, x, a, angles=None, train: bool = False):
+    """Initialize model variables under ONE jitted program.
+
+    Eager `model.init` dispatches every initializer op individually; on a
+    remote-tunneled TPU the per-call latency makes that take minutes for
+    the deeper encoders (measured 134s -> 15s cold / <1s cached for the
+    recurrent+GNN VQVAE). On CPU the eager path is already fast and the
+    compile would only add overhead, so it stays eager there.
+    """
+    if jax.default_backend() == "cpu":
+        return model.init(rngs, x, a, angles, train=train)
+    return jax.jit(
+        lambda r, *args: model.init(r, *args, train=train)
+    )(rngs, x, a, angles)
+
+
 def build_model(
     model: str,
     input_shape,

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from deepof_tpu.models import build_model
+from deepof_tpu.models import build_model, init_variables
 from deepof_tpu.models.decoders import MaskedNormal
 from deepof_tpu.parallel.mesh import (
     create_mesh,
@@ -154,8 +154,8 @@ class ModelBundle:
             x = x[:, :half]
             a = a[:, :half]
             ang = None if ang is None else ang[:, :half]
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)}, x, a, ang, train=False
+        variables = init_variables(
+            model, {"params": jax.random.PRNGKey(0)}, x, a, ang, train=False
         )
         variables = flax.serialization.from_bytes(variables, payload["variables"])
         return cls(model=model, variables=variables, rebuild_spec=spec,
@@ -548,8 +548,9 @@ def _run_epochs(
 def _init_model(model, sample_x, sample_a, seed: int, sample_ang=None):
     rngs = {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)}
     ang = None if sample_ang is None else jnp.asarray(sample_ang)
-    return model.init(
-        rngs, jnp.asarray(sample_x), jnp.asarray(sample_a), ang, train=False
+    return init_variables(
+        model, rngs, jnp.asarray(sample_x), jnp.asarray(sample_a), ang,
+        train=False,
     )
 
 
