@@ -451,6 +451,7 @@ def _bench_public_path(frame_rate: float):
     from deepof_tpu.core.graph import connect_mouse
     from deepof_tpu.data import Project
     from deepof_tpu.models import build_model
+    from deepof_tpu.models.zoo import init_variables
     from deepof_tpu.profiling import StageTimer
     from deepof_tpu.train.harness import ModelBundle
     from deepof_tpu.train.inference import embedding_per_video
