@@ -236,11 +236,10 @@ class _LazyArray:
         self.store, self.key, self.part = state
 
 
-def _fetch_columns(arr, keep_idx, n_cols) -> np.ndarray:
-    """Writable host float64 copy of the selected columns of a (T, C)
-    table that may be numpy, a device array, or a _LazyArray —
-    device-resident tables are gathered ON device so only the kept
-    columns cross the host boundary."""
+def _gather_columns_device(arr, keep_idx, n_cols):
+    """Device-side column gather (no host transfer): returns a device
+    array (or host ndarray for host-resident tables) holding only the
+    kept columns of a (T, C) table."""
     if isinstance(arr, _LazyArray):
         arr = arr.realize()
     full = len(keep_idx) == n_cols
@@ -249,11 +248,34 @@ def _fetch_columns(arr, keep_idx, n_cols) -> np.ndarray:
             arr = jnp.take(
                 arr, jnp.asarray(np.asarray(keep_idx, np.int32)), axis=1
             )
-        return np.array(np.asarray(arr), dtype=np.float64)
+        return arr
     a = np.asarray(arr)
     if not full:
         a = a[:, keep_idx]
-    return np.array(a, dtype=np.float64)
+    return a
+
+
+def _start_async_fetch(arrs) -> None:
+    """Kick off device->host copies for every device array in ``arrs`` so
+    later np.asarray() calls overlap instead of serializing one RPC round
+    trip per table (the dominant getter cost on a tunneled TPU)."""
+    for a in arrs:
+        if isinstance(a, jax.Array) and not isinstance(a, np.ndarray):
+            try:
+                a.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend-optional hint
+                pass
+
+
+def _fetch_columns(arr, keep_idx, n_cols) -> np.ndarray:
+    """Writable host float64 copy of the selected columns of a (T, C)
+    table that may be numpy, a device array, or a _LazyArray —
+    device-resident tables are gathered ON device so only the kept
+    columns cross the host boundary."""
+    return np.array(
+        np.asarray(_gather_columns_device(arr, keep_idx, n_cols)),
+        dtype=np.float64,
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -567,6 +589,9 @@ class Project:
         dtype = jnp.float64 if use_f64 else jnp.float32
 
         tab_dict, lik_dict, presence_dict = {}, {}, {}
+        # Phase 1: enqueue every video's fused device program (no fetches
+        # in this loop — the device pipelines all videos back to back).
+        pending = []
         for key, raw in progress(
             list(raws.items()), desc="Preprocessing tables", verbose=verbose
         ):
@@ -600,26 +625,34 @@ class Project:
                 int(3),  # lin_interp_limit (deepof/utils.py:230)
                 self._animal_slices,
             )
+            # Host copy straight from the raw table: `lik` was only moved
+            # to device as a kernel input, pulling it back would be a
+            # pointless device round trip.
+            lik_host = np.asarray(
+                ordered.likelihood, dtype=np.float64 if use_f64 else np.float32
+            )
+            pending.append((key, out_pos, presence, lik_host))
+            _start_async_fetch((out_pos, presence))
+
+        # Phase 2: collect (transfers overlap each other and any device
+        # compute still in flight).
+        for key, out_pos_dev, presence_dev, lik_host in pending:
             # Keep the device dtype (f64 on the CPU parity path, f32 on
             # accelerators): getters upcast on access, and f32 storage
             # halves both host materialization and the pickled project.
-            out_pos = np.asarray(out_pos)
+            out_pos = np.asarray(out_pos_dev)
+            presence = np.asarray(presence_dev)
             if self.iterative_imputation == "full":
                 # f64 copy: the device array surfaces as a read-only view,
                 # _full_imputation writes imputed blocks in place, and the
                 # MICE sweep is specified in double precision.
                 out_pos = self._full_imputation(
-                    np.array(out_pos, dtype=np.float64), np.asarray(presence)
+                    np.array(out_pos, dtype=np.float64), presence
                 )
 
             tab_dict[key] = out_pos
-            # Host copy straight from the raw table: `lik` was only moved
-            # to device as a kernel input, pulling it back would be a
-            # pointless device round trip.
-            lik_dict[key] = np.asarray(
-                ordered.likelihood, dtype=np.float64 if use_f64 else np.float32
-            )
-            presence_dict[key] = np.asarray(presence)
+            lik_dict[key] = lik_host
+            presence_dict[key] = presence
 
         self._presence = presence_dict
         return tab_dict, lik_dict
@@ -1203,10 +1236,16 @@ class Coordinates:
         animals_in_roi=None,
         in_roi_criterion: str = "Center",
         invert_roi: bool = False,
-    ) -> pd.DataFrame:
+        _finalize: bool = True,
+    ):
         """Coordinate getter pipeline for one experiment
         (deepof/data.py:1936-2021): ROI filter -> animal select -> polar ->
-        center -> align -> derivative -> missing-animal NaN."""
+        center -> align -> derivative -> missing-animal NaN.
+
+        With ``_finalize=False``, stops before any device->host transfer
+        and returns ``(array-or-device-array, col_order)`` for
+        _coords_finalize — get_coords uses this to overlap transfers
+        across experiments."""
         if scale is None:
             scale = self._scales[key]
         pos = np.array(self._tables[key], dtype=np.float64)  # (T, B, 2) mm
@@ -1255,27 +1294,43 @@ class Coordinates:
         if align and align_inplace and not polar:
             pos_out, col_order = self._align(pos_out, nodes, animal_ids, align, align_group)
 
-        df = pd.DataFrame(
-            pos_out.reshape(pos_out.shape[0], -1),
-            columns=pd.MultiIndex.from_product(
-                [col_order, ["rho", "phi"] if polar else ["x", "y"]]
-            ),
-        )
-        df.index = self._time_index(len(df))
-
         if speed:
-            arr = df.to_numpy(dtype=np.float64).reshape(len(df), -1, 2)
-            sp = np.asarray(
-                rolling_speed(
-                    jnp.asarray(arr), frame_rate=self._frame_rate, deriv=speed
-                )
+            # (T, N, 2) -> per-bodypart n-th derivative magnitude, straight
+            # from the position array (building the intermediate coords
+            # frame first, as the reference does, only adds pandas copies).
+            out = rolling_speed(
+                jnp.asarray(
+                    np.ascontiguousarray(
+                        pos_out.reshape(pos_out.shape[0], -1, 2),
+                        dtype=np.float64,
+                    )
+                ),
+                frame_rate=self._frame_rate,
+                deriv=speed,
             )
-            df = pd.DataFrame(sp, columns=list(col_order))
-            df.index = self._time_index(len(df))
+        else:
+            out = pos_out
 
+        if not _finalize:
+            return out, col_order
+        return self._coords_finalize(key, out, col_order, polar, speed)
+
+    def _coords_finalize(self, key, out, col_order, polar, speed) -> pd.DataFrame:
+        """Fetch (if on device), build the DataFrame, and apply the
+        missing-animal NaN mask — the host half of get_coords_at_key."""
+        arr = np.asarray(out)
+        if speed:
+            df = pd.DataFrame(arr, columns=list(col_order))
+        else:
+            df = pd.DataFrame(
+                arr.reshape(arr.shape[0], -1),
+                columns=pd.MultiIndex.from_product(
+                    [col_order, ["rho", "phi"] if polar else ["x", "y"]]
+                ),
+            )
+        df.index = self._time_index(len(df))
         # Missing-animal NaN.
-        df = self._set_missing_animals_frame(df, key)
-        return df
+        return self._set_missing_animals_frame(df, key)
 
     def get_coords(
         self,
@@ -1295,9 +1350,11 @@ class Coordinates:
         return_path: bool = False,
     ) -> TableDict:
         """TableDict of per-experiment coordinate DataFrames."""
-        tabs = {}
+        # Two phases: enqueue every experiment's device work first, then
+        # finalize — transfers overlap instead of serializing per key.
+        pending = {}
         for key in self._tables.keys():
-            tab = self.get_coords_at_key(
+            pending[key] = self.get_coords_at_key(
                 key,
                 scale=self._scales[key],
                 center=center,
@@ -1312,7 +1369,12 @@ class Coordinates:
                 animals_in_roi=animals_in_roi,
                 in_roi_criterion=in_roi_criterion,
                 invert_roi=invert_roi,
+                _finalize=False,
             )
+        _start_async_fetch([out for out, _ in pending.values()])
+        tabs = {}
+        for key, (out, col_order) in pending.items():
+            tab = self._coords_finalize(key, out, col_order, polar, speed)
             path = os.path.join(self._table_path, key, f"{key}_{file_name}")
             tabs[key] = save_dt(tab, path, return_path)
         return TableDict(
@@ -1419,24 +1481,9 @@ class Coordinates:
     # get_distances / get_angles / get_areas
     # ------------------------------------------------------------------ #
 
-    def get_distances_at_key(
-        self,
-        key: str,
-        quality=None,
-        speed: int = 0,
-        selected_id: str = None,
-        roi_number: int = None,
-        animals_in_roi=None,
-        invert_roi: bool = False,
-        filter_on_graph: bool = True,
-    ) -> pd.DataFrame:
-        # All column filters (ego / selected_id / graph) commute with the
-        # row-wise ops below (ROI nan-masking, per-column speed, missing-
-        # animal masking), so resolve the kept column set FIRST and slice
-        # the stored array once — the full all-pairs matrix (C(n,2) cols x
-        # T rows) is never materialized as a DataFrame. At recording scale
-        # this is the difference between copying ~20 graph edges and
-        # copying 378 pair columns per call.
+    def _distance_keep_idx(self, selected_id, filter_on_graph) -> list:
+        """Key-independent kept-column indices for distance tables
+        (ego -> selected_id -> graph filters, in reference order)."""
         pair_cols = list(self._pair_names)
         keep_idx = list(range(len(pair_cols)))
         if getattr(self, "_ego", False):
@@ -1459,7 +1506,43 @@ class Coordinates:
                 i for i in keep_idx
                 if tuple(sorted(pair_cols[i])) in edges
             ]
-        arr = _fetch_columns(self._distances[key], keep_idx, len(pair_cols))
+        return keep_idx
+
+    def _angle_keep_idx(self, selected_id) -> list:
+        """Key-independent kept-column indices for angle tables."""
+        angle_cols = [tuple(b) for b in self._bridge_names]
+        if selected_id:
+            sel = set(dutils.filter_columns(angle_cols, selected_id))
+            return [i for i, c in enumerate(angle_cols) if c in sel]
+        return list(range(len(angle_cols)))
+
+    def get_distances_at_key(
+        self,
+        key: str,
+        quality=None,
+        speed: int = 0,
+        selected_id: str = None,
+        roi_number: int = None,
+        animals_in_roi=None,
+        invert_roi: bool = False,
+        filter_on_graph: bool = True,
+        _gathered=None,
+    ) -> pd.DataFrame:
+        # All column filters (ego / selected_id / graph) commute with the
+        # row-wise ops below (ROI nan-masking, per-column speed, missing-
+        # animal masking), so resolve the kept column set FIRST and slice
+        # the stored array once — the full all-pairs matrix (C(n,2) cols x
+        # T rows) is never materialized as a DataFrame. At recording scale
+        # this is the difference between copying ~20 graph edges and
+        # copying 378 pair columns per call.
+        pair_cols = list(self._pair_names)
+        keep_idx = self._distance_keep_idx(selected_id, filter_on_graph)
+        if _gathered is not None:
+            arr = np.array(np.asarray(_gathered), dtype=np.float64)
+        else:
+            arr = _fetch_columns(
+                self._distances[key], keep_idx, len(pair_cols)
+            )
         df = pd.DataFrame(arr, columns=[pair_cols[i] for i in keep_idx])
         df.index = self._time_index(len(df))
 
@@ -1495,6 +1578,16 @@ class Coordinates:
         file_name: str = "got_distances",
         return_path: bool = False,
     ) -> TableDict:
+        # Gather every experiment's kept columns on device first, then
+        # fetch with overlapping transfers (see _start_async_fetch).
+        keep_idx = self._distance_keep_idx(selected_id, filter_on_graph)
+        gathered = {
+            key: _gather_columns_device(
+                self._distances[key], keep_idx, len(self._pair_names)
+            )
+            for key in self._distances.keys()
+        }
+        _start_async_fetch(gathered.values())
         tabs = {}
         for key in self._distances.keys():
             tab = self.get_distances_at_key(
@@ -1505,6 +1598,7 @@ class Coordinates:
                 animals_in_roi=animals_in_roi,
                 invert_roi=invert_roi,
                 filter_on_graph=filter_on_graph,
+                _gathered=gathered[key],
             )
             path = os.path.join(self._table_path, key, f"{key}_{file_name}")
             tabs[key] = save_dt(tab, path, return_path)
@@ -1524,17 +1618,17 @@ class Coordinates:
         roi_number: int = None,
         animals_in_roi=None,
         invert_roi: bool = False,
+        _gathered=None,
     ) -> pd.DataFrame:
         # Column filters commute with the row ops below — subset the
         # stored array before any DataFrame is built (see
         # get_distances_at_key).
         angle_cols = [tuple(b) for b in self._bridge_names]
-        if selected_id:
-            sel = set(dutils.filter_columns(angle_cols, selected_id))
-            keep_idx = [i for i, c in enumerate(angle_cols) if c in sel]
+        keep_idx = self._angle_keep_idx(selected_id)
+        if _gathered is not None:
+            arr = np.array(np.asarray(_gathered), dtype=np.float64)
         else:
-            keep_idx = list(range(len(angle_cols)))
-        arr = _fetch_columns(self._angles[key], keep_idx, len(angle_cols))
+            arr = _fetch_columns(self._angles[key], keep_idx, len(angle_cols))
         if degrees:
             np.degrees(arr, out=arr)
         df = pd.DataFrame(arr, columns=[angle_cols[i] for i in keep_idx])
@@ -1563,12 +1657,20 @@ class Coordinates:
         file_name: str = "got_angles",
         return_path: bool = False,
     ) -> TableDict:
+        keep_idx = self._angle_keep_idx(selected_id)
+        gathered = {
+            key: _gather_columns_device(
+                self._angles[key], keep_idx, len(self._bridge_names)
+            )
+            for key in self._angles.keys()
+        }
+        _start_async_fetch(gathered.values())
         tabs = {}
         for key in self._angles.keys():
             tab = self.get_angles_at_key(
                 key, degrees=degrees, speed=speed, selected_id=selected_id,
                 roi_number=roi_number, animals_in_roi=animals_in_roi,
-                invert_roi=invert_roi,
+                invert_roi=invert_roi, _gathered=gathered[key],
             )
             path = os.path.join(self._table_path, key, f"{key}_{file_name}")
             tabs[key] = save_dt(tab, path, return_path)
@@ -1587,8 +1689,13 @@ class Coordinates:
         roi_number: int = None,
         animals_in_roi=None,
         invert_roi: bool = False,
+        _gathered=None,
     ) -> pd.DataFrame:
-        arr = np.array(self._areas[key], dtype=np.float64)
+        arr = np.array(
+            np.asarray(_gathered) if _gathered is not None
+            else self._areas[key],
+            dtype=np.float64,
+        )
         df = pd.DataFrame(arr, columns=self._area_names)
         df.index = self._time_index(len(df))
         if selected_id and selected_id != "all":
@@ -1616,12 +1723,20 @@ class Coordinates:
         file_name: str = "got_areas",
         return_path: bool = False,
     ) -> TableDict:
+        n_areas = len(self._area_names)
+        gathered = {
+            key: _gather_columns_device(
+                self._areas[key], list(range(n_areas)), n_areas
+            )
+            for key in self._areas.keys()
+        }
+        _start_async_fetch(gathered.values())
         tabs = {}
         for key in self._areas.keys():
             tab = self.get_areas_at_key(
                 key, speed=speed, selected_id=selected_id,
                 roi_number=roi_number, animals_in_roi=animals_in_roi,
-                invert_roi=invert_roi,
+                invert_roi=invert_roi, _gathered=gathered[key],
             )
             path = os.path.join(self._table_path, key, f"{key}_{file_name}")
             tabs[key] = save_dt(tab, path, return_path)

@@ -174,6 +174,36 @@ def get_graph_dataset(
     metainfo["angle_columns"] = feature_names[angle_sorting_indices]
     metainfo["inner_link_mask"] = np.asarray(inner_link_bool_mask, dtype=bool)
 
+    # Stash the scaled per-frame tables (pass-3 output, BEFORE windowing)
+    # on the returned tab_dict: scaling with a fitted scaler is
+    # deterministic, so embedding_per_video can reuse these directly and
+    # skip re-running the whole preprocess pass — the second-largest host
+    # cost of the public inference path. Gated to the unbinned, in-memory
+    # case and bounded by the same byte budget as the preprocess scale
+    # cache.
+    if (
+        not return_as_paths
+        and bin_size is None
+        and bin_index is None
+        and precomputed_bins is None
+    ):
+        budget = int(
+            os.environ.get("DEEPOF_TPU_SCALE_CACHE_BYTES", 2_000_000_000)
+        )
+        frames_cache = {}
+        for part in to_preprocess:
+            for key in part.keys():
+                frame = get_dt(part, key)
+                budget -= int(frame.shape[0]) * int(frame.shape[1]) * 8
+                frames_cache[key] = frame
+        if budget >= 0:
+            tab_dict._scaled_frames = frames_cache
+            tab_dict._scaled_scaler = global_scaler
+            tab_dict._scaled_sig = (
+                scale, dist_standardize, speed_standardize,
+                coord_standardize, samples_max,
+            )
+
     node_idx = np.asarray(node_sorting_indices, dtype=int)
     edge_idx = np.asarray(edge_sorting_indices, dtype=int)
     angle_idx = np.asarray(angle_sorting_indices, dtype=int)

@@ -325,20 +325,38 @@ def embedding_per_video(
     # pretrained, so scaling is per-table and order-free): one call
     # amortizes the per-call pandas/binning overhead the reference pays
     # per experiment (model_utils_new.py:556-585 loops preprocess per key).
-    processed, _, _ = to_preprocess.preprocess(
-        coordinates=coordinates,
-        scale=scale,
-        window_size=window_size,
-        window_step=1,
-        shuffle=False,
-        pretrained_scaler=global_scaler,
-        dist_standardize=meta_info.get("dist_standardize", "per_column"),
-        speed_standardize=meta_info.get("speed_standardize", "per_column"),
-        coord_standardize=meta_info.get("coord_standardize", "per_column"),
-        return_windows=False,
-        test_videos=0,
+    # When get_graph_dataset already scaled these exact tables with this
+    # exact scaler, reuse its stashed pass-3 output and skip the pass
+    # entirely (window size never enters the scaling math).
+    sig = (
+        scale,
+        meta_info.get("dist_standardize", "per_column"),
+        meta_info.get("speed_standardize", "per_column"),
+        meta_info.get("coord_standardize", "per_column"),
+        samples_max,
     )
-    scaled_tables = processed[0]
+    scaled_tables = None
+    if (
+        getattr(to_preprocess, "_scaled_sig", None) == sig
+        and to_preprocess._scaled_scaler is global_scaler
+    ):
+        scaled_tables = to_preprocess._scaled_frames
+    if scaled_tables is None:
+        processed, _, _ = to_preprocess.preprocess(
+            coordinates=coordinates,
+            scale=scale,
+            window_size=window_size,
+            window_step=1,
+            shuffle=False,
+            samples_max=samples_max,
+            pretrained_scaler=global_scaler,
+            dist_standardize=meta_info.get("dist_standardize", "per_column"),
+            speed_standardize=meta_info.get("speed_standardize", "per_column"),
+            coord_standardize=meta_info.get("coord_standardize", "per_column"),
+            return_windows=False,
+            test_videos=0,
+        )
+        scaled_tables = processed[0]
 
     for key in progress(
         list(to_preprocess.keys()), desc="Computing embeddings", verbose=True

@@ -62,10 +62,29 @@ def seconds_to_time(seconds: float, cut_milliseconds: bool = True) -> str:
 
 def make_time_index(n_frames: int, frame_rate: float) -> pd.Index:
     """String time index at the video frame rate, ms-rounded, with the
-    pandas "0 days " prefix stripped (reference: deepof/data.py:941-948)."""
+    pandas "0 days " prefix stripped (reference: deepof/data.py:941-948).
+
+    Formats the stamps from the integer ns values directly instead of
+    ``.map(lambda t: str(t)[7:])`` — same strings, without one Python
+    ``str(Timedelta)`` call per frame (>1 s/recording at 90k frames)."""
     freq_ns = np.round(1e9 / frame_rate)
     idx = pd.timedelta_range(start="0s", periods=n_frames, freq=f"{freq_ns}ns")
-    return idx.round("ms").map(lambda t: str(t)[7:])
+    vals = idx.round("ms").asi8  # int64 ns, multiples of 1e6
+    secs = vals // 10**9
+    us = (vals % 10**9) // 1000  # ms-rounded -> ns part is zero
+    hh = (secs % 86400) // 3600  # str(Timedelta)[7:] drops the "D days "
+    mm = (secs % 3600) // 60  # prefix, so hours wrap at 24 (parity)
+    ss = secs % 60
+    return pd.Index(
+        [
+            f"{h:02d}:{m:02d}:{s:02d}" if u == 0
+            else f"{h:02d}:{m:02d}:{s:02d}.{u:06d}"
+            for h, m, s, u in zip(
+                hh.tolist(), mm.tolist(), ss.tolist(), us.tolist()
+            )
+        ],
+        dtype=object,
+    )
 
 
 # --------------------------------------------------------------------------- #

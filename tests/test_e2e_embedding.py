@@ -82,6 +82,52 @@ def test_train_and_embed_vqvae(coords):
         np.testing.assert_allclose(p.sum(1), 1.0, rtol=1e-4)
 
 
+def test_scaled_frame_reuse_matches_full_preprocess(coords):
+    """embedding_per_video reuses get_graph_dataset's stashed scaled
+    tables when the scaler and standardize modes match; the shortcut must
+    be bit-identical to re-running the preprocess pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepof_tpu.models import build_model, init_variables
+    from deepof_tpu.train.harness import ModelBundle
+
+    dataset, meta, adjacency, tab_dict, scaler = coords.get_graph_dataset(
+        window_size=10
+    )
+    assert hasattr(tab_dict, "_scaled_frames")
+    n = len(meta["node_columns"]) // 3
+    e = len(meta["edge_columns"])
+    model = build_model(
+        "VQVAE", (10, n, 3), (10, e, 1), adjacency, latent_dim=4,
+        n_components=4, encoder_type="recurrent", use_gnn=True,
+    )
+    variables = init_variables(
+        model, {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 10, n, 3), jnp.float32),
+        jnp.zeros((1, 10, e, 1), jnp.float32), train=False,
+    )
+    bundle = ModelBundle(
+        model=model, variables=variables,
+        rebuild_spec={
+            "model": "VQVAE", "input_shape": [10, n, 3],
+            "edge_feature_shape": [10, e, 1], "n_components": 4,
+            "use_angles": False,
+        },
+    )
+    emb_cached, _ = embedding_per_video(
+        coords, tab_dict, bundle, meta, global_scaler=scaler
+    )
+    del tab_dict._scaled_sig  # force the full preprocess path
+    emb_full, _ = embedding_per_video(
+        coords, tab_dict, bundle, meta, global_scaler=scaler
+    )
+    for k in emb_cached.keys():
+        np.testing.assert_array_equal(
+            np.asarray(emb_cached[k]), np.asarray(emb_full[k])
+        )
+
+
 def test_angles_flow_through_training_and_inference(coords):
     """VERDICT item 5: angles reach the dataset, the model, and inference."""
     dataset, meta, adjacency, tab_dict, scaler = coords.get_graph_dataset(
