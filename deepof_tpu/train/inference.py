@@ -210,6 +210,7 @@ def scanned_windowed_forward(
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
     mesh=None,
+    _fetch: bool = True,
 ):
     """Embeddings + soft counts for ALL stride-1 windows of one recording.
 
@@ -263,8 +264,14 @@ def scanned_windowed_forward(
     feats_padded = np.zeros((pad_t, f), np.float32)
     feats_padded[:t] = feats
     embs, scs = cache[key](jnp.asarray(feats_padded))
-    embs = np.asarray(embs[:n_windows])
-    scs = np.asarray(scs[:n_windows]) if scs.shape[-1] else None
+    embs = embs[:n_windows]
+    scs = scs[:n_windows] if scs.shape[-1] else None
+    if not _fetch:
+        # Leave the results on device so the caller can fetch several
+        # experiments' outputs concurrently (see embedding_per_video).
+        return embs, scs
+    embs = np.asarray(embs)
+    scs = np.asarray(scs) if scs is not None else None
     return embs, scs
 
 
@@ -358,6 +365,10 @@ def embedding_per_video(
         )
         scaled_tables = processed[0]
 
+    # Dispatch every experiment's scanned program first (device work and
+    # host->device puts pipeline), then fetch all results concurrently —
+    # one overlapped transfer phase instead of a round trip per key.
+    pending = {}
     for key in progress(
         list(to_preprocess.keys()), desc="Computing embeddings", verbose=True
     ):
@@ -389,13 +400,21 @@ def embedding_per_video(
                 "angle": None,
             }
 
-        emb, sc = scanned_windowed_forward(
+        pending[key] = scanned_windowed_forward(
             model, feats, layout, window_size, model_name, block=batch_size,
-            mesh=mesh,
+            mesh=mesh, _fetch=False,
         )
-        embeddings[key] = pd.DataFrame(emb)
+
+    from deepof_tpu.data import _fetch_all
+
+    flat = _fetch_all(
+        [x for emb, sc in pending.values() for x in (emb, sc) if x is not None]
+    )
+    it = iter(flat)
+    for key, (emb, sc) in pending.items():
+        embeddings[key] = pd.DataFrame(next(it))
         if sc is not None:
-            soft_counts[key] = pd.DataFrame(sc)
+            soft_counts[key] = pd.DataFrame(next(it))
 
     # Contrastive (or explicit request): extract soft counts from the
     # embeddings via the gated GMM / MSM+PCCA+ decoders or an HMM
