@@ -262,102 +262,167 @@ class TableDict(dict):
             samples_max=samples_max,
         )
 
-        # Pass 1: per-table local scaling; sample rows for the global fit.
-        rng = np.random.RandomState(2)
-        samples = {"speed": [], "dist": [], "coord": [], "inner": [], "intra": []}
-        valid_keys: List[str] = []
-
-        # Pass 3 applies the IDENTICAL local scaling (scale_table never
-        # touches angle columns, and both passes run with
-        # coord_standardize=None), so cache pass-1 results and reuse them —
-        # recomputing the two-stage scaler per table is the single largest
-        # preprocess cost at recording scale. Bounded by a byte budget so
-        # many-video projects fall back to rescaling instead of holding
-        # every scaled frame in RAM. Only valid without low-variance
-        # filtering (which runs before scaling in pass 1 only).
-        scaled_cache: Dict[str, pd.DataFrame] = {}
-        cache_budget = int(
-            os.environ.get("DEEPOF_TPU_SCALE_CACHE_BYTES", 2_000_000_000)
-        )
-        cache_ok = bool(scale) and pretrained_scaler is None and not filter_low_variance
-
-        for key in keys_list:
-            tab = get_dt(self, key)
-            tab = _take_rows(tab, bin_info[key])
-            if tab.isna().all().all():
-                continue
-            valid_keys.append(key)
-            tab = _filter_low_variance(tab, filter_low_variance)
-
-            if scale and pretrained_scaler is None:
-                local = dutils.scale_table(
-                    tab,
-                    scale=scale,
-                    animal_ids=animal_ids,
-                    standardize=True,
-                    dist_standardize=dist_standardize,
-                    speed_standardize=speed_standardize,
-                    coord_standardize=None,
-                    log_distances=log_distances,
-                )
-                if cache_ok and cache_budget > 0:
-                    nbytes = int(local.shape[0]) * int(local.shape[1]) * 8
-                    if nbytes <= cache_budget:
-                        scaled_cache[key] = local
-                        cache_budget -= nbytes
-                ct = dutils.infer_column_types(local)
-                # Sample positionally from ONE matrix view — per-section
-                # label selection (take_nd) copies the full column set per
-                # section at recording scale.
-                lv = local.to_numpy()
-                pos = {c: i for i, c in enumerate(local.columns)}
-                n_take = min(samples_max, len(local))
-                if n_take > 0:
-                    idx = rng.choice(len(local), size=n_take, replace=False)
-                    if speed_standardize and ct["speeds"]:
-                        _collect_section(lv, pos, samples["speed"], ct["speeds"], idx, speed_standardize)
-                    if dist_standardize and ct["dists"]:
-                        if dist_standardize == "per_column":
-                            _collect_section(lv, pos, samples["dist"], ct["dists"], idx, "per_column")
-                        else:
-                            if ct["inner_dists"]:
-                                _collect_section(lv, pos, samples["inner"], ct["inner_dists"], idx, "groupwise")
-                            if ct["intra_dists"]:
-                                _collect_section(lv, pos, samples["intra"], ct["intra_dists"], idx, "groupwise")
-                    coord_cols = [
-                        c for c in local.columns
-                        if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
-                    ]
-                    if coord_standardize and coord_cols:
-                        _collect_section(lv, pos, samples["coord"], coord_cols, idx, coord_standardize)
-
-        # Pass 2: fit the global scalers.
-        global_scaler = _fit_global_scaler(
-            scale, pretrained_scaler, samples,
+        # Device fast path: when the whole scaling pipeline fits the
+        # accelerator formulation (standard scaler, per-column/None modes,
+        # in-memory tables), run passes 1-3 as three jitted programs on the
+        # (T, F) matrices instead of per-section host pandas math.
+        table_temp = global_scaler = None
+        if _device_scale_applicable(
+            scale, filter_low_variance,
             dist_standardize, speed_standardize, coord_standardize,
-        )
+        ):
+            fast = self._preprocess_scale_device(
+                keys_list, bin_info, animal_ids, pretrained_scaler,
+                samples_max, interpolate_normalized, log_distances,
+                dist_standardize, speed_standardize, coord_standardize,
+                file_name, save_as_paths,
+            )
+            if fast is not None:
+                table_temp, global_scaler = fast
+        if table_temp is None:
+            # Pass 1: per-table local scaling; sample rows for the global fit.
+            rng = np.random.RandomState(2)
+            samples = {"speed": [], "dist": [], "coord": [], "inner": [], "intra": []}
+            valid_keys: List[str] = []
 
-        # Pass 3: apply scaling per table (reusing pass-1 local scaling
-        # when cached — the two passes are identical by construction).
-        table_temp = self.new_dict_same_header({})
-        for key in valid_keys:
-            cached = scaled_cache.pop(key, None)
+            # Pass 3 applies the IDENTICAL local scaling (scale_table never
+            # touches angle columns, and both passes run with
+            # coord_standardize=None), so cache pass-1 results and reuse them —
+            # recomputing the two-stage scaler per table is the single largest
+            # preprocess cost at recording scale. Bounded by a byte budget so
+            # many-video projects fall back to rescaling instead of holding
+            # every scaled frame in RAM. Only valid without low-variance
+            # filtering (which runs before scaling in pass 1 only).
+            scaled_cache: Dict[str, pd.DataFrame] = {}
+            cache_budget = int(
+                os.environ.get("DEEPOF_TPU_SCALE_CACHE_BYTES", 2_000_000_000)
+            )
+            cache_ok = bool(scale) and pretrained_scaler is None and not filter_low_variance
 
-            def _positional_ok(frame):
-                return frame.columns.is_unique and all(
-                    dt == np.float64 for dt in frame.dtypes
-                )
+            for key in keys_list:
+                tab = get_dt(self, key)
+                tab = _take_rows(tab, bin_info[key])
+                if tab.isna().all().all():
+                    continue
+                valid_keys.append(key)
+                tab = _filter_low_variance(tab, filter_low_variance)
 
-            fast = None
-            if cached is not None and _positional_ok(cached):
-                fast = cached
-            elif cached is None and not filter_low_variance:
-                # Pretrained-scaler / unscaled runs never populate the
-                # cache; scale locally here and take the same positional
-                # finish (low-variance filtering changes the column set,
-                # so it stays on the label path below).
-                tab = _take_rows(get_dt(self, key), bin_info[key])
-                if _positional_ok(tab):
+                if scale and pretrained_scaler is None:
+                    local = dutils.scale_table(
+                        tab,
+                        scale=scale,
+                        animal_ids=animal_ids,
+                        standardize=True,
+                        dist_standardize=dist_standardize,
+                        speed_standardize=speed_standardize,
+                        coord_standardize=None,
+                        log_distances=log_distances,
+                    )
+                    if cache_ok and cache_budget > 0:
+                        nbytes = int(local.shape[0]) * int(local.shape[1]) * 8
+                        if nbytes <= cache_budget:
+                            scaled_cache[key] = local
+                            cache_budget -= nbytes
+                    ct = dutils.infer_column_types(local)
+                    # Sample positionally from ONE matrix view — per-section
+                    # label selection (take_nd) copies the full column set per
+                    # section at recording scale.
+                    lv = local.to_numpy()
+                    pos = {c: i for i, c in enumerate(local.columns)}
+                    n_take = min(samples_max, len(local))
+                    if n_take > 0:
+                        idx = rng.choice(len(local), size=n_take, replace=False)
+                        if speed_standardize and ct["speeds"]:
+                            _collect_section(lv, pos, samples["speed"], ct["speeds"], idx, speed_standardize)
+                        if dist_standardize and ct["dists"]:
+                            if dist_standardize == "per_column":
+                                _collect_section(lv, pos, samples["dist"], ct["dists"], idx, "per_column")
+                            else:
+                                if ct["inner_dists"]:
+                                    _collect_section(lv, pos, samples["inner"], ct["inner_dists"], idx, "groupwise")
+                                if ct["intra_dists"]:
+                                    _collect_section(lv, pos, samples["intra"], ct["intra_dists"], idx, "groupwise")
+                        coord_cols = [
+                            c for c in local.columns
+                            if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
+                        ]
+                        if coord_standardize and coord_cols:
+                            _collect_section(lv, pos, samples["coord"], coord_cols, idx, coord_standardize)
+
+            # Pass 2: fit the global scalers.
+            global_scaler = _fit_global_scaler(
+                scale, pretrained_scaler, samples,
+                dist_standardize, speed_standardize, coord_standardize,
+            )
+
+            # Pass 3: apply scaling per table (reusing pass-1 local scaling
+            # when cached — the two passes are identical by construction).
+            table_temp = self.new_dict_same_header({})
+            for key in valid_keys:
+                cached = scaled_cache.pop(key, None)
+
+                def _positional_ok(frame):
+                    return frame.columns.is_unique and all(
+                        dt == np.float64 for dt in frame.dtypes
+                    )
+
+                fast = None
+                if cached is not None and _positional_ok(cached):
+                    fast = cached
+                elif cached is None and not filter_low_variance:
+                    # Pretrained-scaler / unscaled runs never populate the
+                    # cache; scale locally here and take the same positional
+                    # finish (low-variance filtering changes the column set,
+                    # so it stays on the label path below).
+                    tab = _take_rows(get_dt(self, key), bin_info[key])
+                    if _positional_ok(tab):
+                        if scale:
+                            tab = dutils.scale_table(
+                                tab,
+                                scale=scale,
+                                animal_ids=animal_ids,
+                                standardize=True,
+                                dist_standardize=dist_standardize,
+                                speed_standardize=speed_standardize,
+                                coord_standardize=None,
+                                log_distances=log_distances,
+                            )
+                        fast = tab
+                if fast is not None:
+                    # Fully positional finish on ONE matrix: global-scaler
+                    # sections, outlier clip + reinterpolation, angle
+                    # interpolation, and the final sanitize all write in place;
+                    # column order never changes so no reindex/concat copies.
+                    tab = _finish_scaled_positional(
+                        fast, global_scaler if scale else None, scale,
+                        interpolate_normalized,
+                        speed_standardize, dist_standardize, coord_standardize,
+                    )
+                    path = (
+                        os.path.join(self._table_path, key, f"{key}_{file_name}")
+                        if self._table_path
+                        else None
+                    )
+                    table_temp[key] = save_dt(tab, path, save_as_paths)
+                    continue
+                if cached is not None:
+                    orig_cols = cached.columns
+                    ct = dutils.infer_column_types(cached)
+                    angle_cols = ct["angles"]
+                    # Angle columns pass through scale_table untouched, so the
+                    # cached frame still holds their original values.
+                    angles_df = cached[angle_cols].copy() if angle_cols else None
+                    tab = cached.drop(columns=angle_cols, errors="ignore")
+                else:
+                    tab = _take_rows(get_dt(self, key), bin_info[key])
+                    orig_cols = tab.columns
+                    ct = dutils.infer_column_types(tab)
+
+                    angle_cols = ct["angles"]
+                    angles_df = tab[angle_cols].copy() if angle_cols else None
+                    tab = tab.drop(columns=angle_cols, errors="ignore")
+                    tab = _filter_low_variance(tab, filter_low_variance)
+
                     if scale:
                         tab = dutils.scale_table(
                             tab,
@@ -369,91 +434,49 @@ class TableDict(dict):
                             coord_standardize=None,
                             log_distances=log_distances,
                         )
-                    fast = tab
-            if fast is not None:
-                # Fully positional finish on ONE matrix: global-scaler
-                # sections, outlier clip + reinterpolation, angle
-                # interpolation, and the final sanitize all write in place;
-                # column order never changes so no reindex/concat copies.
-                tab = _finish_scaled_positional(
-                    fast, global_scaler if scale else None, scale,
-                    interpolate_normalized,
-                    speed_standardize, dist_standardize, coord_standardize,
-                )
+
+                if scale:
+                    tab = _apply_global_scaler(
+                        tab, global_scaler,
+                        speed_standardize, dist_standardize, coord_standardize,
+                    )
+                    # Clip standardized outliers and re-interpolate.
+                    if scale == "standard" and interpolate_normalized:
+                        clip_cols = list(dict.fromkeys(
+                            [c for c in ct["scalars"] if c in tab.columns]
+                            + [
+                                c for c in tab.columns
+                                if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
+                            ]
+                        ))
+                        if clip_cols:
+                            arr = np.array(tab[clip_cols].to_numpy(float))
+                            arr[np.abs(arr) > interpolate_normalized] = np.nan
+                            tab[clip_cols] = pd.DataFrame(
+                                _interp_nan_block(arr),
+                                index=tab.index, columns=clip_cols,
+                            )
+
+                if angles_df is not None:
+                    angles_df = angles_df.interpolate(limit_direction="both")
+                    tab = pd.concat([tab, angles_df], axis=1)
+                tab = tab.reindex(columns=orig_cols)
+                tab = _sanitize_numeric(tab)
+
                 path = (
                     os.path.join(self._table_path, key, f"{key}_{file_name}")
                     if self._table_path
                     else None
                 )
                 table_temp[key] = save_dt(tab, path, save_as_paths)
-                continue
-            if cached is not None:
-                orig_cols = cached.columns
-                ct = dutils.infer_column_types(cached)
-                angle_cols = ct["angles"]
-                # Angle columns pass through scale_table untouched, so the
-                # cached frame still holds their original values.
-                angles_df = cached[angle_cols].copy() if angle_cols else None
-                tab = cached.drop(columns=angle_cols, errors="ignore")
-            else:
-                tab = _take_rows(get_dt(self, key), bin_info[key])
-                orig_cols = tab.columns
-                ct = dutils.infer_column_types(tab)
-
-                angle_cols = ct["angles"]
-                angles_df = tab[angle_cols].copy() if angle_cols else None
-                tab = tab.drop(columns=angle_cols, errors="ignore")
-                tab = _filter_low_variance(tab, filter_low_variance)
-
-                if scale:
-                    tab = dutils.scale_table(
-                        tab,
-                        scale=scale,
-                        animal_ids=animal_ids,
-                        standardize=True,
-                        dist_standardize=dist_standardize,
-                        speed_standardize=speed_standardize,
-                        coord_standardize=None,
-                        log_distances=log_distances,
-                    )
-
-            if scale:
-                tab = _apply_global_scaler(
-                    tab, global_scaler,
-                    speed_standardize, dist_standardize, coord_standardize,
-                )
-                # Clip standardized outliers and re-interpolate.
-                if scale == "standard" and interpolate_normalized:
-                    clip_cols = list(dict.fromkeys(
-                        [c for c in ct["scalars"] if c in tab.columns]
-                        + [
-                            c for c in tab.columns
-                            if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
-                        ]
-                    ))
-                    if clip_cols:
-                        arr = np.array(tab[clip_cols].to_numpy(float))
-                        arr[np.abs(arr) > interpolate_normalized] = np.nan
-                        tab[clip_cols] = pd.DataFrame(
-                            _interp_nan_block(arr),
-                            index=tab.index, columns=clip_cols,
-                        )
-
-            if angles_df is not None:
-                angles_df = angles_df.interpolate(limit_direction="both")
-                tab = pd.concat([tab, angles_df], axis=1)
-            tab = tab.reindex(columns=orig_cols)
-            tab = _sanitize_numeric(tab)
-
-            path = (
-                os.path.join(self._table_path, key, f"{key}_{file_name}")
-                if self._table_path
-                else None
-            )
-            table_temp[key] = save_dt(tab, path, save_as_paths)
 
         # Pass 4: split and window.
         x_train, x_test, test_index = self.get_training_set(table_temp, test_videos)
+        dev_frames = getattr(table_temp, "_device_frames", None)
+        if dev_frames:
+            x_train._device_frames = {
+                k: dev_frames[k] for k in x_train.keys() if k in dev_frames
+            }
         if not return_windows:
             # Inference path: keep scaled per-frame tables; the device
             # pipeline gathers windows on-chip (train/inference.py).
@@ -486,10 +509,237 @@ class TableDict(dict):
         }
         return (x_train, x_test), metainfo, global_scaler
 
+    def _preprocess_scale_device(
+        self, keys_list, bin_info, animal_ids, pretrained_scaler,
+        samples_max, interpolate_normalized, log_distances,
+        dist_standardize, speed_standardize, coord_standardize,
+        file_name, save_as_paths,
+    ):
+        """Passes 1-3 of :meth:`preprocess` on the accelerator: one
+        ``scale_stage12`` program per table (size normalization + local
+        standardization + global-fit statistics), a tiny host-side global
+        fit from per-column sufficient statistics, and one
+        ``finish_scaled`` program per table (global transform, outlier
+        clip, re-interpolation, sanitize). Returns ``(table_temp,
+        global_scaler)`` or None when any table falls outside the fast
+        formulation (the caller then runs the host passes — identical
+        semantics, float64)."""
+        import jax.numpy as jnp
+
+        from deepof_tpu.ops.scaling import col_ssd, finish_scaled, scale_stage12
+
+        meta = None
+        pend = {}
+        for key in keys_list:
+            tab = _take_rows(get_dt(self, key), bin_info[key])
+            if len(tab) == 0 or len(tab) > samples_max:
+                return None
+            if not (
+                tab.columns.is_unique
+                and all(np.issubdtype(dt, np.floating) for dt in tab.dtypes)
+            ):
+                return None
+            if meta is None:
+                meta = _build_scale_meta(
+                    tab, log_distances,
+                    dist_standardize, speed_standardize, coord_standardize,
+                    float(interpolate_normalized or 0.0),
+                )
+            elif not tab.columns.equals(meta["columns"]):
+                return None
+            vals = tab.to_numpy(np.float32)
+            if np.isnan(vals).all():
+                continue  # dropped, like the host pass-1 all-NaN skip
+            factors, default = dutils.compute_size_factors(
+                tab, list(animal_ids), ("Nose", "Tail_base")
+            )
+            divisor = np.ones(vals.shape[1], np.float32)
+            for cs, div in dutils._size_divisor_plan(
+                meta["ct"], factors, default, "mean"
+            ):
+                divisor[[meta["pos"][c] for c in cs]] = div
+            xs, cnt, sm = scale_stage12(
+                jnp.asarray(vals), jnp.asarray(divisor),
+                meta["log_mask"], meta["local_mask"],
+            )
+            pend[key] = (xs, cnt, sm, tab.index)
+        if not pend:
+            return None
+
+        f = len(meta["columns"])
+        if pretrained_scaler is not None:
+            global_scaler = pretrained_scaler
+            gvec = _global_scaler_vectors(global_scaler, meta, f)
+            if gvec is None:
+                return None
+        else:
+            # Streamed standard fit, matching _fast_fit_standard: cohort
+            # mean from (count, sum), then one ssd pass around it.
+            cnt_tot = sum(cnt for _, cnt, _, _ in pend.values())
+            sum_tot = sum(sm for _, _, sm, _ in pend.values())
+            mean_dev = sum_tot / jnp.maximum(cnt_tot, 1)
+            ssd_tot = sum(col_ssd(xs, mean_dev) for xs, _, _, _ in pend.values())
+            cnt_h = np.asarray(cnt_tot, np.float64)
+            mean_h = np.array(mean_dev, np.float64)
+            var_h = np.asarray(ssd_tot, np.float64) / np.maximum(cnt_h, 1.0)
+            mean_h[cnt_h == 0] = np.nan
+            var_h[cnt_h == 0] = np.nan
+            global_scaler = {
+                "kind": "standard", "speed": None, "dist": None,
+                "dist_inner": None, "dist_intra": None, "coord": None,
+            }
+            for name, mode, cols in (
+                ("speed", speed_standardize, meta["ct"]["speeds"]),
+                ("dist", dist_standardize, meta["ct"]["dists"]),
+                ("coord", coord_standardize, meta["coord_cols"]),
+            ):
+                if mode == "per_column" and cols:
+                    ii = [meta["pos"][c] for c in cols]
+                    global_scaler[name] = _StandardScalerLite(
+                        mean_h[ii], var_h[ii]
+                    )
+            if all(v is None for k, v in global_scaler.items() if k != "kind"):
+                global_scaler = None
+            gvec = _global_scaler_vectors(global_scaler, meta, f)
+
+        gmean, gscale, gmask = gvec
+        gmean_d, gscale_d, gmask_d = (
+            jnp.asarray(gmean), jnp.asarray(gscale), jnp.asarray(gmask)
+        )
+        finished = {}
+        for key, (xs, _, _, index) in pend.items():
+            out = finish_scaled(
+                xs, gmean_d, gscale_d, gmask_d,
+                meta["clip_mask"], meta["interp_thresh"],
+            )
+            finished[key] = (out, index)
+
+        from deepof_tpu.data import _fetch_all
+
+        table_temp = self.new_dict_same_header({})
+        dev_frames = {}
+        arrs = _fetch_all([out for out, _ in finished.values()])
+        for host, (key, (out, index)) in zip(arrs, finished.items()):
+            df = pd.DataFrame(
+                np.asarray(host), index=index, columns=meta["columns"],
+                copy=False,
+            )
+            path = (
+                os.path.join(self._table_path, key, f"{key}_{file_name}")
+                if self._table_path
+                else None
+            )
+            table_temp[key] = save_dt(df, path, save_as_paths)
+            dev_frames[key] = out
+        # Scaled matrices stay resident on device: the windowed-inference
+        # path consumes them directly, skipping a host round trip per key.
+        table_temp._device_frames = dev_frames
+        return table_temp, global_scaler
+
 
 # --------------------------------------------------------------------------- #
 # Preprocess helpers
 # --------------------------------------------------------------------------- #
+
+
+def _device_scale_applicable(
+    scale, filter_low_variance,
+    dist_standardize, speed_standardize, coord_standardize,
+) -> bool:
+    """Gate for the device scaling fast path: standard scaler, per-column
+    (or disabled) standardize modes, no low-variance filtering, and an
+    accelerator backend (DEEPOF_TPU_DEVICE_SCALE=1 forces it on CPU for
+    tests; =0 disables it everywhere). The float32 device math diverges
+    from the float64 host path at roundoff scale only."""
+    mode = os.environ.get("DEEPOF_TPU_DEVICE_SCALE", "auto")
+    if mode == "0":
+        return False
+    if scale != "standard" or filter_low_variance:
+        return False
+    if any(
+        m not in (None, "per_column")
+        for m in (dist_standardize, speed_standardize, coord_standardize)
+    ):
+        return False
+    if mode == "1":
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _build_scale_meta(
+    tab, log_distances,
+    dist_standardize, speed_standardize, coord_standardize, interp_thresh,
+):
+    """Column bookkeeping for the device scaling path: per-column masks
+    (distance log, local standardize, outlier clip) and the section
+    layouts the global scaler dict is keyed by."""
+    import jax.numpy as jnp
+
+    cols = tab.columns
+    ct = dutils.infer_column_types(tab)
+    pos = {c: i for i, c in enumerate(cols)}
+    f = len(cols)
+    log_mask = np.zeros(f, bool)
+    if log_distances:
+        log_mask[[pos[c] for c in ct["dists"]]] = True
+    local_mask = np.zeros(f, bool)
+    if speed_standardize and ct["speeds"]:
+        local_mask[[pos[c] for c in ct["speeds"]]] = True
+    if dist_standardize and ct["dists"]:
+        local_mask[[pos[c] for c in ct["dists"]]] = True
+    coord_cols = [
+        c for c in cols
+        if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y")
+    ]
+    clip_cols = list(dict.fromkeys(ct["scalars"] + coord_cols))
+    clip_mask = np.zeros(f, bool)
+    if clip_cols:
+        clip_mask[[pos[c] for c in clip_cols]] = True
+    return {
+        "columns": cols, "ct": ct, "pos": pos, "coord_cols": coord_cols,
+        "log_mask": jnp.asarray(log_mask),
+        "local_mask": jnp.asarray(local_mask),
+        "clip_mask": jnp.asarray(clip_mask),
+        "interp_thresh": float(interp_thresh),
+    }
+
+
+def _global_scaler_vectors(gs, meta, f):
+    """Flatten the section global-scaler dict into full-length per-column
+    (mean, scale, mask) vectors for ``finish_scaled``. Returns None when
+    the dict holds anything the per-column device formulation can't
+    express (groupwise sections, non-standard kinds, size mismatches)."""
+    gmean = np.zeros(f, np.float32)
+    gscale = np.ones(f, np.float32)
+    gmask = np.zeros(f, bool)
+    if gs is None:
+        return gmean, gscale, gmask
+    if gs.get("kind", "standard") != "standard":
+        return None
+    if gs.get("dist_inner") is not None or gs.get("dist_intra") is not None:
+        return None
+    for name, cols in (
+        ("speed", meta["ct"]["speeds"]),
+        ("dist", meta["ct"]["dists"]),
+        ("coord", meta["coord_cols"]),
+    ):
+        sc = gs.get(name)
+        if sc is None or not cols:
+            continue
+        mean = getattr(sc, "mean_", None)
+        scale = getattr(sc, "scale_", None)
+        if mean is None or scale is None or np.size(mean) != len(cols):
+            return None
+        ii = [meta["pos"][c] for c in cols]
+        gmean[ii] = np.asarray(mean, np.float64)
+        gscale[ii] = np.asarray(scale, np.float64)
+        gmask[ii] = True
+    return gmean, gscale, gmask
 
 
 def _hconcat_single_block(tabs: List[pd.DataFrame]):

@@ -191,13 +191,18 @@ def get_graph_dataset(
             os.environ.get("DEEPOF_TPU_SCALE_CACHE_BYTES", 2_000_000_000)
         )
         frames_cache = {}
+        device_cache = {}
         for part in to_preprocess:
+            part_dev = getattr(part, "_device_frames", None) or {}
             for key in part.keys():
                 frame = get_dt(part, key)
                 budget -= int(frame.shape[0]) * int(frame.shape[1]) * 8
                 frames_cache[key] = frame
+                if key in part_dev:
+                    device_cache[key] = part_dev[key]
         if budget >= 0:
             tab_dict._scaled_frames = frames_cache
+            tab_dict._scaled_device = device_cache
             tab_dict._scaled_scaler = global_scaler
             tab_dict._scaled_sig = (
                 scale, dist_standardize, speed_standardize,

@@ -1,0 +1,128 @@
+"""Device-side two-stage feature scaling — the TPU fast path of
+``TableDict.preprocess``.
+
+Semantics: the two-stage table scaler (deepof/utils.py:2425-2566 —
+body-size division, log1p distance compression, per-column local
+standardization) plus the global-scaler application, standardized-outlier
+clip + re-interpolation, and final sanitize of the preprocess pipeline
+(deepof/data.py:3773-3916), re-expressed as three jitted programs over the
+whole (T, F) feature matrix. The host keeps only the column bookkeeping;
+every O(T*F) op runs on the accelerator, and the per-section pandas
+selection/assignment copies of the host path disappear entirely.
+
+Host/device split:
+  * ``scale_stage12``  — stage 1 + stage 2 local scaling, and the
+    per-column (count, sum) sufficient statistics for the global fit.
+  * ``col_ssd``        — per-column sum of squared deviations around the
+    cohort mean (second pass of the global standard-scaler fit).
+  * ``finish_scaled``  — global transform, |x| > thresh outlier clip,
+    NaN re-interpolation, and nan_to_num.
+All three are shape-polymorphic only in T (one compile per distinct
+recording length).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def interp_nan_columns(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-column linear interpolation of NaN runs with nearest-value fill
+    at both edges — pandas ``interpolate(limit_direction="both")`` on a
+    positional index (the host twin is ``_interp_nan_block``,
+    core/table_dict.py). All-NaN columns stay NaN.
+
+    Args:
+        x: (T, F) matrix.
+    """
+    t = x.shape[0]
+    idx = jnp.arange(t, dtype=jnp.int32)[:, None]
+    valid = ~jnp.isnan(x)
+    # Index of the nearest valid row at-or-before / at-or-after each row.
+    prev_i = jax.lax.cummax(jnp.where(valid, idx, -1), axis=0)
+    next_i = jax.lax.cummin(jnp.where(valid, idx, t), axis=0, reverse=True)
+    prev_v = jnp.take_along_axis(x, jnp.clip(prev_i, 0, t - 1), axis=0)
+    next_v = jnp.take_along_axis(x, jnp.clip(next_i, 0, t - 1), axis=0)
+    has_prev = prev_i >= 0
+    has_next = next_i < t
+    span = jnp.maximum(next_i - prev_i, 1).astype(x.dtype)
+    w = (idx - prev_i).astype(x.dtype) / span
+    interior = prev_v + w * (next_v - prev_v)
+    filled = jnp.where(
+        has_prev & has_next,
+        interior,
+        jnp.where(has_prev, prev_v, jnp.where(has_next, next_v, x)),
+    )
+    return jnp.where(valid, x, filled)
+
+
+@jax.jit
+def scale_stage12(
+    x: jnp.ndarray,
+    divisor: jnp.ndarray,
+    log_mask: jnp.ndarray,
+    local_mask: jnp.ndarray,
+):
+    """Stage 1 (size normalization + distance compression) and stage 2
+    (per-column local standardization) of the two-stage scaler, plus the
+    per-column sufficient statistics for the global fit.
+
+    Args:
+        x: (T, F) merged feature matrix (NaNs allowed).
+        divisor: (F,) body-size divisors (1.0 where untouched).
+        log_mask: (F,) bool — distance columns (log1p compression).
+        local_mask: (F,) bool — columns standardized locally (speeds +
+            distances, per the standardize modes).
+
+    Returns:
+        (scaled (T, F), valid-count (F,), sum (F,)) — count/sum taken
+        AFTER local scaling, which is what the global fit consumes.
+    """
+    x = x / divisor
+    x = jnp.where(log_mask, jnp.log1p(jnp.clip(x, 0.0, None)), x)
+    isn = jnp.isnan(x)
+    cnt = jnp.sum(~isn, axis=0).astype(x.dtype)
+    safe = jnp.maximum(cnt, 1.0)
+    mean = jnp.sum(jnp.where(isn, 0.0, x), axis=0) / safe
+    d = jnp.where(isn, 0.0, x - mean)
+    var = jnp.sum(d * d, axis=0) / safe
+    scale = jnp.sqrt(var)
+    # sklearn's _handle_zeros_in_scale: constant features divide by 1.
+    scale = jnp.where((scale == 0.0) | ~jnp.isfinite(scale), 1.0, scale)
+    x = jnp.where(local_mask, (x - mean) / scale, x)
+    isn2 = jnp.isnan(x)
+    cnt2 = jnp.sum(~isn2, axis=0)
+    sum2 = jnp.sum(jnp.where(isn2, 0.0, x), axis=0)
+    return x, cnt2, sum2
+
+
+@jax.jit
+def col_ssd(x: jnp.ndarray, mean: jnp.ndarray) -> jnp.ndarray:
+    """Per-column NaN-ignoring sum of squared deviations around ``mean``
+    (second pass of the streamed standard-scaler fit — host twin:
+    ``_fast_fit_standard``)."""
+    d = jnp.where(jnp.isnan(x), 0.0, x - mean)
+    return jnp.sum(d * d, axis=0)
+
+
+@partial(jax.jit, static_argnames=("interp_thresh",))
+def finish_scaled(
+    x: jnp.ndarray,
+    gmean: jnp.ndarray,
+    gscale: jnp.ndarray,
+    global_mask: jnp.ndarray,
+    clip_mask: jnp.ndarray,
+    interp_thresh: float,
+):
+    """Pass-3 finish: apply the global per-column scaler, NaN out
+    standardized outliers beyond ``interp_thresh``, linearly re-interpolate
+    every NaN run, and zero whatever remains (all-NaN columns)."""
+    x = jnp.where(global_mask, (x - gmean) / gscale, x)
+    if interp_thresh:
+        x = jnp.where(clip_mask & (jnp.abs(x) > interp_thresh), jnp.nan, x)
+    x = interp_nan_columns(x)
+    return jnp.nan_to_num(x, nan=0.0)

@@ -261,9 +261,17 @@ def scanned_windowed_forward(
             use_pallas, interpret, mesh=mesh,
         )
 
-    feats_padded = np.zeros((pad_t, f), np.float32)
-    feats_padded[:t] = feats
-    embs, scs = cache[key](jnp.asarray(feats_padded))
+    if isinstance(feats, jax.Array):
+        # Device-resident features (device scaling fast path): pad on
+        # device instead of round-tripping through a host buffer.
+        feats_padded = jnp.pad(
+            feats.astype(jnp.float32), ((0, pad_t - t), (0, 0))
+        )
+    else:
+        feats_host = np.zeros((pad_t, f), np.float32)
+        feats_host[:t] = feats
+        feats_padded = jnp.asarray(feats_host)
+    embs, scs = cache[key](feats_padded)
     embs = embs[:n_windows]
     scs = scs[:n_windows] if scs.shape[-1] else None
     if not _fetch:
@@ -343,11 +351,13 @@ def embedding_per_video(
         samples_max,
     )
     scaled_tables = None
+    device_tables = {}
     if (
         getattr(to_preprocess, "_scaled_sig", None) == sig
         and to_preprocess._scaled_scaler is global_scaler
     ):
         scaled_tables = to_preprocess._scaled_frames
+        device_tables = getattr(to_preprocess, "_scaled_device", None) or {}
     if scaled_tables is None:
         processed, _, _ = to_preprocess.preprocess(
             coordinates=coordinates,
@@ -364,6 +374,7 @@ def embedding_per_video(
             test_videos=0,
         )
         scaled_tables = processed[0]
+        device_tables = getattr(scaled_tables, "_device_frames", None) or {}
 
     # Dispatch every experiment's scanned program first (device work and
     # host->device puts pipeline), then fetch all results concurrently —
@@ -375,7 +386,13 @@ def embedding_per_video(
         if key not in scaled_tables.keys():
             continue  # all-NaN tables are dropped by preprocess
         tab_scaled = get_dt(scaled_tables, key)
-        feats = np.asarray(tab_scaled.to_numpy(), np.float32)
+        if key in device_tables:
+            # Scaled matrix still resident on device (device scaling fast
+            # path) — feed it straight into the scanned program, no host
+            # round trip.
+            feats = device_tables[key].astype(jnp.float32)
+        else:
+            feats = np.asarray(tab_scaled.to_numpy(), np.float32)
         all_cols = list(tab_scaled.columns)
 
         node_cols = meta_info.get("node_columns")

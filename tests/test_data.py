@@ -373,3 +373,43 @@ def test_preprocess_positional_fast_paths_exact(single_coords, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(inf_label[key]), np.asarray(inf_fast[key])
         )
+
+
+def test_preprocess_device_scale_matches_host(single_coords, monkeypatch):
+    """The device scaling fast path (forced on CPU via
+    DEEPOF_TPU_DEVICE_SCALE=1) matches the float64 host passes to f32
+    roundoff — scaled tables, fitted global scaler, and the
+    pretrained-scaler inference route."""
+    coords = single_coords
+    _, _, _, tab_dict, _ = coords.get_graph_dataset(window_size=10)
+    kwargs = dict(
+        coordinates=coords, window_size=10, scale="standard",
+        return_windows=False,
+        dist_standardize="per_column", speed_standardize="per_column",
+        coord_standardize="per_column",
+    )
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "0")
+    (host, _), _, sc_host = tab_dict.preprocess(**kwargs)
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "1")
+    (dev, _), _, sc_dev = tab_dict.preprocess(**kwargs)
+    assert getattr(dev, "_device_frames", None)
+    for key in host.keys():
+        np.testing.assert_allclose(
+            np.asarray(dev[key]), np.asarray(host[key]), atol=2e-4, rtol=2e-3
+        )
+    np.testing.assert_allclose(
+        sc_dev["dist"].mean_, sc_host["dist"].mean_, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        sc_dev["dist"].scale_, sc_host["dist"].scale_, rtol=1e-4
+    )
+
+    # Pretrained-scaler (inference) route through the device kernels.
+    (inf_dev, _), _, _ = tab_dict.preprocess(**kwargs, pretrained_scaler=sc_host)
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "0")
+    (inf_host, _), _, _ = tab_dict.preprocess(**kwargs, pretrained_scaler=sc_host)
+    for key in inf_host.keys():
+        np.testing.assert_allclose(
+            np.asarray(inf_dev[key]), np.asarray(inf_host[key]),
+            atol=2e-4, rtol=2e-3,
+        )

@@ -166,3 +166,52 @@ def test_angles_flow_through_training_and_inference(coords):
     emb = np.asarray(embeddings["test"])
     assert emb.shape == (91, 4)
     assert np.isfinite(emb).all()
+
+
+def test_device_scale_end_to_end(coords, monkeypatch):
+    """With the device scaling fast path forced on, get_graph_dataset
+    stashes device-resident scaled frames and embedding_per_video consumes
+    them without a host round trip, matching the host-path embeddings."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepof_tpu.models import build_model, init_variables
+    from deepof_tpu.train.harness import ModelBundle
+
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "1")
+    dataset, meta, adjacency, tab_dict, scaler = coords.get_graph_dataset(
+        window_size=10
+    )
+    assert getattr(tab_dict, "_scaled_device", None)
+    n = len(meta["node_columns"]) // 3
+    e = len(meta["edge_columns"])
+    model = build_model(
+        "VQVAE", (10, n, 3), (10, e, 1), adjacency, latent_dim=4,
+        n_components=4, encoder_type="recurrent", use_gnn=True,
+    )
+    variables = init_variables(
+        model, {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 10, n, 3), jnp.float32),
+        jnp.zeros((1, 10, e, 1), jnp.float32), train=False,
+    )
+    bundle = ModelBundle(
+        model=model, variables=variables,
+        rebuild_spec={
+            "model": "VQVAE", "input_shape": [10, n, 3],
+            "edge_feature_shape": [10, e, 1], "n_components": 4,
+            "use_angles": False,
+        },
+    )
+    emb_dev, sc_dev = embedding_per_video(
+        coords, tab_dict, bundle, meta, global_scaler=scaler
+    )
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "0")
+    _, _, _, tab_host, scaler_host = coords.get_graph_dataset(window_size=10)
+    emb_host, _ = embedding_per_video(
+        coords, tab_host, bundle, meta, global_scaler=scaler_host
+    )
+    for k in emb_host.keys():
+        np.testing.assert_allclose(
+            np.asarray(emb_dev[k]), np.asarray(emb_host[k]),
+            atol=5e-4, rtol=5e-3,
+        )
