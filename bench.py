@@ -41,6 +41,20 @@ def _synthesize(t: int, nodes, frame_rate: float, seed: int = 0):
 
 _T0 = time.time()
 
+# Bench sections that die must be LOUD (VERDICT r3 weak #1): every caught
+# exception is recorded here and emitted as an "errors" field in the final
+# JSON line, so a dead section can never silently vanish from the artifact.
+_ERRORS: list = []
+
+
+def _record_error(section: str, exc: BaseException) -> None:
+    import traceback
+
+    traceback.print_exc()
+    msg = f"{section}: {type(exc).__name__}: {exc}"
+    print(msg, file=sys.stderr, flush=True)
+    _ERRORS.append(msg)
+
 
 def _mark(phase: str) -> None:
     """Stderr progress heartbeat so long runs show where time goes."""
@@ -244,23 +258,21 @@ def main():
         flops = float(cost.get("flops", 0.0)) * n_batches
         mfu_embed = flops / t_emb / _V5E_PEAK_BF16_FLOPS
     except Exception as e:  # pragma: no cover
-        print(f"embed MFU estimation failed: {e}", file=sys.stderr)
+        _record_error("embed_mfu", e)
 
     train_bench = None
     try:
         _mark("train bench: start")
         train_bench = _bench_train_step()
     except Exception as e:  # pragma: no cover
-        print(f"train-step bench failed: {e}", file=sys.stderr)
+        _record_error("train_step_bench", e)
 
     public_fps = None
     try:
         _mark("public path bench: start")
         public_fps = _bench_public_path(frame_rate)
     except Exception as e:  # pragma: no cover - keep the primary metric alive
-        import traceback
-        traceback.print_exc()
-        print(f"public-path bench failed: {e}", file=sys.stderr)
+        _record_error("public_path_bench", e)
 
     result = {
         "metric": f"frames/sec/chip preprocess->embed ({duration_s}s 25fps 2-animal synthetic)",
@@ -284,6 +296,8 @@ def main():
         # bf16 compute policy vs float32 on the jitted VQVAE train step
         # (the AMP equivalent, SURVEY §2.3), with MFU and a batch sweep.
         result.update(train_bench)
+    if _ERRORS:
+        result["errors"] = list(_ERRORS)
     print(json.dumps(result))
 
 
@@ -299,7 +313,7 @@ def _bench_train_step() -> dict:
     import jax.numpy as jnp
 
     from deepof_tpu.core.graph import connect_mouse, build_body_graph
-    from deepof_tpu.models import build_model
+    from deepof_tpu.models import build_model, init_variables
     from deepof_tpu.train.harness import (
         _make_optimizer,
         _split_variables,
@@ -391,7 +405,7 @@ def _bench_train_step() -> dict:
                         flops_per_step * steps_per_s / _V5E_PEAK_BF16_FLOPS, 5
                     )
                 except Exception as exc:  # pragma: no cover
-                    print(f"train MFU ({name}) failed: {exc}", file=sys.stderr)
+                    _record_error(f"train_mfu_{name}", exc)
 
     out["bf16_train_speedup"] = round(
         out["train_step_bf16_per_s"] / out["train_step_f32_per_s"], 3

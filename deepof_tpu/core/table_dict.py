@@ -530,6 +530,14 @@ class TableDict(dict):
 
         meta = None
         pend = {}
+        # HBM residency bound (ADVICE r3): the two-pass global fit keeps
+        # every recording's input+scaled f32 matrix live simultaneously;
+        # past this budget we fall back to the host path instead of
+        # OOMing the accelerator.
+        budget = int(os.environ.get(
+            "DEEPOF_TPU_DEVICE_SCALE_BUDGET_BYTES", 8_000_000_000
+        ))
+        live_bytes = 0
         for key in keys_list:
             tab = _take_rows(get_dt(self, key), bin_info[key])
             if len(tab) == 0 or len(tab) > samples_max:
@@ -550,6 +558,9 @@ class TableDict(dict):
             vals = tab.to_numpy(np.float32)
             if np.isnan(vals).all():
                 continue  # dropped, like the host pass-1 all-NaN skip
+            live_bytes += 2 * vals.nbytes  # input + scaled output resident
+            if live_bytes > budget:
+                return None
             factors, default = dutils.compute_size_factors(
                 tab, list(animal_ids), ("Nose", "Tail_base")
             )
@@ -566,22 +577,41 @@ class TableDict(dict):
         if not pend:
             return None
 
+        from deepof_tpu.data import _fetch_all
+
         f = len(meta["columns"])
+        modes = (speed_standardize, dist_standardize, coord_standardize)
         if pretrained_scaler is not None:
             global_scaler = pretrained_scaler
-            gvec = _global_scaler_vectors(global_scaler, meta, f)
+            gvec = _global_scaler_vectors(global_scaler, meta, f, modes)
             if gvec is None:
                 return None
         else:
             # Streamed standard fit, matching _fast_fit_standard: cohort
-            # mean from (count, sum), then one ssd pass around it.
-            cnt_tot = sum(cnt for _, cnt, _, _ in pend.values())
-            sum_tot = sum(sm for _, _, sm, _ in pend.values())
-            mean_dev = sum_tot / jnp.maximum(cnt_tot, 1)
-            ssd_tot = sum(col_ssd(xs, mean_dev) for xs, _, _, _ in pend.values())
-            cnt_h = np.asarray(cnt_tot, np.float64)
-            mean_h = np.array(mean_dev, np.float64)
-            var_h = np.asarray(ssd_tot, np.float64) / np.maximum(cnt_h, 1.0)
+            # mean from (count, sum), then one ssd pass around it. The
+            # device programs return (nb, F) per-block partials; combining
+            # them HERE in float64 keeps the persisted scaler's
+            # accumulation error bounded at recording scale (ADVICE r3).
+            nk = len(pend)
+            stats = _fetch_all(
+                [p[1] for p in pend.values()] + [p[2] for p in pend.values()]
+            )
+            cnt_h = np.zeros(f, np.float64)
+            sum_h = np.zeros(f, np.float64)
+            for cb in stats[:nk]:
+                cnt_h += np.asarray(cb, np.float64).sum(axis=0)
+            for sb in stats[nk:]:
+                sum_h += np.asarray(sb, np.float64).sum(axis=0)
+            mean_h = sum_h / np.maximum(cnt_h, 1.0)
+            mean_dev = jnp.asarray(mean_h, jnp.float32)
+            ssd_blocks = _fetch_all(
+                [col_ssd(xs, mean_dev) for xs, _, _, _ in pend.values()]
+            )
+            ssd_h = np.zeros(f, np.float64)
+            for b in ssd_blocks:
+                ssd_h += np.asarray(b, np.float64).sum(axis=0)
+            var_h = ssd_h / np.maximum(cnt_h, 1.0)
+            mean_h = np.array(mean_h)
             mean_h[cnt_h == 0] = np.nan
             var_h[cnt_h == 0] = np.nan
             global_scaler = {
@@ -600,29 +630,41 @@ class TableDict(dict):
                     )
             if all(v is None for k, v in global_scaler.items() if k != "kind"):
                 global_scaler = None
-            gvec = _global_scaler_vectors(global_scaler, meta, f)
+            gvec = _global_scaler_vectors(global_scaler, meta, f, modes)
 
         gmean, gscale, gmask = gvec
         gmean_d, gscale_d, gmask_d = (
             jnp.asarray(gmean), jnp.asarray(gscale), jnp.asarray(gmask)
         )
         finished = {}
-        for key, (xs, _, _, index) in pend.items():
-            out = finish_scaled(
-                xs, gmean_d, gscale_d, gmask_d,
-                meta["clip_mask"], meta["interp_thresh"],
+        for key in list(pend):
+            xs, _, _, index = pend.pop(key)  # free each input as it's consumed
+            finished[key] = (
+                finish_scaled(
+                    xs, gmean_d, gscale_d, gmask_d,
+                    meta["clip_mask"], meta["interp_thresh"],
+                ),
+                index,
             )
-            finished[key] = (out, index)
-
-        from deepof_tpu.data import _fetch_all
+            del xs
 
         table_temp = self.new_dict_same_header({})
         dev_frames = {}
+        # Device-residency budget for the scaled frames the windowed
+        # inference path consumes directly (skipping a host round trip per
+        # key); past the budget a frame is NOT pinned and inference
+        # re-uploads it from the host table (ADVICE r3: unbounded
+        # _device_frames retention could OOM HBM at recording scale).
+        frames_budget = int(os.environ.get(
+            "DEEPOF_TPU_DEVICE_FRAMES_BYTES", 4_000_000_000
+        ))
         arrs = _fetch_all([out for out, _ in finished.values()])
-        for host, (key, (out, index)) in zip(arrs, finished.items()):
+        for host, (key, (out, index)) in zip(arrs, list(finished.items())):
+            # float64 output frames: the host path returns float64 tables,
+            # and downstream code may rely on that dtype (ADVICE r3).
             df = pd.DataFrame(
-                np.asarray(host), index=index, columns=meta["columns"],
-                copy=False,
+                np.asarray(host, np.float64), index=index,
+                columns=meta["columns"], copy=False,
             )
             path = (
                 os.path.join(self._table_path, key, f"{key}_{file_name}")
@@ -630,7 +672,11 @@ class TableDict(dict):
                 else None
             )
             table_temp[key] = save_dt(df, path, save_as_paths)
-            dev_frames[key] = out
+            out_bytes = int(out.size) * out.dtype.itemsize
+            if frames_budget >= out_bytes:
+                dev_frames[key] = out
+                frames_budget -= out_bytes
+            del finished[key]
         # Scaled matrices stay resident on device: the windowed-inference
         # path consumes them directly, skipping a host round trip per key.
         table_temp._device_frames = dev_frames
@@ -709,11 +755,17 @@ def _build_scale_meta(
     }
 
 
-def _global_scaler_vectors(gs, meta, f):
+def _global_scaler_vectors(gs, meta, f, modes):
     """Flatten the section global-scaler dict into full-length per-column
     (mean, scale, mask) vectors for ``finish_scaled``. Returns None when
     the dict holds anything the per-column device formulation can't
-    express (groupwise sections, non-standard kinds, size mismatches)."""
+    express (groupwise sections, non-standard kinds, size mismatches).
+
+    ``modes`` is (speed, dist, coord) standardize modes: a section is
+    applied ONLY when its mode is "per_column", matching the host
+    ``_apply_global_scaler`` — a pretrained scaler may carry fitted
+    sections whose mode is disabled for this call (ADVICE r3)."""
+    speed_standardize, dist_standardize, coord_standardize = modes
     gmean = np.zeros(f, np.float32)
     gscale = np.ones(f, np.float32)
     gmask = np.zeros(f, bool)
@@ -723,13 +775,13 @@ def _global_scaler_vectors(gs, meta, f):
         return None
     if gs.get("dist_inner") is not None or gs.get("dist_intra") is not None:
         return None
-    for name, cols in (
-        ("speed", meta["ct"]["speeds"]),
-        ("dist", meta["ct"]["dists"]),
-        ("coord", meta["coord_cols"]),
+    for name, mode, cols in (
+        ("speed", speed_standardize, meta["ct"]["speeds"]),
+        ("dist", dist_standardize, meta["ct"]["dists"]),
+        ("coord", coord_standardize, meta["coord_cols"]),
     ):
         sc = gs.get(name)
-        if sc is None or not cols:
+        if sc is None or not cols or mode != "per_column":
             continue
         mean = getattr(sc, "mean_", None)
         scale = getattr(sc, "scale_", None)

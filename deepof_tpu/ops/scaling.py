@@ -60,6 +60,23 @@ def interp_nan_columns(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, x, filled)
 
 
+# Global-fit sufficient statistics come back as per-block partial sums
+# (rows grouped into _STAT_BLOCK-row blocks) so the caller can combine
+# them in float64 on the host: a single f32 accumulation over samples_max
+# (~227k) rows per column would carry O(sqrt(T)*eps) error into the
+# PERSISTED global scaler, which inference then reuses (ADVICE r3).
+_STAT_BLOCK = 4096
+
+
+def _blocked(x: jnp.ndarray) -> jnp.ndarray:
+    """(T, F) -> (ceil(T/B), B, F) with NaN padding (ignored by the
+    NaN-masked reductions downstream)."""
+    t, f = x.shape
+    nb = -(-t // _STAT_BLOCK)
+    x = jnp.pad(x, ((0, nb * _STAT_BLOCK - t), (0, 0)), constant_values=jnp.nan)
+    return x.reshape(nb, _STAT_BLOCK, f)
+
+
 @jax.jit
 def scale_stage12(
     x: jnp.ndarray,
@@ -79,8 +96,9 @@ def scale_stage12(
             distances, per the standardize modes).
 
     Returns:
-        (scaled (T, F), valid-count (F,), sum (F,)) — count/sum taken
-        AFTER local scaling, which is what the global fit consumes.
+        (scaled (T, F), blocked valid-count (nb, F), blocked sum (nb, F))
+        — count/sum taken AFTER local scaling, which is what the global
+        fit consumes; combine the blocks in float64 on the host.
     """
     x = x / divisor
     x = jnp.where(log_mask, jnp.log1p(jnp.clip(x, 0.0, None)), x)
@@ -94,19 +112,22 @@ def scale_stage12(
     # sklearn's _handle_zeros_in_scale: constant features divide by 1.
     scale = jnp.where((scale == 0.0) | ~jnp.isfinite(scale), 1.0, scale)
     x = jnp.where(local_mask, (x - mean) / scale, x)
-    isn2 = jnp.isnan(x)
-    cnt2 = jnp.sum(~isn2, axis=0)
-    sum2 = jnp.sum(jnp.where(isn2, 0.0, x), axis=0)
+    xb = _blocked(x)
+    isn2 = jnp.isnan(xb)
+    cnt2 = jnp.sum(~isn2, axis=1)
+    sum2 = jnp.sum(jnp.where(isn2, 0.0, xb), axis=1)
     return x, cnt2, sum2
 
 
 @jax.jit
 def col_ssd(x: jnp.ndarray, mean: jnp.ndarray) -> jnp.ndarray:
-    """Per-column NaN-ignoring sum of squared deviations around ``mean``
-    (second pass of the streamed standard-scaler fit — host twin:
+    """Per-column NaN-ignoring sum of squared deviations around ``mean``,
+    as (nb, F) per-block partials for float64 host combination (second
+    pass of the streamed standard-scaler fit — host twin:
     ``_fast_fit_standard``)."""
-    d = jnp.where(jnp.isnan(x), 0.0, x - mean)
-    return jnp.sum(d * d, axis=0)
+    xb = _blocked(x)
+    d = jnp.where(jnp.isnan(xb), 0.0, xb - mean)
+    return jnp.sum(d * d, axis=1)
 
 
 @partial(jax.jit, static_argnames=("interp_thresh",))

@@ -787,7 +787,9 @@ def explain_clusters(
     n_jobs: int = -1,
 ):
     """SHAP feature importance for the trained cluster detectors
-    (post_hoc.py:2824-2869). Requires the optional shap package.
+    (post_hoc.py:2824-2869). Runs on the self-contained Kernel SHAP in
+    deepof_tpu.shap_kernel (validated against exact Shapley values); the
+    optional shap package is used as an accelerated backend when present.
 
     Scales (and SMOTE-resamples, matching the training distribution) the
     chunk features before passing them to a KernelExplainer whose
@@ -795,38 +797,41 @@ def explain_clusters(
 
     Returns (shap_values, explainer, processed_stats).
     """
-    try:
+    try:  # pragma: no cover - optional accelerated backend
         import shap
-    except ImportError as e:
-        raise ImportError(
-            "explain_clusters requires the optional 'shap' package; use "
-            "permutation_importance on full_cluster_clf as an alternative."
-        ) from e
-    from sklearn.base import clone  # pragma: no cover
 
-    scaler = full_cluster_clf.named_steps["normalization"]  # pragma: no cover
-    clfwrap = full_cluster_clf.named_steps["classifier"]  # pragma: no cover
+        make_explainer = lambda fn, bg: shap.KernelExplainer(  # noqa: E731
+            fn, data=shap.kmeans(bg[0], bg[1]), normalize=False
+        )
+    except ImportError:
+        from deepof_tpu.shap_kernel import KernelExplainer, kmeans_background
 
-    x_scaled = scaler.transform(chunk_stats.values)  # pragma: no cover
-    resampler = getattr(clfwrap, "resampler_", None) or getattr(  # pragma: no cover
+        make_explainer = lambda fn, bg: KernelExplainer(  # noqa: E731
+            fn, data=kmeans_background(bg[0], bg[1]), normalize=False
+        )
+    from sklearn.base import clone
+
+    scaler = full_cluster_clf.named_steps["normalization"]
+    clfwrap = full_cluster_clf.named_steps["classifier"]
+
+    x_scaled = scaler.transform(chunk_stats.values)
+    resampler = getattr(clfwrap, "resampler_", None) or getattr(
         clfwrap, "resampler", None
     )
-    if resampler is not None:  # pragma: no cover
+    if resampler is not None:
         x_scaled, _ = clone(resampler).fit_resample(x_scaled, hard_counts)
-    processed_stats = pd.DataFrame(x_scaled, columns=chunk_stats.columns)  # pragma: no cover
+    processed_stats = pd.DataFrame(x_scaled, columns=chunk_stats.columns)
 
-    n_clusters = len(np.unique(hard_counts))  # pragma: no cover
-    explainer = shap.KernelExplainer(  # pragma: no cover
-        clfwrap.predict_proba,
-        data=shap.kmeans(processed_stats, n_clusters),
-        normalize=False,
+    n_clusters = len(np.unique(hard_counts))
+    explainer = make_explainer(
+        clfwrap.predict_proba, (processed_stats, n_clusters)
     )
-    if samples is not None and samples < chunk_stats.shape[0]:  # pragma: no cover
+    if samples is not None and samples < chunk_stats.shape[0]:
         processed_stats = processed_stats.sample(samples)
-    shap_values = explainer.shap_values(  # pragma: no cover
+    shap_values = explainer.shap_values(
         processed_stats, nsamples=samples, n_jobs=n_jobs
     )
-    return shap_values, explainer, processed_stats  # pragma: no cover
+    return shap_values, explainer, processed_stats
 
 
 def compute_UMAP(

@@ -925,20 +925,25 @@ def plot_shap_swarm_per_cluster(
     save: bool = False,
     **kwargs,
 ):
-    """SHAP beeswarm per cluster (visuals.py:3661-3711). Requires shap."""
-    try:
-        import shap
-    except ImportError as e:
-        raise ImportError(
-            "plot_shap_swarm_per_cluster requires the optional 'shap' package."
-        ) from e
-    if cluster != "all":  # pragma: no cover
+    """SHAP beeswarm per cluster (visuals.py:3661-3711). Uses the shap
+    package's summary_plot when installed; otherwise the self-contained
+    beeswarm/bar fallback in deepof_tpu.shap_kernel."""
+    if cluster != "all":
         shap_values = shap_values[int(cluster)]
-    shap.summary_plot(  # pragma: no cover
-        shap_values, chunk_stats, max_display=max_display, show=False
-    )
-    fig = plt.gcf()  # pragma: no cover
-    return _maybe_save(fig, save, "shap_swarm")  # pragma: no cover
+    try:  # pragma: no cover - optional accelerated backend
+        import shap
+
+        shap.summary_plot(
+            shap_values, chunk_stats, max_display=max_display, show=False
+        )
+        fig = plt.gcf()
+    except ImportError:
+        from deepof_tpu.shap_kernel import summary_beeswarm
+
+        fig = summary_beeswarm(
+            shap_values, chunk_stats, max_display=max_display, show=False
+        )
+    return _maybe_save(fig, save, "shap_swarm")
 
 
 # --------------------------------------------------------------------------- #

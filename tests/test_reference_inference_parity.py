@@ -268,6 +268,34 @@ def test_embedding_per_video_head_parity(ab_inference, ref_get_dt, model_name):
     _diff_tabledicts(ref_sc, tpu_sc, ref_get_dt, TOL)
 
 
+def test_embedding_per_video_device_scale_parity(
+    ab_inference, ref_get_dt, monkeypatch
+):
+    """The composed north-star A/B with the ACCELERATOR scaling fast path
+    forced on (DEEPOF_TPU_DEVICE_SCALE=1) — the code path the TPU
+    public-path bench number actually exercises (VERDICT r3 item 3). The
+    graph dataset is rebuilt under the flag so the stashed scaled-table
+    cache comes from the device path too, then embedding_per_video composes
+    against the reference at the same 1e-5 budget as the host path."""
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "1")
+    _, _, adj, tab_r, _ = ab_inference["ref"]
+    n, e = _graph_dims(adj, tab_r, ref_get_dt)
+    tm, bundle = _make_transplanted_pair("VQVAE", n, e)
+
+    tpu_coords = ab_inference["tpu"][0]
+    (_, _), meta_t, _, tab_t, scaler_t = tpu_coords.get_graph_dataset(
+        window_size=WINDOW, include_angles=False
+    )
+    ab_dev = dict(ab_inference)
+    ab_dev["tpu"] = (tpu_coords, meta_t, adj, tab_t, scaler_t)
+
+    ref_emb, ref_sc = _run_ref_epv(ab_inference, tm)
+    tpu_emb, tpu_sc = _run_tpu_epv(ab_dev, bundle)
+
+    _diff_tabledicts(ref_emb, tpu_emb, ref_get_dt, TOL)
+    _diff_tabledicts(ref_sc, tpu_sc, ref_get_dt, TOL)
+
+
 def test_embedding_per_video_contrastive_gmm_parity(ab_inference, ref_get_dt):
     """Contrastive embeddings at 1e-5 AND the gated GMM soft-count
     extraction (the default contrastive path is msm, which needs deeptime;

@@ -143,15 +143,24 @@ def test_areas_parity(ab_coords):
     _assert_tables_match(ref.get_areas(), tpu.get_areas(), get_dt, tol=1e-8)
 
 
-def test_graph_dataset_parity(ab_coords):
+@pytest.mark.parametrize("device_scale", [False, True])
+def test_graph_dataset_parity(ab_coords, monkeypatch, device_scale):
     """The full training-set build (merge -> two-stage scale -> window ->
     node/edge split) matches the reference's windows element-wise.
 
     The reference leaves angles out of its merge (deepof/data.py:2742-2747,
     commented out) so the comparison runs with include_angles=False; the
     deepof_tpu default additionally populates the angle tensor.
+
+    The device_scale=True row forces the accelerator scaling fast path
+    (DEEPOF_TPU_DEVICE_SCALE=1 — the code path behind the TPU public-path
+    bench number) and diffs IT against the reference, not just against the
+    host path (VERDICT r3 item 3): float32 device math, so the tolerance is
+    1e-5 instead of the host path's 1e-8.
     """
     ref, tpu, get_dt = ab_coords
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "1" if device_scale else "0")
+    tol = 1e-5 if device_scale else 1e-8
     (train_r, _), meta_r, adj_r, _, _ = ref.get_graph_dataset(window_size=10)
     (train_t, _), meta_t, adj_t, _, _ = tpu.get_graph_dataset(
         window_size=10, include_angles=False
@@ -167,7 +176,7 @@ def test_graph_dataset_parity(ab_coords):
                 continue
             assert (np.isnan(ra) == np.isnan(ta)).all(), f"{key}/{name}: NaNs"
             d = np.nanmax(np.abs(np.nan_to_num(ra) - np.nan_to_num(ta)))
-            assert d < 1e-8, f"{key}/{name}: max|delta| = {d:.3e}"
+            assert d < tol, f"{key}/{name}: max|delta| = {d:.3e}"
 
 
 # --------------------------------------------------------------------- #
