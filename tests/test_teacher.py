@@ -72,6 +72,7 @@ def test_initialize_gmm_from_teacher():
     np.testing.assert_allclose(np.asarray(prior).sum(), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_vade_best_score_checkpoint():
     """Distilled VaDE tracks a separate best-score model (the reference's
     second return value; training.py:1196-1248, 1252-1255)."""
@@ -99,6 +100,7 @@ def test_vade_best_score_checkpoint():
     np.testing.assert_allclose(q.sum(1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_vade_with_teacher_and_refresh():
     """Distilled VaDE trains end-to-end with a mid-training TURTLE refresh
     and GMM reinit (training.py:1770-1810)."""

@@ -212,6 +212,7 @@ def test_window_dataset_h5_spill(tmp_path):
 
 
 @pytest.mark.parametrize("model_name", ["VQVAE", "Contrastive"])
+@pytest.mark.slow
 def test_short_fit(model_name):
     train, test = _preprocessed()
     adj = _adjacency()
@@ -231,6 +232,7 @@ def test_short_fit(model_name):
     assert np.asarray(z).shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_vade_short_fit_and_roundtrip(tmp_path):
     train, test = _preprocessed()
     adj = _adjacency()
@@ -269,6 +271,7 @@ def test_prefetch_iterator():
         list(it)
 
 
+@pytest.mark.slow
 def test_epoch_callback_early_stop():
     """An epoch_callback returning True stops training early
     (optuna-pruning hook surface, training.py:1224-1228)."""
@@ -292,6 +295,7 @@ def test_epoch_callback_early_stop():
     assert len(bundle.history["total_loss"]) == 2
 
 
+@pytest.mark.slow
 def test_vade_freeze_gmm_epochs():
     """With freeze_gmm_epochs=1 and one main epoch, the GMM prior params
     stay at their init while other params move (training.py:1746-1768)."""
@@ -337,6 +341,7 @@ def _preprocessed_with_angles(n_train=48, n_test=24, seed=0, n_angles=5):
     return train, test
 
 
+@pytest.mark.slow
 def test_vade_with_angle_stream(tmp_path):
     """Training with use_angles=True changes the encoder params and the
     embedding, and round-trips through save/load."""
@@ -386,6 +391,7 @@ def test_angles_default_off_is_identical_shape():
     assert np.asarray(z).shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_bf16_compute_policy_trains():
     """use_amp=True trains with bfloat16 compute (float32 params) — the
     TPU equivalent of the reference's AMP autocast (SURVEY §2.3)."""

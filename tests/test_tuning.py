@@ -49,6 +49,7 @@ def test_sample_grammar():
         assert isinstance(s["num"], int) and 2 <= s["num"] <= 8
 
 
+@pytest.mark.slow
 def test_random_search_vqvae():
     train, test = _preprocessed()
     adj = _adjacency()
@@ -65,6 +66,7 @@ def test_random_search_vqvae():
     assert result["best_params"]["latent_dim"] == 4
 
 
+@pytest.mark.slow
 def test_successive_halving(tmp_path):
     train, test = _preprocessed()
     adj = _adjacency()
