@@ -45,6 +45,76 @@ def is_pointer(obj: Any) -> bool:
     return isinstance(obj, dict) and "h5_file" in obj
 
 
+class LazyFrame:
+    """A TableDict value that realizes to a DataFrame on first access.
+
+    Extends the reference's own out-of-core convention — a TableDict value
+    is either the object itself or a pointer resolved by ``get_dt``
+    (deepof/data_loading.py:66-165) — with a third pointer kind: a frame
+    whose values still live on the accelerator. ``get_dt`` realizes it
+    (one device->host transfer, cached); ``only_metainfo`` answers from
+    host metadata without touching the device, so column/shape queries
+    stay free. Used by the fused graph-dataset lane, where the merged
+    feature tables are produced on device and most consumers only ever
+    need the scaled tensors derived from them."""
+
+    __slots__ = ("_realize", "_columns", "_nrows", "_index_fn", "_cache")
+
+    def __init__(self, realize_fn, columns, nrows: int, index_fn=None):
+        self._realize = realize_fn
+        self._columns = columns
+        self._nrows = int(nrows)
+        self._index_fn = index_fn
+        self._cache = None
+
+    @property
+    def columns(self):
+        return self._columns
+
+    @property
+    def shape(self):
+        return (self._nrows, len(self._columns))
+
+    def index(self):
+        if self._index_fn is None:
+            return pd.RangeIndex(self._nrows)
+        return self._index_fn(self._nrows)
+
+    def realize(self) -> pd.DataFrame:
+        if self._cache is None:
+            df = self._realize()
+            if not isinstance(df, pd.DataFrame):
+                df = pd.DataFrame(
+                    np.asarray(df, np.float64), columns=self._columns,
+                    copy=False,
+                )
+                df.index = self.index()
+            self._cache = df
+        return self._cache
+
+    def __len__(self):
+        return self._nrows
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.realize().to_numpy()
+        if dtype is not None and out.dtype != dtype:
+            out = out.astype(dtype)
+        elif copy:
+            out = out.copy()
+        return out
+
+    def __getstate__(self):  # pickle: realize (device handles don't pickle)
+        return {"frame": self.realize()}
+
+    def __setstate__(self, state):
+        frame = state["frame"]
+        self._realize = lambda: frame
+        self._columns = frame.columns
+        self._nrows = len(frame)
+        self._index_fn = None
+        self._cache = frame
+
+
 def save_dt(dt: Any, path: Optional[str], return_path: bool = False):
     """Persist a table and (optionally) return a pointer to it.
 
@@ -98,6 +168,22 @@ def get_dt(
         load_range: (start, end) inclusive row range to load.
     """
     entry = tab_dict[key]
+
+    if isinstance(entry, LazyFrame):
+        if only_metainfo:
+            meta = {
+                "shape": entry.shape,
+                "columns": list(entry.columns),
+                "num_cols": entry.shape[1],
+                "num_rows": entry.shape[0],
+                "start_time": None,
+                "end_time": None,
+            }
+            return (meta, None) if return_path else meta
+        obj = entry.realize()
+        if load_range is not None:
+            obj = _slice_obj(obj, load_range)
+        return (obj, None) if return_path else obj
 
     if not is_pointer(entry):
         obj = entry

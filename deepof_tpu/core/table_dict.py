@@ -526,7 +526,10 @@ class TableDict(dict):
         semantics, float64)."""
         import jax.numpy as jnp
 
-        from deepof_tpu.ops.scaling import col_ssd, finish_scaled, scale_stage12
+        from deepof_tpu.core.storage import LazyFrame
+        from deepof_tpu.ops.scaling import (
+            col_ssd, finish_scaled, scale_stage12, size_divisors,
+        )
 
         meta = None
         pend = {}
@@ -538,7 +541,58 @@ class TableDict(dict):
             "DEEPOF_TPU_DEVICE_SCALE_BUDGET_BYTES", 8_000_000_000
         ))
         live_bytes = 0
+        dev_in = getattr(self, "_device_frames", None) or {}
+        divisor_enc = None
+        nan_flags = {}
         for key in keys_list:
+            dev = dev_in.get(key)
+            entry = self[key]
+            if dev is not None and isinstance(entry, LazyFrame):
+                # Fused-lane input: the merged feature matrix is already on
+                # device (data.py merged_graph_features_device) — nothing
+                # host-side exists to take rows from, so this branch
+                # requires the full row range (the fused lane only engages
+                # for unbinned builds).
+                n_rows = int(dev.shape[0])
+                if not _rows_are_full_range(bin_info[key], n_rows):
+                    return None
+                if n_rows == 0 or n_rows > samples_max:
+                    return None
+                columns = entry.columns
+                if not columns.is_unique:
+                    return None
+                if meta is None:
+                    meta = _build_scale_meta(
+                        pd.DataFrame(
+                            np.empty((0, len(columns))), columns=columns
+                        ),
+                        log_distances,
+                        dist_standardize, speed_standardize, coord_standardize,
+                        float(interpolate_normalized or 0.0),
+                    )
+                elif not columns.equals(meta["columns"]):
+                    return None
+                live_bytes += 2 * int(dev.size) * dev.dtype.itemsize
+                if live_bytes > budget:
+                    return None
+                if divisor_enc is None:
+                    divisor_enc = _divisor_encoding(meta, list(animal_ids))
+                w_enc, c_enc, quads = divisor_enc
+                divisor = size_divisors(
+                    dev.astype(jnp.float32), jnp.asarray(w_enc),
+                    jnp.asarray(c_enc), quads,
+                )
+                xs, cnt, sm = scale_stage12(
+                    dev.astype(jnp.float32), divisor,
+                    meta["log_mask"], meta["local_mask"],
+                )
+                # All-NaN tables are dropped like the host pass-1 skip —
+                # detected from the already-fetched count statistics
+                # (all-NaN <=> every per-column valid count is zero), so
+                # no extra device round trip is paid.
+                nan_flags[key] = True
+                pend[key] = (xs, cnt, sm, entry.index)
+                continue
             tab = _take_rows(get_dt(self, key), bin_info[key])
             if len(tab) == 0 or len(tab) > samples_max:
                 return None
@@ -586,6 +640,16 @@ class TableDict(dict):
             gvec = _global_scaler_vectors(global_scaler, meta, f, modes)
             if gvec is None:
                 return None
+            if nan_flags:
+                # No stats fetch happens on this branch; drop fused-lane
+                # all-NaN tables from one coalesced count fetch.
+                fused_keys = [k for k in nan_flags if k in pend]
+                cnts = _fetch_all([pend[k][1] for k in fused_keys])
+                for k, cb in zip(fused_keys, cnts):
+                    if float(np.asarray(cb).sum()) == 0.0:
+                        del pend[k]
+                if not pend:
+                    return None
         else:
             # Streamed standard fit, matching _fast_fit_standard: cohort
             # mean from (count, sum), then one ssd pass around it. The
@@ -596,6 +660,14 @@ class TableDict(dict):
             stats = _fetch_all(
                 [p[1] for p in pend.values()] + [p[2] for p in pend.values()]
             )
+            # Fused-lane all-NaN drop, free-riding on the stats fetch: an
+            # all-NaN table has zero valid count in every column (and
+            # contributes nothing to the sums below).
+            for i, key in enumerate(list(pend.keys())):
+                if key in nan_flags and float(np.asarray(stats[i]).sum()) == 0.0:
+                    del pend[key]
+            if not pend:
+                return None
             cnt_h = np.zeros(f, np.float64)
             sum_h = np.zeros(f, np.float64)
             for cb in stats[:nk]:
@@ -660,6 +732,8 @@ class TableDict(dict):
         ))
         arrs = _fetch_all([out for out, _ in finished.values()])
         for host, (key, (out, index)) in zip(arrs, list(finished.items())):
+            if callable(index):  # fused lane: index built lazily
+                index = index()
             # float64 output frames: the host path returns float64 tables,
             # and downstream code may rely on that dtype (ADVICE r3).
             df = pd.DataFrame(
@@ -753,6 +827,71 @@ def _build_scale_meta(
         "clip_mask": jnp.asarray(clip_mask),
         "interp_thresh": float(interp_thresh),
     }
+
+
+def _divisor_encoding(meta, animal_ids, size_ref=("Nose", "Tail_base")):
+    """Host-side encoding of the body-size divisor plan for
+    ``ops.scaling.size_divisors``: weights ``w (F, A+1)`` over
+    [per-animal factors, cohort default], constant ``c (F,)``, and the
+    static per-animal (nose_x, nose_y, tail_x, tail_y) column-index quads
+    (None when absent — compute_size_factors' name-miss rule). Mirrors
+    utils.compute_size_factors + _size_divisor_plan with
+    inter_scale="mean" exactly."""
+    ct, pos = meta["ct"], meta["pos"]
+    f = len(meta["columns"])
+    n_a = len(animal_ids)
+    aid_idx = {aid: i for i, aid in enumerate(animal_ids)}
+    w = np.zeros((f, n_a + 1), np.float32)
+    c = np.ones(f, np.float32)
+
+    def set_owned(col, owner):
+        j = pos[col]
+        w[j, aid_idx[owner]] = 1.0
+        c[j] = 0.0
+
+    for bp, axis in ct["coords"]:
+        a = dutils.animal_of(bp)
+        if a in aid_idx:
+            set_owned((bp, axis), a)
+    for bp in ct["speeds"]:
+        a = dutils.animal_of(bp)
+        if a in aid_idx:
+            set_owned(bp, a)
+    for dist in ct["dists"]:
+        a1, a2 = dutils.animal_of(dist[0]), dutils.animal_of(dist[1])
+        j = pos[dist]
+        c[j] = 0.0
+        if a1 == a2:
+            w[j, aid_idx.get(a1, n_a)] = 1.0
+        else:  # inter_scale="mean"
+            w[j, aid_idx.get(a1, n_a)] += 0.5
+            w[j, aid_idx.get(a2, n_a)] += 0.5
+
+    quads = []
+    ref_a, ref_b = size_ref
+    for aid in animal_ids:
+        a = ref_a if aid is None else f"{aid}_{ref_a}"
+        b = ref_b if aid is None else f"{aid}_{ref_b}"
+        need = [(a, "x"), (a, "y"), (b, "x"), (b, "y")]
+        if all(col in pos for col in need):
+            quads.append(tuple(pos[col] for col in need))
+        else:
+            quads.append(None)
+    return w, c, tuple(quads)
+
+
+def _rows_are_full_range(rows, n: int) -> bool:
+    rows = np.asarray(rows)
+    if rows.dtype == bool:
+        return rows.size == n and bool(rows.all())
+    return (
+        rows.ndim == 1
+        and rows.size == n
+        and n > 0
+        and int(rows[0]) == 0
+        and int(rows[-1]) == n - 1
+        and np.array_equal(rows, np.arange(n))
+    )
 
 
 def _global_scaler_vectors(gs, meta, f, modes):

@@ -165,6 +165,51 @@ def _feature_pass(pos: jnp.ndarray, pairs, bridges, polys):
     return dists, angles, areas
 
 
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=("pairs", "bridges", "frame_rate", "include_angles"),
+)
+def _merged_features_program(
+    pos, presence, center_xy, owner_mask,
+    pairs, bridges, frame_rate, include_angles,
+):
+    """One fused device program producing the MERGED graph-dataset feature
+    matrix for one experiment: arena-centered coords | speeds | bridge
+    angles | graph-edge distances, with per-animal missing-frame NaNs —
+    the device twin of get_coords(center="arena") + get_coords(speed=1) +
+    get_distances + get_angles + TableDict.merge (reference pipeline
+    deepof/data.py:2718-2747), with no host round trip.
+
+    Args:
+        pos: (T, B, 2) mm positions.
+        presence: (T, A) per-animal presence (0 = missing frame).
+        center_xy: (2,) arena center in mm.
+        owner_mask: (A, F) bool — column j is NaNed when animal a is
+            absent (all of the column's bodyparts belong to a, matching
+            utils.filter_columns; inter-animal distances belong to nobody).
+        pairs/bridges: static index tuples into the node axis.
+    """
+    t = pos.shape[0]
+    coords = (pos - center_xy[None, None, :]).reshape(t, -1)
+    speeds = rolling_speed(pos, frame_rate=frame_rate, deriv=1)
+    blocks = [coords, speeds]
+    if include_angles and len(bridges):
+        blocks.append(
+            bridge_angles(pos, np.asarray(bridges, np.int32).reshape(-1, 3))
+        )
+    if len(pairs):
+        blocks.append(
+            pairwise_distances(pos, np.asarray(pairs, np.int32).reshape(-1, 2))
+        )
+    merged = jnp.concatenate(blocks, axis=1)
+    absent = presence == 0  # (T, A)
+    nan_mask = jnp.any(absent[:, :, None] & owner_mask[None, :, :], axis=1)
+    return jnp.where(nan_mask, jnp.nan, merged)
+
+
 class _DerivedKinematics:
     """On-demand derived kinematics (the reference computes and stores
     these eagerly at create() time, deepof/data.py:996-1100).
@@ -256,26 +301,54 @@ def _gather_columns_device(arr, keep_idx, n_cols):
 
 
 def _fetch_all(arrs) -> list:
-    """Host copies of a mixed list of device/host arrays, fetching the
-    device-resident ones CONCURRENTLY (one thread each, bounded).
+    """Host copies of a mixed list of device/host arrays, COALESCING the
+    device-resident ones into one transfer per dtype.
 
     Each device->host transfer pays a fixed RPC round trip on a tunneled
-    TPU (~0.3-0.6 s at recording scale); issuing them from threads
-    overlaps those round trips instead of serializing them — measured
-    >4x on the public-path getters. ``copy_to_host_async`` is a no-op
-    through the tunnel, so threads are the only working overlap."""
+    TPU (~0.3-0.6 s at recording scale), so N separate fetches cost N
+    round trips even when threaded. Flattening the device arrays and
+    concatenating them ON DEVICE (a cheap fused copy) turns the whole
+    batch into ONE wire crossing per dtype; the host then splits the flat
+    buffer back with zero-copy views. Thread overlap is kept as the
+    fallback for singletons/mixed failures."""
     arrs = list(arrs)
     dev = [
         i for i, a in enumerate(arrs)
         if isinstance(a, jax.Array) and not isinstance(a, np.ndarray)
     ]
     if len(dev) > 1:
-        from concurrent.futures import ThreadPoolExecutor
+        groups: dict = {}
+        for i in dev:
+            groups.setdefault(np.dtype(arrs[i].dtype), []).append(i)
+        pending = []  # (indices, flat device array) per dtype group
+        for idxs in groups.values():
+            if len(idxs) == 1:
+                pending.append((idxs, arrs[idxs[0]]))
+                continue
+            try:
+                flat = jnp.concatenate(
+                    [arrs[i].reshape(-1) for i in idxs]
+                )
+            except Exception:  # ragged/odd layouts: fetch individually
+                pending.extend(([i], arrs[i]) for i in idxs)
+                continue
+            pending.append((idxs, flat))
+        if len(pending) > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(len(dev), 8)) as ex:
-            fetched = list(ex.map(np.asarray, (arrs[i] for i in dev)))
-        for i, host in zip(dev, fetched):
-            arrs[i] = host
+            with ThreadPoolExecutor(min(len(pending), 8)) as ex:
+                fetched = list(ex.map(np.asarray, (p[1] for p in pending)))
+        else:
+            fetched = [np.asarray(pending[0][1])]
+        for (idxs, _), host in zip(pending, fetched):
+            if len(idxs) == 1:
+                arrs[idxs[0]] = host
+                continue
+            off = 0
+            for i in idxs:
+                size = int(np.prod(arrs[i].shape, dtype=np.int64))
+                arrs[i] = host[off : off + size].reshape(arrs[i].shape)
+                off += size
     return [np.asarray(a) for a in arrs]
 
 
@@ -1850,6 +1923,86 @@ class Coordinates:
         from deepof_tpu.graph_dataset import get_graph_dataset as _ggd
 
         return _ggd(self, *args, **kwargs)
+
+    def merged_graph_features_device(self, include_angles: bool = True):
+        """Per-experiment merged graph-dataset feature matrices, computed
+        and KEPT ON DEVICE (the fused lane of get_graph_dataset).
+
+        The eager path builds the same table through four getters, four
+        device->host transfer phases and a host-side merge; at ~35 MB/s
+        through a tunneled TPU those transfers dominate the public-path
+        wall clock. This method dispatches ONE fused program per
+        experiment and returns
+        ``({key: (T, F) float32 device array}, columns)`` — nothing
+        crosses to the host. Consumers: the device scaling pass feeds the
+        frames straight into ``scale_stage12``; the user-facing merged
+        TableDict wraps them in LazyFrames realized only on access.
+
+        Assumes the get_graph_dataset getter configuration: center="arena",
+        no alignment, no ROI/animal filters, cartesian coordinates.
+        """
+        nodes = self._nodes
+        keep_idx = self._distance_keep_idx(None, True)
+        all_pairs = all_pair_indices(len(nodes))
+        pairs = tuple(tuple(map(int, all_pairs[i])) for i in keep_idx)
+        bridges = (
+            tuple(tuple(map(int, b)) for b in self._body_graph.bridges)
+            if include_angles
+            else ()
+        )
+
+        cols: list = [(bp, ax) for bp in nodes for ax in ("x", "y")]
+        cols += list(nodes)
+        if include_angles:
+            cols += [tuple(b) for b in self._bridge_names]
+        cols += [self._pair_names[i] for i in keep_idx]
+
+        owner = np.zeros((len(self._animal_ids), len(cols)), bool)
+        for ai, aid in enumerate(self._animal_ids):
+            if not aid:
+                # Reference behavior: the empty/None id masks EVERY column
+                # (data.py _set_missing_animals_frame <- filter_columns).
+                owner[ai, :] = True
+                continue
+            for j, c in enumerate(cols):
+                if isinstance(c, tuple) and len(c) == 2 and c[1] in ("x", "y"):
+                    parts = [c[0]]
+                elif isinstance(c, str):
+                    parts = [c]
+                else:
+                    parts = list(c)
+                owner[ai, j] = all(str(p).startswith(aid) for p in parts)
+        owner_dev = jnp.asarray(owner)
+
+        dev_frames = {}
+        for key in self._tables.keys():
+            pos_h = np.asarray(self._tables[key])
+            # Match the eager getters' working precision exactly: the
+            # stored-table dtype (float64 on the CPU parity path, float32
+            # on accelerators). rolling_speed's 3-decimal rounding makes
+            # tie frames flip between f32 and f64, so the fused lane must
+            # not change precision relative to the platform's eager path.
+            dtype = jnp.float64 if (
+                pos_h.dtype == np.float64 and jax.config.jax_enable_x64
+                and jax.default_backend() == "cpu"
+            ) else jnp.float32
+            t = pos_h.shape[0]
+            pres_h = np.asarray(self._presence[key])
+            absent_rows = min(t, pres_h.shape[0])
+            pres = np.ones((t, len(self._animal_ids)), np.float32)
+            pres[:absent_rows] = pres_h[:absent_rows]
+            dev_frames[key] = _merged_features_program(
+                jnp.asarray(pos_h, dtype),
+                jnp.asarray(pres),
+                jnp.asarray(np.asarray(self._scales[key][:2]), dtype),
+                owner_dev,
+                pairs,
+                bridges,
+                float(self._frame_rate),
+                bool(include_angles),
+            )
+        columns = pd.Index(cols, dtype=object, tupleize_cols=False)
+        return dev_frames, columns
 
     def supervised_annotation(self, *args, **kwargs):
         from deepof_tpu.annotate import supervised_annotation as _sa

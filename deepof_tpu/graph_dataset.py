@@ -58,7 +58,55 @@ def get_graph_dataset(
     if window_size is None:
         window_size = int(np.round(coordinates._frame_rate))
 
-    if precomputed_tab_dict is not None:  # pragma: no cover
+    # Fused device lane: when the whole build fits the device-scaling
+    # formulation, the merged feature table is produced by ONE fused
+    # program per experiment and stays on the accelerator — the getters'
+    # four device->host transfer phases and the host merge disappear. The
+    # returned tab_dict holds LazyFrames (get_dt realizes on access, like
+    # the reference's DuckDB pointers); the scaling pass consumes the
+    # device frames directly.
+    from deepof_tpu.core.storage import LazyFrame
+    from deepof_tpu.core.table_dict import TableDict, _device_scale_applicable
+
+    fused_dev = None
+    if (
+        precomputed_tab_dict is None
+        and animal_id is None
+        and not polar
+        and align is None
+        and bin_size is None
+        and bin_index is None
+        and precomputed_bins is None
+        and not return_as_paths
+        and preprocess
+        and _device_scale_applicable(
+            scale, kwargs.get("filter_low_variance", False),
+            dist_standardize, speed_standardize, coord_standardize,
+        )
+    ):
+        fused_dev, merged_cols = coordinates.merged_graph_features_device(
+            include_angles=include_angles
+        )
+
+    if fused_dev:
+        edge_keep = coordinates._distance_keep_idx(None, True)
+        edge_feature_names = [coordinates._pair_names[i] for i in edge_keep]
+        angle_feature_names = [tuple(b) for b in coordinates._bridge_names]
+        merged = {}
+        for key, dev in fused_dev.items():
+            merged[key] = LazyFrame(
+                (lambda d=dev: np.asarray(d, np.float64)),
+                merged_cols,
+                int(dev.shape[0]),
+                index_fn=lambda n: coordinates._time_index(n),
+            )
+        tab_dict = TableDict(
+            merged, typ="merged", table_path=coordinates._table_path,
+            connectivity=coordinates._connectivity,
+        )
+        tab_dict._animal_ids = coordinates._animal_ids
+        tab_dict._device_frames = fused_dev
+    elif precomputed_tab_dict is not None:  # pragma: no cover
         tab_dict = precomputed_tab_dict
         first_key = list(tab_dict.keys())[0]
         dists = coordinates.get_distances_at_key(first_key, selected_id=animal_id)
@@ -111,8 +159,15 @@ def get_graph_dataset(
             graph.remove_node(node)
     tab_dict._connectivity = graph
 
-    first_tab = get_dt(tab_dict, list(tab_dict.keys())[0])
-    feature_names = pd.Index(list(first_tab.columns))
+    feature_names = pd.Index(
+        list(
+            get_dt(tab_dict, list(tab_dict.keys())[0], only_metainfo=True)[
+                "columns"
+            ]
+        ),
+        dtype=object,
+        tupleize_cols=False,
+    )
 
     nodes = sorted(graph.nodes())
     edges = sorted(tuple(sorted(e)) for e in graph.edges())

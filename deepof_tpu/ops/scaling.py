@@ -119,6 +119,42 @@ def scale_stage12(
     return x, cnt2, sum2
 
 
+@partial(jax.jit, static_argnames=("quads",))
+def size_divisors(
+    x: jnp.ndarray, w: jnp.ndarray, c: jnp.ndarray, quads
+) -> jnp.ndarray:
+    """Per-column body-size divisors computed ON DEVICE — the device twin
+    of utils.compute_size_factors + _size_divisor_plan (reference
+    deepof/utils.py:2474-2530), so the fused graph-dataset lane never
+    round-trips a table to the host just to take a nan-median.
+
+    Args:
+        x: (T, F) merged feature matrix (mm, NaNs allowed).
+        w: (F, A+1) host-built weights mapping [per-animal factors,
+            cohort default] to each column's divisor.
+        c: (F,) constant term (1.0 for columns that never size-scale).
+        quads: static per-animal 4-tuples of column indices
+            (nose_x, nose_y, tail_x, tail_y), or None when the animal's
+            reference bodyparts are absent (factor = cohort default).
+    """
+    raws = []
+    for q in quads:
+        if q is None:
+            raws.append(jnp.asarray(jnp.nan, x.dtype))
+        else:
+            ax, ay, bx, by = q
+            raws.append(
+                jnp.nanmedian(jnp.hypot(x[:, ax] - x[:, bx], x[:, ay] - x[:, by]))
+            )
+    raw = jnp.stack(raws)
+    valid = jnp.isfinite(raw) & (raw > 0)
+    default = jnp.nanmedian(jnp.where(valid, raw, jnp.nan))
+    default = jnp.where(jnp.isfinite(default), default, 1.0)
+    fin = jnp.where(valid, raw, default)
+    ext = jnp.concatenate([fin, default[None]])
+    return w @ ext + c
+
+
 @jax.jit
 def col_ssd(x: jnp.ndarray, mean: jnp.ndarray) -> jnp.ndarray:
     """Per-column NaN-ignoring sum of squared deviations around ``mean``,

@@ -1,0 +1,162 @@
+"""Fused device lane of get_graph_dataset (graph_dataset.py): the merged
+feature table is produced by one device program per experiment and stays on
+the accelerator; the user-facing TableDict holds LazyFrames realized only
+on access (core/storage.LazyFrame).
+
+A/B-gates the lane against the eager host path (DEEPOF_TPU_DEVICE_SCALE=0)
+on the reference fixtures: merged values, NaN patterns, columns, index, the
+windowed training tensors, and the fitted global scaler. On the CPU parity
+path both lanes run in float64, so merged values agree to ~1e-13.
+"""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from deepof_tpu.core.storage import LazyFrame, get_dt
+
+FIXROOT = "/root/reference/tests/test_examples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXROOT), reason="reference fixtures not available"
+)
+
+
+def _build_project(fixture):
+    src = os.path.join(FIXROOT, fixture)
+    tmp = tempfile.mkdtemp(prefix="deepof_tpu_fused_")
+    os.makedirs(f"{tmp}/Tables")
+    os.makedirs(f"{tmp}/Videos")
+    for f in os.listdir(f"{src}/Tables"):
+        if f.endswith(".h5"):
+            shutil.copy(f"{src}/Tables/{f}", f"{tmp}/Tables/{f}")
+    for f in os.listdir(f"{src}/Videos"):
+        shutil.copy(f"{src}/Videos/{f}", f"{tmp}/Videos/{f}")
+    return tmp
+
+
+def _run(tmp, animal_ids, device_scale, monkeypatch, **ggd_kwargs):
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", device_scale)
+    from deepof_tpu.data import Project
+
+    proj = Project(
+        project_path=tmp, project_name="p", video_path=f"{tmp}/Videos",
+        table_path=f"{tmp}/Tables", arena="circular-autodetect",
+        video_scale="380 mm", table_format="h5", frame_rate=25,
+        animal_ids=animal_ids,
+    )
+    coords = proj.create(force=True, test=True, verbose=False)
+    return coords, coords.get_graph_dataset(window_size=10, **ggd_kwargs)
+
+
+@pytest.mark.parametrize(
+    "fixture,animal_ids",
+    [("test_single_topview", None), ("test_multi_topview", ["B", "W"])],
+)
+def test_fused_lane_matches_host_path(fixture, animal_ids, monkeypatch, tmp_path):
+    tmp = _build_project(fixture)
+    try:
+        _, (ds0, meta0, adj0, tab0, sc0) = _run(tmp, animal_ids, "0", monkeypatch)
+        _, (ds1, meta1, adj1, tab1, sc1) = _run(tmp, animal_ids, "1", monkeypatch)
+
+        # The fused lane engaged: merged values are LazyFrames.
+        assert all(isinstance(tab1[k], LazyFrame) for k in tab1.keys())
+        assert getattr(tab1, "_device_frames", None)
+
+        np.testing.assert_array_equal(np.asarray(adj0), np.asarray(adj1))
+
+        for k in tab0.keys():
+            f0, f1 = get_dt(tab0, k), get_dt(tab1, k)
+            assert list(f0.columns) == list(f1.columns)
+            assert list(f0.index) == list(f1.index)
+            a, b = f0.to_numpy(float), f1.to_numpy(float)
+            np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+            m = np.isfinite(a)
+            np.testing.assert_allclose(a[m], b[m], atol=1e-6)
+
+        # Windowed training tensors and scaler agree.
+        for part0, part1 in zip(ds0, ds1):
+            assert sorted(part0.keys()) == sorted(part1.keys())
+            for k in part0.keys():
+                for x0, x1 in zip(get_dt(part0, k), get_dt(part1, k)):
+                    if np.asarray(x0).size:
+                        np.testing.assert_allclose(
+                            np.asarray(x0), np.asarray(x1), atol=5e-5
+                        )
+        for name in ("speed", "dist", "coord"):
+            s0, s1 = sc0.get(name), sc1.get(name)
+            assert (s0 is None) == (s1 is None)
+            if s0 is not None:
+                # float32 device statistics vs the float64 host fit — the
+                # same drift budget as the eager device-scaling path.
+                np.testing.assert_allclose(
+                    s0.mean_, s1.mean_, rtol=1e-5, atol=1e-5
+                )
+                np.testing.assert_allclose(
+                    s0.scale_, s1.scale_, rtol=1e-5, atol=1e-5
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fused_lane_falls_back_when_binned(monkeypatch):
+    """bin_size forces the eager lane (LazyFrames never appear)."""
+    tmp = _build_project("test_single_topview")
+    try:
+        _, (_, _, _, tab, _) = _run(
+            tmp, None, "1", monkeypatch, bin_size=4, bin_index=0
+        )
+        assert not any(isinstance(tab[k], LazyFrame) for k in tab.keys())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lazy_frame_protocol():
+    """LazyFrame: metainfo without realize, realize caching, pickling."""
+    import pandas as pd
+    import pickle
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        return np.arange(12.0, dtype=np.float64).reshape(4, 3)
+
+    cols = pd.Index([("a", "x"), ("a", "y"), "a"], dtype=object, tupleize_cols=False)
+    lf = LazyFrame(make, cols, 4)
+    d = {"k": lf}
+
+    meta = get_dt(d, "k", only_metainfo=True)
+    assert meta["num_rows"] == 4 and meta["num_cols"] == 3
+    assert meta["columns"] == list(cols)
+    assert not calls  # metainfo never realizes
+
+    df = get_dt(d, "k")
+    assert isinstance(df, pd.DataFrame) and df.shape == (4, 3)
+    get_dt(d, "k")
+    assert len(calls) == 1  # realize is cached
+
+    rt = pickle.loads(pickle.dumps(lf))
+    np.testing.assert_array_equal(rt.realize().to_numpy(), df.to_numpy())
+
+
+def test_fused_lane_drops_all_nan_tables(monkeypatch):
+    """An all-NaN experiment is dropped from the scaled output, matching
+    the host pass-1 skip — detected from the stats fetch, no extra RPC."""
+    tmp = _build_project("test_single_topview")
+    try:
+        coords, _ = _run(tmp, None, "1", monkeypatch)
+        first = sorted(coords._tables.keys())[0]
+        coords._tables[first] = np.full_like(
+            np.asarray(coords._tables[first]), np.nan
+        )
+        ds, meta, _, tab, _ = coords.get_graph_dataset(window_size=10)
+        assert all(isinstance(tab[k], LazyFrame) for k in tab.keys())
+        train_keys = set(ds[0].keys())
+        assert first not in train_keys
+        assert len(train_keys) >= 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
