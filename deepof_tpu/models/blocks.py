@@ -35,13 +35,36 @@ class MaskedGRU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
         """x: (B, T, F), mask: (B, T) -> (outputs (B, T, H), final (B, H))."""
-        cell = nn.GRUCell(features=self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32)
-        b = x.shape[0]
-        h0 = cell.initialize_carry(jax.random.PRNGKey(0), (b, x.shape[-1]))
+        import os
 
         if self.reverse:
             x = x[:, ::-1]
             mask = mask[:, ::-1]
+
+        # Experimental Pallas fused scan (DEEPOF_TPU_GRU_PALLAS=1): keeps
+        # the carry in VMEM across the whole time axis instead of a
+        # per-step HBM round trip — see ops/pallas_gru.py and the scan
+        # experiments in docs/ARCHITECTURE.md. Inference-path only (no
+        # custom VJP) and f32-exact vs the lax.scan path.
+        if (
+            os.environ.get("DEEPOF_TPU_GRU_PALLAS") == "1"
+            and not self.is_initializing()
+            and self.dtype == jnp.float32
+            and self.has_variable("params", "GRUCell_0")
+        ):
+            from deepof_tpu.ops.pallas_gru import gru_scan_pallas
+
+            outputs, final = gru_scan_pallas(
+                x, mask, self.get_variable("params", "GRUCell_0"),
+                interpret=jax.default_backend() != "tpu",
+            )
+            if self.reverse:
+                outputs = outputs[:, ::-1]
+            return outputs, final
+
+        cell = nn.GRUCell(features=self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32)
+        b = x.shape[0]
+        h0 = cell.initialize_carry(jax.random.PRNGKey(0), (b, x.shape[-1]))
 
         def step(cell, carry, inp):
             xt, mt = inp

@@ -139,3 +139,54 @@ def test_resolve_segmentation_checkpoint(tmp_path):
             resolve_segmentation_checkpoint(str(tmp_path / "other.pth"), fetcher=bad_fetcher)
             is None
         )
+
+
+def test_autodetect_flow_with_injected_segmentation_backend(monkeypatch):
+    """The FULL ``*-autodetect`` get_arenas branch runs through a
+    registered segmentation backend (set_segmentation_predictor): median
+    frame -> SAM-protocol predict -> multimask selection -> ellipse fit ->
+    px->mm scales (reference arena_utils.py:611-723, whose default path
+    hard-requires segment-anything ViT-H)."""
+    import deepof_tpu.arena as arena_mod
+
+    center, axes = (320, 240), (200, 150)
+    masks = np.stack(
+        [
+            _ellipse_mask(center=center, axes=axes) ,
+            _ellipse_mask(center=center, axes=(40, 30)),
+        ]
+    ) > 0
+    predictor = _FakePredictor(masks, np.array([0.9, 0.2]))
+    monkeypatch.setattr(
+        arena_mod, "median_frame", lambda path, n_samples=20: np.zeros(
+            (480, 640, 3), np.uint8
+        )
+    )
+    arena_mod.set_segmentation_predictor(lambda: predictor)
+    try:
+        scales, params, rois, res = arena_mod.get_arenas(
+            coordinates=None,
+            arena="circular-autodetect",
+            arena_dims=380.0,
+            number_of_rois=0,
+            segmentation_model_path=None,
+            video_path="/nonexistent",
+            videos={"exp0": "exp0.mp4"},
+        )
+    finally:
+        arena_mod.set_segmentation_predictor(None)
+
+    assert res["exp0"] == (480, 640)
+    # Highest-score proposal (the true ellipse) drives the calibration:
+    # length_px = 2 * mean(axes); scales = [cx_mm, cy_mm, len_px, len_mm].
+    cx_mm, cy_mm, length_px, length_mm = scales["exp0"]
+    assert length_mm == 380.0
+    assert length_px == pytest.approx(2 * np.mean(axes), abs=6)
+    ratio = 380.0 / length_px
+    assert cx_mm == pytest.approx(center[0] * ratio, abs=4)
+    assert cy_mm == pytest.approx(center[1] * ratio, abs=4)
+    # Stored arena params are the mm-scaled ellipse.
+    (ecx, ecy), (ea, eb), _ = params["exp0"]
+    assert sorted([ea, eb]) == pytest.approx(
+        [a * ratio for a in sorted(axes)], abs=4
+    )

@@ -5,6 +5,8 @@ XLA gather oracle validates the kernel logic, and the scanned inference
 program is checked end-to-end against the plain batched forward.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -115,3 +117,30 @@ def test_scanned_forward_matches_batched(model_name, use_pallas):
         assert sc is None
     else:
         np.testing.assert_allclose(sc, sc_ref, rtol=2e-4, atol=1e-5)
+
+
+def test_pallas_gru_matches_masked_scan():
+    """ops/pallas_gru.gru_scan_pallas == the MaskedGRU lax.scan path
+    (flax GRUCell math + masked-carry semantics), both directions, with
+    trailing-padding masks — the DEEPOF_TPU_GRU_PALLAS experiment's
+    correctness gate (interpret mode off-TPU)."""
+    import jax
+
+    from deepof_tpu.models.blocks import MaskedGRU
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(6, 9, 5)), jnp.float32)
+    lengths = rng.integers(2, 10, 6)
+    mask = jnp.asarray(np.arange(9)[None] < lengths[:, None])
+
+    for reverse in (False, True):
+        m = MaskedGRU(8, reverse=reverse)
+        v = m.init(jax.random.PRNGKey(1), x, mask)
+        out_scan, fin_scan = m.apply(v, x, mask)
+        os.environ["DEEPOF_TPU_GRU_PALLAS"] = "1"
+        try:
+            out_pal, fin_pal = m.apply(v, x, mask)
+        finally:
+            del os.environ["DEEPOF_TPU_GRU_PALLAS"]
+        np.testing.assert_allclose(out_pal, out_scan, atol=1e-6)
+        np.testing.assert_allclose(fin_pal, fin_scan, atol=1e-6)
