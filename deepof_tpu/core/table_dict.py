@@ -477,6 +477,12 @@ class TableDict(dict):
             x_train._device_frames = {
                 k: dev_frames[k] for k in x_train.keys() if k in dev_frames
             }
+        host_f32 = getattr(table_temp, "_host_f32", None)
+        if host_f32:
+            for part in (x_train, x_test):
+                part._host_f32 = {
+                    k: host_f32[k] for k in part.keys() if k in host_f32
+                }
         if not return_windows:
             # Inference path: keep scaled per-frame tables; the device
             # pipeline gathers windows on-chip (train/inference.py).
@@ -730,7 +736,12 @@ class TableDict(dict):
         frames_budget = int(os.environ.get(
             "DEEPOF_TPU_DEVICE_FRAMES_BYTES", 4_000_000_000
         ))
+        # ONE coalesced transfer for every scaled frame (concurrent
+        # per-key fetches through the tunnel contend catastrophically —
+        # measured 287 s vs 2 s for two 28 MB arrays), then serial host
+        # DataFrame builds.
         arrs = _fetch_all([out for out, _ in finished.values()])
+        host_f32 = {}
         for host, (key, (out, index)) in zip(arrs, list(finished.items())):
             if callable(index):  # fused lane: index built lazily
                 index = index()
@@ -746,11 +757,17 @@ class TableDict(dict):
                 else None
             )
             table_temp[key] = save_dt(df, path, save_as_paths)
+            if host.dtype == np.float32:
+                # The fetched f32 matrix, kept for the windowing pass:
+                # gathering windows from it halves the copy bytes vs the
+                # float64 table (training consumes f32 regardless).
+                host_f32[key] = host
             out_bytes = int(out.size) * out.dtype.itemsize
             if frames_budget >= out_bytes:
                 dev_frames[key] = out
                 frames_budget -= out_bytes
             del finished[key]
+        table_temp._host_f32 = host_f32
         # Scaled matrices stay resident on device: the windowed-inference
         # path consumes them directly, skipping a host round trip per key.
         table_temp._device_frames = dev_frames

@@ -304,13 +304,14 @@ def _fetch_all(arrs) -> list:
     """Host copies of a mixed list of device/host arrays, COALESCING the
     device-resident ones into one transfer per dtype.
 
-    Each device->host transfer pays a fixed RPC round trip on a tunneled
-    TPU (~0.3-0.6 s at recording scale), so N separate fetches cost N
-    round trips even when threaded. Flattening the device arrays and
-    concatenating them ON DEVICE (a cheap fused copy) turns the whole
-    batch into ONE wire crossing per dtype; the host then splits the flat
-    buffer back with zero-copy views. Thread overlap is kept as the
-    fallback for singletons/mixed failures."""
+    Flattening the device arrays and concatenating them ON DEVICE (a
+    cheap fused copy) turns the whole batch into ONE wire crossing per
+    dtype; the host then splits the flat buffer back with zero-copy
+    views. Tunneled-TPU wire facts shaping this design: ~35 MB/s
+    download bandwidth, ~25 ms per-transfer latency, and catastrophic
+    contention between CONCURRENT transfers (two parallel 28 MB fetches
+    measured 287 s vs 2 s coalesced) — so everything is one serial,
+    maximally-batched stream."""
     arrs = list(arrs)
     dev = [
         i for i, a in enumerate(arrs)
@@ -333,13 +334,11 @@ def _fetch_all(arrs) -> list:
                 pending.extend(([i], arrs[i]) for i in idxs)
                 continue
             pending.append((idxs, flat))
-        if len(pending) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(min(len(pending), 8)) as ex:
-                fetched = list(ex.map(np.asarray, (p[1] for p in pending)))
-        else:
-            fetched = [np.asarray(pending[0][1])]
+        # Groups are fetched SERIALLY: concurrent transfers through the
+        # tunnel contend catastrophically (measured 287 s for two parallel
+        # 28 MB fetches vs 2 s coalesced), and per-transfer latency is only
+        # ~25 ms, so serialization costs nothing.
+        fetched = [np.asarray(p[1]) for p in pending]
         for (idxs, _), host in zip(pending, fetched):
             if len(idxs) == 1:
                 arrs[idxs[0]] = host

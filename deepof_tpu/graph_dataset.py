@@ -274,9 +274,15 @@ def get_graph_dataset(
     for k, part in enumerate(to_preprocess):
         num_rows = 0
         dataset = None
+        part_f32 = getattr(part, "_host_f32", None) or {}
         for key in part.keys():
             tab, table_path = get_dt(part, key, return_path=True)
-            frames = np.asarray(tab)  # (T, F) scaled per-frame features
+            # Prefer the fetched f32 matrix stashed by the device scaling
+            # pass: window gathers copy half the bytes, and training
+            # consumes float32 regardless.
+            frames = part_f32.get(key)
+            if frames is None:
+                frames = np.asarray(tab)  # (T, F) scaled per-frame features
             windows = tuple(
                 rolling_windows_host(
                     frames[:, idx], window_size, window_step,
