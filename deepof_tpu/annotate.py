@@ -364,6 +364,71 @@ def stationary_lookaround(
     return out
 
 
+def rotate(origin, point, ang):
+    """Rotate (x, y) around a pivot — the reference's climb/sniff helper
+    (annotation_utils.py:521-537). Returns (qx, qy)."""
+    ox, oy = origin
+    px, py = point
+    qx = ox + np.cos(ang) * (px - ox) - np.sin(ang) * (py - oy)
+    qy = oy + np.sin(ang) * (px - ox) + np.cos(ang) * (py - oy)
+    return qx, qy
+
+
+def outside_ellipse(x, y, e_center, e_axes, e_angle, threshold=0.0):
+    """True where (x, y) lies outside the (possibly threshold-inflated)
+    ellipse — the reference's climb/sniff helper
+    (annotation_utils.py:540-552). Vectorized over x/y arrays."""
+    x, y = rotate(e_center, (x, y), np.radians(e_angle))
+    term_x = (x - e_center[0]) ** 2 / max(e_axes[0] + threshold, 1e-12) ** 2
+    term_y = (y - e_center[1]) ** 2 / max(e_axes[1] + threshold, 1e-12) ** 2
+    return term_x + term_y > 1
+
+
+def digging(
+    speed_dframe, dist_dframe, likelihood_dframe, mouse_identity, close_range,
+    tol_speed, tol_likelihood, min_length, center_name="Center", animal_id="",
+) -> np.ndarray:
+    """The reference's EXPERIMENTAL digging detector
+    (annotation_utils.py:874-987; public but its only call site is
+    commented out upstream): look-around-style stationary activity
+    centered on ``center_name``, gated on ear-nose distances BELOW 0.9x
+    their medians (head-down posture). Faithful to the upstream body,
+    including that rear-body inactivity is computed but unused; missing
+    ear columns default to True (upstream would crash on them — dead-code
+    quality preserved charitably)."""
+    if animal_id:
+        animal_id += "_"
+    speed_dframe = speed_dframe.copy()
+    nan_pos = speed_dframe[speed_dframe[animal_id + center_name].isnull()].index
+    speed_dframe.interpolate(method="linear", inplace=True)
+    immobile = _smoothed_immobility(
+        speed_dframe[animal_id + center_name].to_numpy(float),
+        tol_speed * 2, min_length,
+    )
+    nose_activity = (
+        (speed_dframe[animal_id + "Nose"].to_numpy(float) > tol_speed)
+        & (likelihood_dframe[animal_id + "Nose"].to_numpy(float) > tol_likelihood)
+    )
+
+    def ear_close(ear):
+        c1 = (f"{mouse_identity}{ear}", f"{mouse_identity}Nose")
+        c2 = (f"{mouse_identity}Nose", f"{mouse_identity}{ear}")
+        col = c1 if c1 in dist_dframe.columns else c2 if c2 in dist_dframe.columns else None
+        if col is None:
+            return np.ones(len(dist_dframe), dtype=bool)
+        arr = dist_dframe[col].to_numpy(float)
+        return arr < 0.9 * np.nanmedian(arr)
+
+    head_down = ear_close("Left_ear") & ear_close("Right_ear")
+    core = nose_activity & head_down & ~close_range.astype(bool)
+    out = multi_step_paired_smoothing_host(
+        immobile & core, immobile & ~core, immobile, min_length
+    )
+    pos_idx = speed_dframe.index.get_indexer(nan_pos)
+    out[pos_idx[pos_idx >= 0]] = False
+    return out
+
+
 def detect_activity(
     speed_dframe, likelihood_dframe, tol_speed, tol_likelihood, min_length,
     center_name="Center", animal_id="",

@@ -50,8 +50,14 @@ def extract_corners_from_arena(ellipse_params: Tuple, n_points: int = 100) -> np
 
 
 def fit_ellipse_to_polygon(polygon, return_ellipse: bool = True):
-    """Fit an ellipse to polygon vertices (cv2.fitEllipse)."""
+    """Fit an ellipse to polygon vertices (cv2.fitEllipse; a minimum
+    enclosing circle stands in for degenerate <5-vertex polygons, which
+    cv2.fitEllipse rejects)."""
     pts = np.asarray(polygon, dtype=np.float32)
+    if len(pts) < 5:
+        (cx, cy), r = cv2.minEnclosingCircle(pts)
+        ellipse = ((cx, cy), (r, r), 0.0)
+        return ellipse if return_ellipse else extract_corners_from_arena(ellipse)
     (cx, cy), (w, h), angle = cv2.fitEllipse(pts)
     ellipse = ((cx, cy), (w / 2, h / 2), angle)
     if return_ellipse:
@@ -174,14 +180,23 @@ def detect_arena_contour(
     _, thresh = cv2.threshold(blur, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
     # Try both polarities; keep the largest contour that is not the full frame.
     best = None
-    area_frame = gray.shape[0] * gray.shape[1]
+    hh, ww = gray.shape[:2]
+    area_frame = hh * ww
     for img in (thresh, 255 - thresh):
         contours, _ = cv2.findContours(img, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
         for c in contours:
             a = cv2.contourArea(c)
-            if 0.1 * area_frame < a < 0.98 * area_frame:
-                if best is None or a > cv2.contourArea(best):
-                    best = c
+            if not 0.05 * area_frame < a < 0.98 * area_frame:
+                continue
+            # The background region always touches the frame border; the
+            # arena almost never does. Penalize border-touching contours so
+            # an interior arena beats a larger background blob.
+            x0, y0, cw, chh = cv2.boundingRect(c)
+            touches = x0 <= 0 or y0 <= 0 or x0 + cw >= ww or y0 + chh >= hh
+            score = a * (0.25 if touches else 1.0)
+            if best is None or score > best[0]:
+                best = (score, c)
+    best = best[1] if best is not None else None
     if best is None:  # pragma: no cover
         h, w = gray.shape
         poly = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]])
@@ -269,6 +284,65 @@ def _detect_with_sam(
         multimask_output=True,
     )
     return select_mask_by_reference(masks, scores, arena_type, arena_reference)
+
+
+# --------------------------------------------------------------------------- #
+# Reference-named entry points (migration layer)
+# --------------------------------------------------------------------------- #
+
+
+def get_random_frame(video_path: str) -> np.ndarray:
+    """One uniformly random frame of a video (arena_utils.py:848-856)."""
+    cap = cv2.VideoCapture(video_path)
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.set(cv2.CAP_PROP_POS_FRAMES, int(np.random.choice(max(total, 1))))
+    _, frame = cap.read()
+    cap.release()
+    return frame
+
+
+def arena_parameter_extraction(frame: np.ndarray, arena_type: str):
+    """Fit arena parameters to a binary mask frame
+    (arena_utils.py:1036-1068): ``(center, axes, angle)`` for circular
+    arenas, an (N, 2) vertex array for polygonal ones."""
+    poly, ellipse = mask_to_arena_params(frame, arena_type)
+    return ellipse if "circular" in arena_type else poly
+
+
+def automatically_recognize_arena(
+    videos: dict,
+    vid_key: str,
+    path: str = ".",
+    arena_type: str = "circular-autodetect",
+    arena_reference=None,
+    segmentation_model=None,
+    num_sample_frames: int = 100,
+):
+    """Detect the arena from the median of sampled video frames
+    (arena_utils.py:611-723). With a segmentation predictor (SAM or a
+    backend registered via :func:`set_segmentation_predictor`) the
+    reference's prompt-and-select flow runs; otherwise the pure-OpenCV
+    contour fallback is used.
+
+    Returns ``(arena, h, w)`` — ``(center, axes, angle)`` for circular
+    arenas, vertex array for polygonal ones.
+    """
+    video_path = os.path.join(path, videos[vid_key]) if isinstance(
+        videos, dict
+    ) else os.path.join(path, vid_key)
+    frame = median_frame(video_path, n_samples=num_sample_frames)
+    h, w = frame.shape[:2]
+    if segmentation_model is None:
+        segmentation_model = _maybe_load_sam(None)
+    if segmentation_model is not None:
+        poly, ellipse = _detect_with_sam(
+            frame, segmentation_model, arena_type,
+            None if arena_reference is None else np.asarray(arena_reference),
+        )
+    else:
+        poly, ellipse = detect_arena_contour(frame, arena_type)
+    arena = ellipse if "circular" in arena_type and ellipse is not None else poly
+    return arena, h, w
 
 
 # --------------------------------------------------------------------------- #

@@ -55,6 +55,24 @@ except ImportError:  # pragma: no cover
 CURRENT_VERSION = "0.1.0"
 
 
+def is_display_available() -> bool:  # pragma: no cover
+    """Whether interactive OpenCV windows can be opened
+    (reference data.py:24-46): requires an X display on Linux and a GUI
+    -capable cv2 build. Used to gate the manual arena-annotation GUIs."""
+    import sys
+
+    if sys.platform.startswith("linux") and not os.environ.get("DISPLAY"):
+        return False
+    if cv2 is None:
+        return False
+    try:
+        cv2.namedWindow("__deepof_tpu_display_probe__", cv2.WINDOW_NORMAL)
+        cv2.destroyWindow("__deepof_tpu_display_probe__")
+        return True
+    except cv2.error:
+        return False
+
+
 # --------------------------------------------------------------------------- #
 # Jitted preprocessing core
 # --------------------------------------------------------------------------- #

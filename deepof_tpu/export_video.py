@@ -20,9 +20,47 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
 from deepof_tpu.core.storage import get_dt
 from deepof_tpu.config import ARENA_COLOR, BODYPART_COLORS, ROI_COLORS
 from deepof_tpu.visuals_utils import contiguous_segments, get_behavior_colors, hex_to_BGR
+
+
+@dataclass
+class VideoExportConfig:
+    """Annotation toggles for exported videos — same fields and defaults
+    as the reference's config object (export_video.py:43-56)."""
+
+    display_behavior_names: bool = True
+    display_video_name: bool = False
+    display_time: bool = False
+    display_counter: bool = False
+    display_arena: bool = False
+    display_markers: bool = False
+    display_mouse_labels: bool = False
+    display_loading_bar: bool = True
+    display_roi: Optional[int] = None
+    supervised_export: bool = True
+
+
+@dataclass
+class VideoExportProps:
+    """Drawing parameters for text and shapes on exported frames
+    (reference export_video.py:58-69)."""
+
+    font: Any = field(
+        default_factory=lambda: getattr(cv2, "FONT_HERSHEY_DUPLEX", 2)
+    )
+    font_scale: float = 0.5
+    thickness: int = 1
+    padding: int = 5
+    text_color: Tuple[int, int, int] = (255, 255, 255)
+    outline_color: Tuple[int, int, int] = (0, 0, 0)
+    arena_color: Tuple[int, int, int] = (40, 86, 236)
+    arena_thickness: int = 3
+    marker_radius: int = 3
 
 
 def _open_video(path: str):
@@ -143,9 +181,22 @@ def output_annotated_video(
     display_rois: bool = False,
     display_mouse_labels: bool = False,
     out_path: Optional[str] = None,
+    config: Optional[VideoExportConfig] = None,
+    props: Optional[VideoExportProps] = None,
 ) -> str:
     """Render one experiment's video with overlays; returns the output path
-    (deepof/export_video.py:399-574)."""
+    (deepof/export_video.py:399-574).
+
+    ``config``/``props`` carry the reference's annotation-toggle and
+    drawing-parameter objects; when ``config`` is given its fields
+    override the individual boolean kwargs and additionally enable the
+    video-name, timestamp, and per-behavior seconds-counter overlays."""
+    if config is not None:
+        display_arena = config.display_arena
+        display_markers = config.display_markers
+        display_rois = config.display_roi is not None
+        display_mouse_labels = config.display_mouse_labels
+    props = props or VideoExportProps()
     video_path = os.path.join(
         coordinates._video_path, coordinates._videos[experiment_id]
     )
@@ -183,6 +234,7 @@ def output_annotated_video(
         np.asarray(get_dt(soft_counts, experiment_id))
         if soft_counts is not None else None
     )
+    behavior_seconds: Dict[str, int] = {}
 
     for i in range(n_frames):
         ok, frame = cap.read()
@@ -196,10 +248,35 @@ def output_annotated_video(
             frame = _draw_markers(frame, positions_px, i)
         if display_mouse_labels and i < len(positions_px):
             frame = _draw_mouse_labels(frame, coordinates, positions_px, i)
-        if sup_tab is not None and i < len(sup_tab):
+        if sup_tab is not None and i < len(sup_tab) and (
+            config is None or (config.supervised_export and config.display_behavior_names)
+        ):
             active = [b for b in behaviors if sup_tab[b].iloc[i] > 0.1]
             active_colors = [c for b, c in zip(behaviors, colors) if sup_tab[b].iloc[i] > 0.1]
+            if config is not None and config.display_counter:
+                for b in active:
+                    behavior_seconds[b] = behavior_seconds.get(b, 0) + 1
+                active = [
+                    f"{b} ({behavior_seconds.get(b, 0) / fps:.1f}s)" for b in active
+                ]
             frame = _draw_behavior_info(frame, active, active_colors)
+        if config is not None and (config.display_video_name or config.display_time):
+            header = []
+            if config.display_video_name:
+                header.append(experiment_id)
+            if config.display_time:
+                header.append(f"{i / fps:7.2f}s")
+            y = props.padding + 15
+            cv2.putText(
+                frame, "  ".join(header), (props.padding, y),
+                props.font, props.font_scale, props.outline_color,
+                props.thickness + 1, cv2.LINE_AA,
+            )
+            cv2.putText(
+                frame, "  ".join(header), (props.padding, y),
+                props.font, props.font_scale, props.text_color,
+                props.thickness, cv2.LINE_AA,
+            )
         if counts is not None and i < len(counts):
             cv2.putText(
                 frame, f"cluster {int(counts[i].argmax())}", (10, h - 10),

@@ -434,3 +434,163 @@ def get_soft_counts_msm(
         rs = p.sum(1, keepdims=True)
         out[key] = (p / np.maximum(rs, 1e-12)).astype(np.float32)
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Sticky-HMM contrastive extractor (reference public API)
+# --------------------------------------------------------------------------- #
+
+
+def get_contrastive_soft_counts(
+    coordinates,
+    embeddings,
+    states="bic",
+    min_states: int = 2,
+    max_states: int = 25,
+    reg_covar: float = 1e-5,
+    sample_size: int = 500000,
+    random_state: int = 0,
+    p_stay: float = 0.95,
+    soft_counts: Optional[Dict[str, np.ndarray]] = None,
+    min_confidence: Optional[float] = 0.75,
+    prior_weight: float = 1.0,
+):
+    """Sticky-HMM soft counts for the contrastive model — the reference's
+    legacy public extractor (post_hoc.py:146-375): diagonal-GMM emissions
+    fitted on pooled samples (no HMM EM), a sticky transition matrix
+    ``A = p_stay*I + (1-p_stay)*1 pi^T``, AIC/BIC state selection via the
+    forward log-likelihood, optional per-frame priors with confidence
+    gating (``log_emiss += prior_weight * log(P)``), and forward-backward
+    smoothing (run through the jitted log-space kernels above).
+
+    Returns a TableDict of (T, K) posteriors when ``coordinates`` is
+    given (saved through the pointer protocol for very large projects),
+    else a plain dict.
+    """
+    import os
+
+    from sklearn.mixture import GaussianMixture
+
+    from deepof_tpu.core.storage import get_dt, save_dt
+
+    keys = list(embeddings.keys())
+    if not keys:
+        raise ValueError("Embeddings are empty.")
+    seqs = {k: np.asarray(get_dt(embeddings, k), np.float32) for k in keys}
+
+    def _sample_rows():
+        if hasattr(embeddings, "sample_windows_from_data"):
+            per = max(int(sample_size / len(keys)), 1)
+            z = embeddings.sample_windows_from_data(n_windows=per, seed=random_state)[0]
+            z = np.asarray(z, np.float32)
+            if z.ndim > 2:
+                z = z.reshape(len(z), -1)
+            if len(z):
+                return z
+        pooled = np.concatenate(list(seqs.values()))
+        if len(pooled) > sample_size:
+            rng = np.random.default_rng(random_state)
+            pooled = pooled[rng.choice(len(pooled), sample_size, replace=False)]
+        return pooled
+
+    rows = _sample_rows()
+
+    def _fit_params(k: int):
+        gm = GaussianMixture(
+            n_components=k, covariance_type="diag", reg_covar=reg_covar,
+            max_iter=200, tol=1e-3, random_state=random_state,
+            init_params="kmeans",
+        ).fit(rows)
+        return (
+            gm.means_.astype(np.float32),
+            gm.covariances_.astype(np.float32),
+            gm.weights_.astype(np.float64),
+        )
+
+    def _hmm_terms(mu, var, pi):
+        a = float(p_stay) * np.eye(len(pi)) + (1.0 - float(p_stay)) * (
+            np.ones((len(pi), 1)) @ pi[None, :]
+        )
+        a = np.maximum(a, 1e-12)
+        a /= a.sum(axis=1, keepdims=True)
+        return (
+            jnp.asarray(mu),
+            jnp.asarray(np.log(np.maximum(var, 1e-10)), jnp.float32),
+            jnp.asarray(np.log(np.maximum(pi, 1e-12)), jnp.float32),
+            jnp.asarray(np.log(a), jnp.float32),
+        )
+
+    d = seqs[keys[0]].shape[1]
+    if soft_counts is not None:
+        k0 = next((k for k in keys if k in soft_counts), None)
+        if k0 is None:
+            raise ValueError(
+                "soft_counts provided but no keys overlap with embeddings"
+            )
+        k_prior = int(np.asarray(get_dt(soft_counts, k0)).shape[1])
+        if isinstance(states, int) and int(states) != k_prior:
+            raise ValueError(
+                f"states={states} but soft_counts implies K={k_prior}; "
+                "they must match"
+            )
+        k_best = k_prior
+    elif isinstance(states, int):
+        k_best = int(states)
+    else:
+        crit = str(states).lower()
+        if crit not in ("aic", "bic"):
+            raise NotImplementedError(
+                'invalid states type; try "aic", "bic" or an int'
+            )
+        t_total = sum(len(s) for s in seqs.values())
+        best_score = k_best = None
+        for k in range(max(2, min_states), max(min_states, max_states) + 1):
+            mu, lv, lp, la = _hmm_terms(*_fit_params(k))
+            ll = 0.0
+            for s in seqs.values():
+                log_b = _log_gaussian(jnp.asarray(s), mu, lv)
+                _, _, seq_ll = _forward_backward(log_b, lp, la)
+                ll += float(seq_ll)
+            p = 2 * k * d + (k - 1)
+            score = 2 * p - 2 * ll if crit == "aic" else p * np.log(
+                max(t_total, 1)
+            ) - 2 * ll
+            if best_score is None or score < best_score:
+                best_score, k_best = score, k
+
+    mu, lv, lp, la = _hmm_terms(*_fit_params(k_best))
+    out = {}
+    for key in keys:
+        s = seqs[key]
+        log_b = _log_gaussian(jnp.asarray(s), mu, lv)
+        if soft_counts is not None and key in soft_counts:
+            prior = _align_prior(
+                np.asarray(get_dt(soft_counts, key)), s.shape[0], k_best,
+                min_confidence,
+            )
+            log_b = log_b + jnp.asarray(
+                float(prior_weight) * np.log(prior), jnp.float32
+            )
+        gamma, _, _ = _forward_backward(log_b, lp, la)
+        out[str(key)] = np.asarray(gamma)
+
+    if coordinates is None:
+        return out
+
+    from deepof_tpu.core.table_dict import TableDict
+
+    table_path = os.path.join(
+        coordinates._project_path, coordinates._project_name, "Tables"
+    )
+    saved = {
+        key: save_dt(
+            counts,
+            os.path.join(table_path, key, f"{key}_soft_counts"),
+            coordinates._very_large_project,
+        )
+        for key, counts in out.items()
+    }
+    return TableDict(
+        saved, typ="unsupervised_counts", table_path=table_path,
+        exp_conditions=coordinates.get_exp_conditions(),
+    )

@@ -27,6 +27,7 @@ import pandas as pd
 
 from deepof_tpu.core.storage import get_dt, save_dt
 from deepof_tpu.core.table_dict import TableDict
+from deepof_tpu.msm import get_contrastive_soft_counts  # noqa: F401 — reference public API lives here (post_hoc.py:146)
 
 
 # --------------------------------------------------------------------------- #
@@ -798,7 +799,9 @@ def explain_clusters(
     Returns (shap_values, explainer, processed_stats).
     """
     try:  # pragma: no cover - optional accelerated backend
-        import shap
+        from deepof_tpu.utils import import_optional
+
+        shap = import_optional("shap")
 
         make_explainer = lambda fn, bg: shap.KernelExplainer(  # noqa: E731
             fn, data=shap.kmeans(bg[0], bg[1]), normalize=False
@@ -864,7 +867,9 @@ def compute_UMAP(
     reduced = lda.fit_transform(embeddings, cluster_assignments)
     if reducer is None:  # pragma: no cover — requires optional umap-learn
         try:
-            import umap
+            from deepof_tpu.utils import import_optional
+
+            umap = import_optional("umap")
         except ImportError as e:
             raise ImportError(
                 "compute_UMAP requires the optional 'umap-learn' package "

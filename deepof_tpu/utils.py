@@ -12,7 +12,8 @@ statistical standardization per section.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -21,6 +22,24 @@ from sklearn.preprocessing import MinMaxScaler, RobustScaler, StandardScaler
 from deepof_tpu.io.readers import natural_sorted  # noqa: F401  (re-export)
 
 SCALERS = {"standard": StandardScaler, "minmax": MinMaxScaler, "robust": RobustScaler}
+
+
+def import_optional(name: str):
+    """Import an OPTIONAL accelerated backend, rejecting stand-in stubs.
+
+    Test harnesses (e.g. ``tests/reference_shim.py``, which makes the
+    upstream reference importable) may install auto-stub modules for
+    absent packages into ``sys.modules``; a plain ``import shap`` would
+    silently pick those up and produce garbage. Real installed packages
+    always carry ``__file__`` — stubs don't — so this raises ImportError
+    for them and the caller falls back to the self-contained
+    implementation."""
+    import importlib
+
+    mod = importlib.import_module(name)
+    if getattr(mod, "__file__", None) is None:
+        raise ImportError(f"optional module {name!r} resolves to a stub")
+    return mod
 
 
 # --------------------------------------------------------------------------- #
@@ -913,3 +932,655 @@ def count_transitions(
             for k, v in transitions_dict.items()
         }
     return transitions_dict, columns, combined_columns
+
+
+# --------------------------------------------------------------------------- #
+# Reference-named numeric API (migration layer)
+# --------------------------------------------------------------------------- #
+# The reference exposes its kernel library as public functions on
+# deepof.utils (deepof/utils.py:814-3632). The TPU-native implementations
+# live in deepof_tpu.ops under idiomatic names; these wrappers keep the
+# reference's exact names, signatures, and pandas in/out contracts so
+# migrating user code keeps working.
+
+
+def bp2polar(tab) -> pd.DataFrame:
+    """Cartesian (x, y) table of ONE bodypart -> polar (rho, phi)
+    DataFrame (deepof/utils.py:814-831)."""
+    arr = np.array(tab, dtype=float)
+    if arr.ndim == 1:
+        arr = arr.reshape(1, -1)
+    z = arr[:, 0] + 1j * arr[:, 1]
+    return pd.DataFrame({"rho": np.abs(z), "phi": np.angle(z)})
+
+
+def tab2polar(cartesian_df: pd.DataFrame) -> pd.DataFrame:
+    """Whole coordinate table -> polar, preserving bodypart order and
+    index (deepof/utils.py:833-861)."""
+    if isinstance(cartesian_df.columns, pd.MultiIndex):
+        bps = [c[0] for c in cartesian_df.columns]
+        bps = list(np.array(bps)[np.unique(bps, return_index=True)[1]])
+    else:
+        bps = list(cartesian_df.columns)
+    parts = [bp2polar(cartesian_df[bp]) for bp in bps]
+    out = pd.concat(parts, axis=1)
+    out.columns = pd.MultiIndex.from_product([bps, ["rho", "phi"]])
+    out.index = cartesian_df.index
+    return out
+
+
+def compute_dist(pair_array: np.ndarray) -> pd.DataFrame:
+    """Euclidean distance over time for one bodypart pair given as an
+    (N, 4) [ax, ay, bx, by] (or (N, 2) 1-D) stack
+    (deepof/utils.py:863-881)."""
+    pair_array = np.asarray(pair_array, dtype=float)
+    lim = 2 if pair_array.shape[1] == 4 else 1
+    ab = pair_array[:, :lim] - pair_array[:, lim:]
+    return pd.DataFrame(np.sqrt(np.einsum("...i,...i", ab, ab)))
+
+
+def bpart_distance(dataframe: pd.DataFrame) -> pd.DataFrame:
+    """All-pairs bodypart distances of a MultiIndex coordinate table,
+    columns named by sorted-combination tuples (deepof/utils.py:884-903).
+    Runs as one jitted all-pairs kernel (ops.pairwise_distances)."""
+    from itertools import combinations
+
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import all_pair_indices, pairwise_distances
+
+    bps = list(dataframe.columns.levels[0])
+    pos = np.stack(
+        [dataframe[bp].to_numpy(float) for bp in bps], axis=1
+    )  # (T, B, 2)
+    pairs = all_pair_indices(len(bps))
+    dists = np.asarray(
+        pairwise_distances(jnp.asarray(pos), np.asarray(pairs, np.int32))
+    )
+    cols = [tuple(idx) for idx in combinations(bps, 2)]
+    return pd.DataFrame(dists, columns=cols, index=dataframe.index)
+
+
+def angle(bpart_array: np.ndarray) -> np.ndarray:
+    """Unsigned angle at b for (a, b, c) position stacks of shape
+    (3, T, 2) (deepof/utils.py:906-929)."""
+    a, b, c = np.asarray(bpart_array, dtype=float)
+    ba, bc = a - b, c - b
+    cos = np.einsum("...i,...i", ba, bc) / (
+        np.linalg.norm(ba, axis=1) * np.linalg.norm(bc, axis=1)
+    )
+    return np.arccos(np.clip(cos, -1, 1))
+
+
+def signed_angle(bpart_array: np.ndarray) -> np.ndarray:
+    """(sin, cos) of the signed angle at b for (a, b, c) stacks
+    (deepof/utils.py:932-954)."""
+    a, b, c = np.asarray(bpart_array, dtype=float)
+    ab, bc = a - b, c - b
+    dot = (ab * bc).sum(-1)
+    det = ab[..., 0] * bc[..., 1] - ab[..., 1] * bc[..., 0]
+    theta = np.arctan2(det, dot)
+    return np.stack([np.sin(theta), np.cos(theta)], axis=1)
+
+
+def compute_areas(polygon_xy_stack: np.ndarray) -> np.ndarray:
+    """Shoelace polygon areas for an (N, P, 2) stack; NaN where any
+    vertex is missing (deepof/utils.py:957-979)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import polygon_areas
+
+    stack = np.asarray(polygon_xy_stack, dtype=float)
+    areas = np.array(  # device arrays surface read-only; copy before edit
+        polygon_areas(
+            jnp.asarray(stack), np.arange(stack.shape[1], dtype=np.int32)
+        )
+    )
+    areas[np.isnan(stack).any(axis=(1, 2))] = np.nan
+    return areas
+
+
+def rolling_window(
+    a: np.ndarray, window_size: int, window_step: int, automatic_changepoints=False, precomputed_breaks=None,
+):
+    """Stride-tricks sliding windows (deepof/utils.py:3354-3377)."""
+    from deepof_tpu.ops.windows import rolling_windows_host
+
+    return rolling_windows_host(np.asarray(a), window_size, window_step)
+
+
+def smooth_mult_trajectory(
+    series: np.ndarray, alpha: int = 0, w_length: int = 15
+) -> np.ndarray:
+    """Savitzky-Golay smoothing with the reference's alpha->polyorder
+    convention (polyorder = w_length - alpha; alpha 0 = identity)
+    (deepof/utils.py:3477-3516)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import savgol_edges_host, savgol_smooth
+
+    series = np.asarray(series, dtype=float)
+    if not alpha:
+        return series
+    squeeze = series.ndim == 1
+    x = series.reshape(len(series), -1)
+    polyorder = w_length - int(alpha)
+    e_start, e_end = savgol_edges_host(x, w_length, polyorder)
+    out = np.asarray(
+        savgol_smooth(
+            jnp.asarray(x), w_length, polyorder,
+            (jnp.asarray(e_start), jnp.asarray(e_end)),
+        )
+    )
+    return out.reshape(series.shape) if not squeeze else out[:, 0]
+
+
+def get_point_polygon_distance(points: np.ndarray, polygon) -> np.ndarray:
+    """Distance of each point to a polygon's boundary
+    (deepof/utils.py:1477-1512; shapely replaced by the jitted
+    segment-distance kernel). ``polygon`` is an (M, 2) vertex array or a
+    shapely-like object exposing exterior coordinates."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops.geometry import point_to_polygon_distance
+
+    if hasattr(polygon, "exterior"):
+        polygon = np.asarray(polygon.exterior.coords)
+    return np.asarray(
+        point_to_polygon_distance(
+            jnp.asarray(np.asarray(points, float)), np.asarray(polygon, float)
+        )
+    )
+
+
+def compute_animal_presence_mask(quality, threshold: float = 0.5):
+    """Per-frame animal presence from median tracking quality
+    (deepof/utils.py:576-603). Returns a TableDict of (T, A) 0/1 frames."""
+    from deepof_tpu.core.table_dict import TableDict
+
+    masks = {}
+    for exp in quality.keys():
+        per_animal = {}
+        for aid in quality._animal_ids:
+            per_animal[aid] = (
+                quality.filter_id(aid)[exp].median(axis=1) > threshold
+            ).astype(int)
+        masks[exp] = pd.DataFrame(per_animal)
+    return TableDict(
+        masks, typ="animal_presence_mask",
+        table_path=getattr(quality, "_table_path", None),
+        animal_ids=quality._animal_ids,
+    )
+
+
+def set_missing_animals(coordinates, tab_dict, lik_dict, animal_ids=None):
+    """NaN out frames where an animal is absent, per table
+    (deepof/utils.py:676-713). Works on dicts of DataFrames; presence
+    comes from the coordinates' stored masks."""
+    for key, tab in tab_dict.items():
+        if isinstance(tab, pd.DataFrame):
+            tab_dict[key] = coordinates._set_missing_animals_frame(tab, key)
+    return tab_dict
+
+
+def load_precompiled_model(path, download_path, model_path, model_name):
+    """Download-on-miss loader for the precompiled SAM/immobility models
+    (deepof/utils.py:3743-3780): resolves the checkpoint (fetching it to
+    ``model_path`` when absent), then loads a SAM predictor for ``.pth``
+    or a legacy sklearn pickle for ``.pkl``."""
+    import os
+
+    from deepof_tpu.legacy_compat import load_pickle_compat
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), model_path
+        )
+    if not os.path.exists(path) and download_path:
+        import urllib.request
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        print(f"{model_name} not found. Downloading...")
+        urllib.request.urlretrieve(download_path, path)
+    if path.endswith(".pth"):
+        from deepof_tpu.arena import _maybe_load_sam
+
+        predictor = _maybe_load_sam(path)
+        if predictor is None:
+            raise ImportError(
+                "segment-anything is required to load SAM checkpoints "
+                "(or register a backend via "
+                "deepof_tpu.arena.set_segmentation_predictor)."
+            )
+        return predictor
+    return load_pickle_compat(path)
+
+
+def full_outlier_mask(
+    experiment: pd.DataFrame,
+    likelihood: pd.DataFrame,
+    likelihood_tolerance: float,
+    exclude: str,
+    lag: int,
+    n_std: int,
+    mode: str,
+) -> pd.DataFrame:
+    """Boolean outlier mask over every bodypart of one experiment
+    (deepof/utils.py:3584-3631) — runs as ONE batched jitted kernel
+    (ops.mask_outliers) instead of the reference's per-bodypart loop."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import mask_outliers
+
+    bps = [bp for bp in experiment.columns.levels[0] if bp != exclude]
+    xy = np.stack([experiment[bp].to_numpy(float) for bp in bps], axis=1)
+    lik = np.stack([likelihood[bp].to_numpy(float).reshape(-1) for bp in bps], axis=1)
+    mask = np.asarray(
+        mask_outliers(
+            jnp.asarray(xy), jnp.asarray(lik), float(likelihood_tolerance),
+            lag=int(lag), n_std=float(n_std), mode=mode,
+        )
+    )
+    # Build the boolean frame directly (pandas 3 refuses lossy bool->float
+    # setitem into the copied float table), preserving column order.
+    kept_cols = [
+        c for c in experiment.columns if not (exclude and c[0] == exclude)
+    ]
+    data = {}
+    for i, bp in enumerate(bps):
+        data[(bp, "x")] = mask[:, i]
+        data[(bp, "y")] = mask[:, i]
+    out = pd.DataFrame(data, index=experiment.index)
+    return out[kept_cols]
+
+
+class MouseTrackingImputer:
+    """Gap imputation for tracking tables (deepof/utils.py:198-413):
+    linear interpolation for small gaps (limit 3), and — in full mode —
+    iterative ridge imputation, Kalman/RTS smoothing, and skeleton-length
+    constraints estimated from complete frames, all running through the
+    jitted kernels in deepof_tpu.ops.imputation."""
+
+    def __init__(self, n_iterations=10, connectivity=None, full_imputation=False):
+        self.full_imputation = full_imputation
+        self.n_iterations = n_iterations
+        self.connectivity = connectivity
+        self.lin_interp_limit = 3
+
+    def fit_transform(self, data: pd.DataFrame) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from deepof_tpu.ops import (
+            enforce_skeleton_constraints,
+            estimate_skeleton_constraints,
+            iterative_ridge_impute,
+            kalman_rts_smooth,
+        )
+
+        coord_cols = [c for c in data.columns if c[0] != "Row"]
+        tab = data[coord_cols]
+        filled = tab.interpolate(
+            method="linear", limit=self.lin_interp_limit,
+            limit_direction="both",
+        )
+        out = data.copy()
+        out[coord_cols] = filled
+        if not self.full_imputation or not filled.isna().any().any():
+            return out.to_numpy()
+
+        bps = list(dict.fromkeys(c[0] for c in coord_cols))
+        block = np.stack([filled[bp].to_numpy(float) for bp in bps], axis=1)
+        original = np.isfinite(block)
+        edges = []
+        if self.connectivity is not None:
+            idx = {bp: i for i, bp in enumerate(bps)}
+            for p1, nbrs in self.connectivity.adj.items():
+                for p2 in nbrs:
+                    if p1 in idx and p2 in idx:
+                        edges.append((idx[p1], idx[p2]))
+        constraints = (
+            estimate_skeleton_constraints(block, edges) if edges else None
+        )
+        t = block.shape[0]
+        imputed = np.array(
+            iterative_ridge_impute(jnp.asarray(block.reshape(t, -1), jnp.float32))
+        ).reshape(block.shape)
+        imputed[original] = block[original]
+        smoothed = np.array(kalman_rts_smooth(jnp.asarray(imputed, jnp.float32)))
+        smoothed[original] = block[original]
+        if constraints is not None:
+            smoothed = np.asarray(
+                enforce_skeleton_constraints(
+                    jnp.asarray(smoothed, jnp.float32), constraints,
+                    jnp.asarray(original),
+                )
+            )
+        for i, bp in enumerate(bps):
+            out[(bp, "x")] = smoothed[:, i, 0]
+            out[(bp, "y")] = smoothed[:, i, 1]
+        return out.to_numpy()
+
+
+def iterative_imputation(project, tab_dict, lik_dict, full_imputation: bool = False):
+    """Impute occluded bodyparts per animal and experiment
+    (deepof/utils.py:605-674): presence-masked rows of each animal are
+    imputed with MouseTrackingImputer and written back in place."""
+    presence = compute_animal_presence_mask(
+        _as_quality_dict(project, lik_dict)
+    )
+    for key, tab in list(tab_dict.items()):
+        if not isinstance(tab, pd.DataFrame):
+            continue
+        tab = tab.copy()
+        for aid in project.animal_ids:
+            cols = filter_columns(tab.columns, aid) if aid else list(tab.columns)
+            if not cols:
+                continue
+            rows = np.where(presence[key][aid].to_numpy())[0]
+            if len(rows) < 2:
+                continue
+            sub = tab.loc[tab.index[rows], cols]
+            imputer = MouseTrackingImputer(
+                connectivity=(
+                    project.connectivity.get(aid)
+                    if isinstance(getattr(project, "connectivity", None), dict)
+                    else getattr(project, "connectivity", None)
+                ),
+                full_imputation=full_imputation,
+            )
+            imputed = imputer.fit_transform(sub)
+            tab.loc[tab.index[rows], cols] = imputed
+        tab_dict[key] = tab
+    return tab_dict
+
+
+def _as_quality_dict(project, lik_dict):
+    """Wrap raw likelihood frames into the TableDict quality container
+    compute_animal_presence_mask expects."""
+    from deepof_tpu.core.table_dict import TableDict
+
+    return TableDict(
+        dict(lik_dict), typ="quality", table_path=None,
+        animal_ids=list(project.animal_ids),
+    )
+
+
+class KeyErrorMessage(str):
+    """str whose repr prints verbatim, so multi-line KeyError messages stay
+    readable (deepof/utils.py:63-64)."""
+
+    def __repr__(self):
+        return str(self)
+
+
+# --------------------------------------------------------------------------- #
+# Reference kernel-name tier (the *_numba functions)
+# --------------------------------------------------------------------------- #
+# The reference exposes its 23 numba JIT kernels as public names on
+# deepof.utils. These keep those exact names and signatures while running
+# the XLA kernels from deepof_tpu.ops (the TPU-native replacements).
+# They exist purely for migration; framework code calls the ops directly.
+
+
+def rts_smoother_numba(measurements, F, H, Q, R):
+    """Generic Kalman forward + RTS backward smoother
+    (deepof/utils.py:70-145): same math and initialization (first
+    measurement broadcast into the state, 1000*I prior covariance), run as
+    one jitted lax.scan pair instead of a per-step Python loop."""
+    import jax
+    import jax.numpy as jnp
+
+    measurements = np.asarray(measurements, np.float64)
+    F, H, Q, R = (np.asarray(m, np.float64) for m in (F, H, Q, R))
+    n_state = F.shape[0]
+    x0 = np.zeros(n_state)
+    x0[:] = measurements[0]  # broadcast like the reference's assignment
+    p0 = np.eye(n_state) * 1000.0
+
+    @jax.jit
+    def _smooth(ms, f, h, q, r, x_init, p_init):
+        def fwd(carry, z):
+            x, p = carry
+            xp = f @ x
+            pp = f @ p @ f.T + q
+            s = h @ pp @ h.T + r
+            k = pp @ h.T @ jnp.linalg.inv(s)
+            xf = xp + k @ (z - h @ xp)
+            pf = (jnp.eye(n_state) - k @ h) @ pp
+            return (xf, pf), (xf, pf, xp, pp)
+
+        (_, _), (xf, pf, xp, pp) = jax.lax.scan(fwd, (x_init, p_init), ms[1:])
+        xf = jnp.concatenate([x_init[None], xf])
+        pf = jnp.concatenate([p_init[None], pf])
+
+        def bwd(carry, inp):
+            xs_next, _ = carry
+            xf_t, pf_t, xp_next, pp_next = inp
+            c = pf_t @ f.T @ jnp.linalg.inv(pp_next)
+            xs = xf_t + c @ (xs_next - xp_next)
+            ps = pf_t  # covariances are not consumed downstream
+            return (xs, ps), xs
+
+        (_, _), xs_rev = jax.lax.scan(
+            bwd, (xf[-1], pf[-1]),
+            (xf[:-1][::-1], pf[:-1][::-1], xp[::-1], pp[::-1]),
+        )
+        return jnp.concatenate([xs_rev[::-1], xf[-1][None]])
+
+    return np.asarray(_smooth(measurements, F, H, Q, R, x0, p0))
+
+
+def enforce_skeleton_constraints_numba(
+    data, skeleton_constraints, original_pos, tolerance=0.1,
+    correction_factor=0.5,
+):
+    """Bone-length projection after imputation (deepof/utils.py:149-195);
+    delegates to the jitted scan kernel (ops.imputation)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import enforce_skeleton_constraints
+
+    return np.asarray(
+        enforce_skeleton_constraints(
+            jnp.asarray(np.asarray(data, float)),
+            [(int(a), int(b), float(d)) for a, b, d in skeleton_constraints],
+            jnp.asarray(np.asarray(original_pos, bool)),
+            tolerance=float(tolerance),
+            correction_factor=float(correction_factor),
+        )
+    )
+
+
+def polygon_area_numba(vertices: np.ndarray) -> float:
+    """Shoelace area of one polygon (deepof/utils.py:1003-1023)."""
+    v = np.asarray(vertices, float)
+    x, y = v[:, 0], v[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) / 2)
+
+
+def compute_areas_numba(polygon_xy_stack: np.ndarray) -> np.ndarray:
+    """Per-frame shoelace areas for a (T, V, 2) polygon stack
+    (deepof/utils.py:982-999) through the batched XLA kernel."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import polygon_areas
+
+    stack = np.asarray(polygon_xy_stack, float)
+    return np.asarray(
+        polygon_areas(jnp.asarray(stack), np.arange(stack.shape[1])),
+        np.float64,
+    )
+
+
+def extend_behaviors_numba(
+    behaviors: np.ndarray, delta_T: float = 2.0, frame_rate: float = 1,
+) -> np.ndarray:
+    """Extend every (K, T) behavior bout by delta_T seconds past its
+    offset (deepof/utils.py:1027-1064)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import extend_behaviors
+
+    out = np.asarray(
+        extend_behaviors(
+            jnp.asarray(np.asarray(behaviors, bool)),
+            delta_t=float(delta_T), frame_rate=float(frame_rate),
+        )
+    )
+    return out.astype(np.asarray(behaviors).dtype, copy=False)
+
+
+def rotate_numba(p, angles, origin=None):
+    """Rotate 2D points by a single angle around ``origin``
+    (deepof/utils.py:1360-1414)."""
+    p = np.asarray(p, float)
+    if p.ndim <= 1:
+        p = p.reshape(1, p.size)
+    origin = np.zeros(2) if origin is None else np.asarray(origin, float)
+    c, s = np.cos(angles), np.sin(angles)
+    rot = np.array([[c, -s], [s, c]])
+    return (rot @ (p - origin).T).T + origin
+
+
+def rotate_all_numba(data: np.ndarray, angles: np.ndarray) -> np.ndarray:
+    """Per-frame rotation of interleaved [x1,y1,x2,y2,...] rows by
+    per-frame angles (deepof/utils.py:1323-1357) — one jitted batched
+    kernel (ops.rotate2d) instead of a frame loop."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import rotate2d
+
+    data = np.asarray(data, float)
+    t, f = data.shape
+    pts = data.reshape(t, f // 2, 2)
+    out = np.asarray(
+        rotate2d(jnp.asarray(pts), jnp.asarray(np.asarray(angles, float)))
+    )
+    return out.reshape(t, f)
+
+
+def point_in_polygon_numba(points: np.ndarray, polygon: np.ndarray) -> np.ndarray:
+    """Ray-casting membership per point (deepof/utils.py:1418-1476)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import point_in_polygon
+
+    return np.asarray(
+        point_in_polygon(
+            jnp.asarray(np.asarray(points, float)), np.asarray(polygon, float)
+        )
+    )
+
+
+def get_point_polygon_distance_numba(points, poly_xy):
+    """Min point-to-boundary distances (deepof/utils.py:1515-1541)."""
+    return get_point_polygon_distance(points, poly_xy)
+
+
+def in_field_of_view_numba(mouse_pts, fov_angle_deg, roi_poly, eps=1e-10):
+    """FOV-cone vs ROI intersection per frame, (T,) of {1.0, 0.0, nan}
+    (deepof/utils.py:1757-1870)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops.geometry import in_field_of_view
+
+    mouse_pts = np.asarray(mouse_pts, float)
+    if not (0.0 < fov_angle_deg < 180.0):
+        return np.full(mouse_pts.shape[0], np.nan)
+    return np.asarray(
+        in_field_of_view(
+            jnp.asarray(mouse_pts), float(fov_angle_deg),
+            np.asarray(roi_poly, float), eps=float(eps),
+        ),
+        np.float64,
+    )
+
+
+def kleinberg_core_numba(gaps, s, gamma, n, T, k):
+    """Optimal burst-level sequence (1-based) for inter-event gaps
+    (deepof/utils.py:3143-3212); runs the C++ DP kernel when built."""
+    from deepof_tpu.ops.bursts import _kleinberg_q
+
+    return _kleinberg_q(
+        np.asarray(gaps, float), float(s), float(gamma), int(n), float(T),
+        int(k),
+    )
+
+
+def binary_moving_median_numba(time_series, lag):
+    """Centered binary moving median (deepof/utils.py:3520-3533)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import binary_moving_median
+
+    arr = np.asarray(time_series)
+    return np.asarray(
+        binary_moving_median(jnp.asarray(arr.astype(bool)), int(lag))
+    ).astype(arr.dtype, copy=False)
+
+
+def filter_short_true_segments_numba(array: np.ndarray, min_length: int):
+    """Drop True runs shorter than min_length (deepof/utils.py:4000-4037)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import filter_short_true_segments
+
+    return np.asarray(
+        filter_short_true_segments(
+            jnp.asarray(np.asarray(array, bool)), int(min_length)
+        )
+    )
+
+
+@dataclass
+class GlobalScalerSpec:
+    """Typed container for global scalers fitted across videos
+    (deepof/utils.py:2343-2381). The preprocess pipeline keeps the legacy
+    dict format at its boundary; this wraps/unwraps it for user code that
+    wants a structured view."""
+
+    kind: str
+    speed_mode: "Optional[str]"
+    dist_mode: "Optional[str]"
+    coord_mode: "Optional[str]"
+    log_distances: bool
+    speed: "Any" = None
+    dist: "Any" = None
+    dist_inner: "Any" = None
+    dist_intra: "Any" = None
+    coord: "Any" = None
+
+    def to_legacy_dict(self):
+        return {
+            "kind": self.kind,
+            "speed": self.speed,
+            "dist": self.dist,
+            "dist_inner": self.dist_inner,
+            "dist_intra": self.dist_intra,
+            "coord": self.coord,
+            "speed_mode": self.speed_mode,
+            "dist_mode": self.dist_mode,
+            "coord_mode": self.coord_mode,
+            "log_distances": self.log_distances,
+        }
+
+    @classmethod
+    def from_legacy_dict(cls, d):
+        return cls(
+            kind=d.get("kind", "standard"),
+            speed_mode=d.get("speed_mode"),
+            dist_mode=d.get("dist_mode"),
+            coord_mode=d.get("coord_mode"),
+            log_distances=bool(d.get("log_distances", False)),
+            speed=d.get("speed"),
+            dist=d.get("dist"),
+            dist_inner=d.get("dist_inner"),
+            dist_intra=d.get("dist_intra"),
+            coord=d.get("coord"),
+        )
+
+    def is_effectively_empty(self) -> bool:
+        return all(
+            getattr(self, k) is None
+            for k in ("speed", "dist", "dist_inner", "dist_intra", "coord")
+        )

@@ -200,6 +200,79 @@ def plot_gantt(
     return _maybe_save(fig, save, "gantt")
 
 
+def gantt_plotter(
+    coordinates,
+    gantt_matrix: np.ndarray,
+    plot_type: str,
+    instance_id: str,
+    n_available_instances: int,
+    instances_to_plot: list,
+    colors: list,
+    behavior_mode: bool = False,
+    bin_info: dict = None,
+    bin_indices: np.ndarray = None,
+    additional_checkpoints=None,
+    signal_overlay=None,
+    ax: Any = None,
+    save: bool = False,
+):
+    """Low-level gantt renderer over a precomputed occurrence matrix —
+    the reference's helper under plot_gantt (visuals.py:768): one barh
+    lane per instance (behavior or experiment), optional changepoint
+    vlines and a continuous signal overlay on a twin axis.
+
+    Args:
+        gantt_matrix: (n_instances, T) binary occurrence matrix.
+        plot_type: "supervised" | "unsupervised" (title framing only).
+        instance_id: experiment (behavior_mode=False) or behavior name.
+        n_available_instances / instances_to_plot: lane bookkeeping.
+        colors: one hex color per plotted instance.
+        bin_indices: frame indices plotted (defaults to all columns).
+        additional_checkpoints: DataFrame/array of frame indices drawn as
+            dashed vlines (changepoints).
+        signal_overlay: pd.Series drawn on a twin y-axis.
+    """
+    gantt_matrix = np.atleast_2d(np.asarray(gantt_matrix))
+    if bin_indices is not None:
+        gantt_matrix = gantt_matrix[:, np.asarray(bin_indices, int)]
+    frame_rate = float(coordinates._frame_rate)
+
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(
+            figsize=(10, 0.4 * len(instances_to_plot) + 1)
+        )
+    else:
+        fig = ax.figure
+
+    for i, name in enumerate(instances_to_plot):
+        mask = gantt_matrix[i] > 0
+        starts, ends = vu.contiguous_segments(mask)
+        for seg_s, seg_e in zip(starts, ends):
+            ax.barh(
+                i, (seg_e - seg_s) / frame_rate, left=seg_s / frame_rate,
+                color=colors[i % len(colors)], height=0.8,
+            )
+    if additional_checkpoints is not None:
+        pts = np.asarray(additional_checkpoints).reshape(-1)
+        for p in pts[np.isfinite(pts.astype(float))]:
+            ax.axvline(float(p) / frame_rate, ls="--", lw=0.8, color="k")
+    if signal_overlay is not None:
+        twin = ax.twinx()
+        sig = np.asarray(signal_overlay, float)
+        twin.plot(np.arange(len(sig)) / frame_rate, sig, lw=0.8, color="0.3")
+        twin.set_ylabel(getattr(signal_overlay, "name", "") or "signal")
+    ax.set_yticks(range(len(instances_to_plot)))
+    ax.set_yticklabels([str(n) for n in instances_to_plot])
+    ax.set_xlabel("time (s)")
+    ax.set_title(
+        f"{plot_type} gantt — {instance_id}"
+        + (f" ({len(instances_to_plot)}/{n_available_instances})"
+           if n_available_instances else "")
+    )
+    return _maybe_save(fig, save, "gantt")
+
+
 # --------------------------------------------------------------------------- #
 # Enrichment and trends
 # --------------------------------------------------------------------------- #
@@ -931,7 +1004,9 @@ def plot_shap_swarm_per_cluster(
     if cluster != "all":
         shap_values = shap_values[int(cluster)]
     try:  # pragma: no cover - optional accelerated backend
-        import shap
+        from deepof_tpu.utils import import_optional
+
+        shap = import_optional("shap")
 
         shap.summary_plot(
             shap_values, chunk_stats, max_display=max_display, show=False

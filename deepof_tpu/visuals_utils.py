@@ -721,6 +721,95 @@ def add_polar_bin_labels(ax, geom, radius_factor: float = 1.166):
         ax.text(theta, r, label, ha="center", va="center")
 
 
+def postprocess_df_bins(df, bin_lengths, hide_time_bins):
+    """Binned-trend table post-processing (reference visuals_utils.py:840):
+    inserts a ``bin_length`` column after ``time_bin``, hides any bin
+    where some condition group has under 5% non-NaN coverage (with a
+    user-facing warning), and asserts the behavior was measured at all.
+
+    Returns (df, hide_time_bins)."""
+    min_frac = 0.05
+    num_bins = len(bin_lengths)
+    condition_values = sorted(df["exp_condition"].astype(str).unique().tolist())
+    behavior = df.columns[2]
+
+    loc = df.columns.get_loc("time_bin")
+    df.insert(
+        loc + 1, "bin_length",
+        np.asarray(bin_lengths)[df["time_bin"].astype(int)],
+    )
+
+    coverage = (
+        df.pivot_table(
+            index="time_bin", columns="exp_condition", values=behavior,
+            aggfunc=lambda s: s.notna().mean(),
+        )
+        .reindex(index=range(num_bins), columns=list(condition_values))
+        .fillna(0.0)
+    )
+    enough = coverage.ge(min_frac).all(axis=1).to_numpy()
+    hide_time_bins = hide_time_bins | ~enough
+    if not enough.all():
+        warnings.warn(
+            f"Time bins {np.where(~enough)[0] + 1} hold data for under "
+            f"{min_frac:.0%} of tables in some condition and were excluded."
+        )
+    assert np.nansum(df[behavior]) > 1e-6, (
+        "None of the selected behavior was measured within the given time "
+        "bins and ROI!"
+    )
+    return df, hide_time_bins
+
+
+def plot_effectsize_histogram(
+    ax, geom, effect_size_categories, hide_time_bins, max_value, bottom,
+    show_histogram=True, cmap=("#9370DB", "#6A5ACD", "#4B0082"),
+    hidden_color="#C0C0C0", alpha=0.8,
+):
+    """Per-bin effect-size bars under a binned trend plot (reference
+    visuals_utils.py:2722): bar height encodes the Cohen's-d category
+    (1=small..3=large) at 10% of the plot's value range, hidden bins are
+    greyed, and polar axes get their r-limits expanded to fit the bars.
+
+    Returns (legend_handles, stat_text_color)."""
+    from matplotlib.patches import Patch
+
+    if not show_histogram:
+        return None, "k"
+
+    cats = np.asarray(effect_size_categories, dtype=float)
+    unit = max_value * 0.1 if max_value > 0 else 0.1
+    values = cats * unit
+    colors = [
+        cmap[int(np.clip(int(c) - 1, 0, len(cmap) - 1))]
+        for c in cats.astype(int)
+    ]
+    for k in range(min(len(colors), len(hide_time_bins))):
+        if hide_time_bins[k]:
+            colors[k] = hidden_color
+            values[k] = unit
+
+    bars = ax.bar(
+        geom["centers"], values, width=geom["widths"], bottom=bottom,
+        align="center",
+    )
+    for color, bar in zip(colors, bars):
+        bar.set_facecolor(color)
+        bar.set_alpha(alpha)
+
+    if getattr(ax, "name", "") == "polar":
+        lower = ax.get_ylim()[0]
+        ticks = ax.get_yticks()
+        pad = np.diff(ticks)[0] if len(ticks) >= 2 else 0.0
+        ax.set_rlim(lower, ax.get_rmax() + pad)
+
+    handles = [
+        Patch(color=c, label=lab)
+        for c, lab in zip(list(cmap)[::-1], ("large", "medium", "small"))
+    ]
+    return handles, "#FFFF00"
+
+
 def plot_binned_line(ax, x, y, yerr=None, hide_time_bins=None, color="C0",
                      label=None, polar_depiction=False):
     """One condition's binned trend line with an error band, with hidden
