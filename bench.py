@@ -310,14 +310,24 @@ def main():
         _record_error("bf16_embed", e)
     if public_fps is not None:
         # Second metric (VERDICT r1 weak #3): the user-facing API path
-        # Project.create -> get_graph_dataset -> embedding_per_video.
-        fps_value, stages = public_fps
+        # Project.create -> get_graph_dataset -> embedding_per_video,
+        # with the training tensors materialized (reference semantics);
+        # plus the inference-only flow, where they stay lazy pointers and
+        # the scaled matrices are consumed on device.
+        fps_value, inf_fps, stages = public_fps
         result["public_api_frames_per_sec"] = round(fps_value, 1)
         result["public_api_vs_baseline"] = round(fps_value / target, 3)
+        result["public_api_inference_frames_per_sec"] = round(inf_fps, 1)
+        result["public_api_inference_vs_baseline"] = round(inf_fps / target, 3)
         if stages:
+            inf_stages = stages.pop("inference_flow", None)
             result["public_api_stages_s"] = {
                 k: round(v, 3) for k, v in stages.items()
             }
+            if inf_stages:
+                result["public_api_inference_stages_s"] = {
+                    k: round(v, 3) for k, v in inf_stages.items()
+                }
     if train_bench is not None:
         # bf16 compute policy vs float32 on the jitted VQVAE train step
         # (the AMP equivalent, SURVEY §2.3), with MFU and a batch sweep.
@@ -627,6 +637,8 @@ def _bench_public_path(frame_rate: float):
             batch_size=4096,
         )
         _mark("public path: timed passes")
+        from deepof_tpu.core.storage import get_dt as _get_dt
+
         elapsed, stages = None, None
         for _ in range(2):
             timer = StageTimer()
@@ -644,6 +656,13 @@ def _bench_public_path(frame_rate: float):
                 dataset, meta, adjacency, tab_dict, scaler = (
                     coords.get_graph_dataset(window_size=window)
                 )
+                # The headline flow is the full TRAINING-SET build:
+                # materialize the windowed tensors (lazily deferred by
+                # the fused lane) so the number keeps the same semantics
+                # as the reference's eager get_graph_dataset.
+                for part in dataset:
+                    for key in part.keys():
+                        _get_dt(part, key)
             with timer.stage("embedding_per_video"):
                 embeddings, _ = embedding_per_video(
                     coords, tab_dict, bundle, meta, global_scaler=scaler,
@@ -653,7 +672,38 @@ def _bench_public_path(frame_rate: float):
             rep = time.time() - t0
             if elapsed is None or rep < elapsed:
                 elapsed, stages = rep, timer.as_dict()
-        return t / elapsed, stages
+
+        # The INFERENCE flow (the north-star workload: preprocess ->
+        # embed with a pretrained model): identical calls, but the
+        # training tensors stay unmaterialized LazyWindows pointers —
+        # inference reads the device-resident scaled matrices directly,
+        # so the full scaled-matrix download is never paid.
+        _mark("public path: inference-flow pass")
+        inf_timer = StageTimer()
+        t0 = time.time()
+        with inf_timer.stage("project_create"):
+            proj = Project(
+                project_path=tmp, project_name="bench",
+                video_path=f"{tmp}/Videos", table_path=f"{tmp}/Tables",
+                arena="circular-autodetect", video_scale="380 mm",
+                table_format="h5", frame_rate=frame_rate,
+                animal_ids=animal_ids,
+            )
+            coords = proj.create(force=True, test=True, verbose=False)
+        with inf_timer.stage("get_graph_dataset"):
+            dataset, meta, adjacency, tab_dict, scaler = (
+                coords.get_graph_dataset(window_size=window)
+            )
+        with inf_timer.stage("embedding_per_video"):
+            embeddings, _ = embedding_per_video(
+                coords, tab_dict, bundle, meta, global_scaler=scaler,
+                batch_size=4096,
+            )
+            jax.block_until_ready(len(embeddings))
+        inf_elapsed = time.time() - t0
+        stages = dict(stages)
+        stages["inference_flow"] = inf_timer.as_dict()
+        return t / elapsed, t / inf_elapsed, stages
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

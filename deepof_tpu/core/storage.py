@@ -115,6 +115,57 @@ class LazyFrame:
         self._cache = frame
 
 
+class LazyWindows:
+    """A TableDict value for windowed ``(nodes, edges, angles)`` tensors
+    that realizes on first access.
+
+    Fourth pointer kind of the out-of-core protocol (after in-memory
+    objects, ``{"h5_file", "table"}`` pointers, and :class:`LazyFrame`):
+    the window tuple's SOURCE matrix still lives on the accelerator, and
+    materializing it costs one device->host transfer plus the window
+    gathers. ``get_dt`` resolves it (cached); ``only_metainfo`` answers
+    shape queries from host metadata without touching the device. Used by
+    the fused graph-dataset lane so that inference-only flows — which
+    consume the device-resident scaled matrices directly — never pay for
+    training tensors they don't read (the reference's own
+    ``return_as_paths`` mode likewise hands back unmaterialized DuckDB
+    pointers, deepof/data_loading.py:66-165)."""
+
+    __slots__ = ("_realize_fn", "_shapes", "_cache")
+
+    def __init__(self, realize_fn, shapes):
+        self._realize_fn = realize_fn
+        self._shapes = tuple(tuple(int(d) for d in s) for s in shapes)
+        self._cache = None
+
+    @property
+    def shapes(self):
+        return self._shapes
+
+    def realize(self) -> tuple:
+        if self._cache is None:
+            self._cache = tuple(self._realize_fn())
+        return self._cache
+
+    def __len__(self):
+        return len(self._shapes)
+
+    def __iter__(self):
+        return iter(self.realize())
+
+    def __getitem__(self, i):
+        return self.realize()[i]
+
+    def __getstate__(self):  # pickle: realize (device handles don't pickle)
+        return {"windows": self.realize()}
+
+    def __setstate__(self, state):
+        windows = state["windows"]
+        self._realize_fn = lambda: windows
+        self._shapes = tuple(np.shape(w) for w in windows)
+        self._cache = windows
+
+
 def save_dt(dt: Any, path: Optional[str], return_path: bool = False):
     """Persist a table and (optionally) return a pointer to it.
 
@@ -126,6 +177,10 @@ def save_dt(dt: Any, path: Optional[str], return_path: bool = False):
     """
     if not return_path or path is None:
         return dt
+    if isinstance(dt, LazyWindows):
+        dt = dt.realize()
+    elif isinstance(dt, LazyFrame):
+        dt = dt.realize()
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     h5_file = path + ".h5"
@@ -168,6 +223,19 @@ def get_dt(
         load_range: (start, end) inclusive row range to load.
     """
     entry = tab_dict[key]
+
+    if isinstance(entry, LazyWindows):
+        if only_metainfo:
+            meta = {
+                "shape": [tuple(s) for s in entry.shapes],
+                "columns": None,
+                "num_rows": entry.shapes[0][0] if entry.shapes else 0,
+            }
+            return (meta, None) if return_path else meta
+        obj = entry.realize()
+        if load_range is not None:
+            obj = _slice_obj(obj, load_range)
+        return (obj, None) if return_path else obj
 
     if isinstance(entry, LazyFrame):
         if only_metainfo:

@@ -483,12 +483,21 @@ class TableDict(dict):
                 part._host_f32 = {
                     k: host_f32[k] for k in part.keys() if k in host_f32
                 }
+        deferred_f32 = getattr(table_temp, "_deferred_f32", None)
+        if deferred_f32:
+            for part in (x_train, x_test):
+                part._deferred_f32 = {
+                    k: deferred_f32[k] for k in part.keys() if k in deferred_f32
+                }
         if not return_windows:
             # Inference path: keep scaled per-frame tables; the device
             # pipeline gathers windows on-chip (train/inference.py).
+            # Shapes come from metainfo so lazy (device-resident) frames
+            # are not realized just to be measured.
             metainfo = {
                 "shape_train": tuple(
-                    np.asarray(get_dt(x_train, k)).shape for k in x_train.keys()
+                    tuple(get_dt(x_train, k, only_metainfo=True)["shape"])
+                    for k in x_train.keys()
                 ),
                 "shape_test": (0,),
                 "dist_standardize": dist_standardize,
@@ -736,38 +745,75 @@ class TableDict(dict):
         frames_budget = int(os.environ.get(
             "DEEPOF_TPU_DEVICE_FRAMES_BYTES", 4_000_000_000
         ))
-        # ONE coalesced transfer for every scaled frame (concurrent
-        # per-key fetches through the tunnel contend catastrophically —
-        # measured 287 s vs 2 s for two 28 MB arrays), then serial host
-        # DataFrame builds.
-        arrs = _fetch_all([out for out, _ in finished.values()])
-        host_f32 = {}
-        for host, (key, (out, index)) in zip(arrs, list(finished.items())):
-            if callable(index):  # fused lane: index built lazily
-                index = index()
-            # float64 output frames: the host path returns float64 tables,
-            # and downstream code may rely on that dtype (ADVICE r3).
-            df = pd.DataFrame(
-                np.asarray(host, np.float64), index=index,
-                columns=meta["columns"], copy=False,
-            )
-            path = (
-                os.path.join(self._table_path, key, f"{key}_{file_name}")
-                if self._table_path
-                else None
-            )
-            table_temp[key] = save_dt(df, path, save_as_paths)
-            if host.dtype == np.float32:
-                # The fetched f32 matrix, kept for the windowing pass:
-                # gathering windows from it halves the copy bytes vs the
-                # float64 table (training consumes f32 regardless).
-                host_f32[key] = host
+        # Frames that fit the device budget are NOT fetched here at all:
+        # the scaled matrix stays on the accelerator and the table value
+        # is a LazyFrame whose realization fetches on first host access.
+        # Inference-only flows consume the device copies directly, so the
+        # dominant wire cost of the public path (the full scaled-matrix
+        # download, ~6 s of an 8.5 s pass at the 1-hour workload) is paid
+        # only by consumers that actually read the host tensors (training
+        # via WindowDataset, or user code touching the DataFrames).
+        deferred = {}
+        eager = []  # (key, out, index) past the pin budget (or paths mode)
+        entries = {}
+        for key in list(finished):
+            out, index = finished.pop(key)
             out_bytes = int(out.size) * out.dtype.itemsize
-            if frames_budget >= out_bytes:
+            if frames_budget >= out_bytes and not save_as_paths:
                 dev_frames[key] = out
                 frames_budget -= out_bytes
-            del finished[key]
+                holder = _DeferredScaledFrame(out)
+                deferred[key] = holder
+                if callable(index):  # fused lane: index built lazily
+                    index_fn = (lambda n, f=index: f())
+                else:
+                    index_fn = (lambda n, ix=index: ix)
+                # float64 realization: the host path returns float64
+                # tables, and downstream code may rely on that dtype
+                # (ADVICE r3); LazyFrame wraps the array with columns +
+                # index on first access.
+                entries[key] = LazyFrame(
+                    (lambda h=holder: np.asarray(h.f32(), np.float64)),
+                    meta["columns"], int(out.shape[0]), index_fn=index_fn,
+                )
+            else:
+                eager.append((key, out, index))
+        host_f32 = {}
+        if eager:
+            # ONE coalesced transfer for the eagerly-fetched frames
+            # (concurrent per-key fetches through the tunnel contend
+            # catastrophically — measured 287 s vs 2 s for two 28 MB
+            # arrays), then serial host DataFrame builds.
+            arrs = _fetch_all([out for _, out, _ in eager])
+            for host, (key, out, index) in zip(arrs, eager):
+                if callable(index):
+                    index = index()
+                df = pd.DataFrame(
+                    np.asarray(host, np.float64), index=index,
+                    columns=meta["columns"], copy=False,
+                )
+                path = (
+                    os.path.join(self._table_path, key, f"{key}_{file_name}")
+                    if self._table_path
+                    else None
+                )
+                entries[key] = save_dt(df, path, save_as_paths)
+                if host.dtype == np.float32:
+                    # The fetched f32 matrix, kept for the windowing pass:
+                    # gathering windows from it halves the copy bytes vs
+                    # the float64 table (training consumes f32 regardless).
+                    host_f32[key] = host
+                out_bytes = int(out.size) * out.dtype.itemsize
+                if frames_budget >= out_bytes:
+                    # Paths mode still pins scaled frames (budget-checked)
+                    # so the windowed-inference path can skip re-uploads.
+                    dev_frames[key] = out
+                    frames_budget -= out_bytes
+        for key in keys_list:  # original key order
+            if key in entries:
+                table_temp[key] = entries[key]
         table_temp._host_f32 = host_f32
+        table_temp._deferred_f32 = deferred
         # Scaled matrices stay resident on device: the windowed-inference
         # path consumes them directly, skipping a host round trip per key.
         table_temp._device_frames = dev_frames
@@ -777,6 +823,28 @@ class TableDict(dict):
 # --------------------------------------------------------------------------- #
 # Preprocess helpers
 # --------------------------------------------------------------------------- #
+
+
+class _DeferredScaledFrame:
+    """A scaled ``(T, F)`` float32 matrix still resident on the
+    accelerator, fetched once on first host access.
+
+    Shared by every lazy host view of the same frame (the scaled
+    LazyFrame, the LazyWindows training tensors, the inference scale
+    cache), so however many of them are realized, the wire is crossed at
+    most once per frame — and not at all for inference-only flows, which
+    read the device copy directly."""
+
+    __slots__ = ("dev", "_host")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self._host = None
+
+    def f32(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self.dev)
+        return self._host
 
 
 def _device_scale_applicable(

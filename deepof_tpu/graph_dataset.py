@@ -250,7 +250,13 @@ def get_graph_dataset(
         for part in to_preprocess:
             part_dev = getattr(part, "_device_frames", None) or {}
             for key in part.keys():
-                frame = get_dt(part, key)
+                # Stash the VALUE (LazyFrame or DataFrame) without
+                # realizing it: device-resident frames must not be
+                # fetched just to fill a cache whose consumers prefer
+                # the device copies anyway.
+                frame = part[key]
+                if not isinstance(frame, LazyFrame):
+                    frame = get_dt(part, key)
                 budget -= int(frame.shape[0]) * int(frame.shape[1]) * 8
                 frames_cache[key] = frame
                 if key in part_dev:
@@ -268,48 +274,74 @@ def get_graph_dataset(
     edge_idx = np.asarray(edge_sorting_indices, dtype=int)
     angle_idx = np.asarray(angle_sorting_indices, dtype=int)
 
+    from deepof_tpu.core.storage import LazyWindows
     from deepof_tpu.ops.windows import rolling_windows_host
+
+    def _gather_windows(frames):
+        """(T, F) scaled matrix -> (nodes, edges, angles) window views."""
+        return tuple(
+            rolling_windows_host(
+                frames[:, idx], window_size, window_step,
+                # shuffling fancy-indexes (and thus materializes) below
+                contiguous=False,
+            )
+            if len(idx)
+            else np.zeros(
+                (max(frames.shape[0] - window_size + 1, 0), window_size, 0)
+            )[::window_step]
+            for idx in (node_idx, edge_idx, angle_idx)
+        )
 
     rng = np.random.default_rng(42) if shuffle else None
     for k, part in enumerate(to_preprocess):
         num_rows = 0
-        dataset = None
+        any_key = False
         part_f32 = getattr(part, "_host_f32", None) or {}
+        part_deferred = getattr(part, "_deferred_f32", None) or {}
         for key in part.keys():
+            any_key = True
+            holder = part_deferred.get(key)
+            if holder is not None and rng is None and not return_as_paths:
+                # The scaled matrix is still on the accelerator: return
+                # the training tensors as a LazyWindows pointer (shapes
+                # known up front) so the fetch is paid only by consumers
+                # that read them — training materializes at WindowDataset
+                # build; inference-only flows never do.
+                t_rows = int(part[key].shape[0])
+                n_win = len(range(0, max(t_rows - window_size + 1, 0), window_step))
+                shapes = tuple(
+                    (n_win, window_size, len(idx))
+                    for idx in (node_idx, edge_idx, angle_idx)
+                )
+                part[key] = LazyWindows(
+                    (lambda h=holder: _gather_windows(h.f32())), shapes
+                )
+                num_rows += n_win
+                continue
             tab, table_path = get_dt(part, key, return_path=True)
             # Prefer the fetched f32 matrix stashed by the device scaling
-            # pass: window gathers copy half the bytes, and training
-            # consumes float32 regardless.
+            # pass (or the deferred holder's cached fetch): window gathers
+            # copy half the bytes, and training consumes float32 anyway.
             frames = part_f32.get(key)
+            if frames is None and holder is not None:
+                frames = holder.f32()
             if frames is None:
                 frames = np.asarray(tab)  # (T, F) scaled per-frame features
-            windows = tuple(
-                rolling_windows_host(
-                    frames[:, idx], window_size, window_step,
-                    # shuffling fancy-indexes (and thus materializes) below
-                    contiguous=False,
-                )
-                if len(idx)
-                else np.zeros(
-                    (max(frames.shape[0] - window_size + 1, 0), window_size, 0)
-                )[::window_step]
-                for idx in (node_idx, edge_idx, angle_idx)
-            )
+            windows = _gather_windows(frames)
             if rng is not None:
                 order = rng.permutation(windows[0].shape[0])
                 windows = tuple(w[order] for w in windows)
-            dataset = windows
-            num_rows += dataset[0].shape[0]
+            num_rows += windows[0].shape[0]
             path = None
             if isinstance(table_path, dict):
                 path = os.path.splitext(table_path["h5_file"])[0]
-            part[key] = save_dt(dataset, path, return_as_paths)
+            part[key] = save_dt(windows, path, return_as_paths)
         shape_key = "shape_train" if k == 0 else "shape_test"
-        if dataset is not None:
+        if any_key:
             metainfo[shape_key] = [
-                (num_rows,) + dataset[0].shape[1:],
-                (num_rows,) + dataset[1].shape[1:],
-                (num_rows,) + dataset[2].shape[1:],
+                (num_rows, window_size, len(node_idx)),
+                (num_rows, window_size, len(edge_idx)),
+                (num_rows, window_size, len(angle_idx)),
             ]
         elif k == 0:
             metainfo["shape_train"] = [(0,), (0,), (0,)]

@@ -385,15 +385,19 @@ def embedding_per_video(
     ):
         if key not in scaled_tables.keys():
             continue  # all-NaN tables are dropped by preprocess
-        tab_scaled = get_dt(scaled_tables, key)
         if key in device_tables:
             # Scaled matrix still resident on device (device scaling fast
             # path) — feed it straight into the scanned program, no host
-            # round trip.
+            # round trip; columns come from metainfo so a lazy
+            # (device-resident) host table is never realized here.
             feats = device_tables[key].astype(jnp.float32)
+            all_cols = list(
+                get_dt(scaled_tables, key, only_metainfo=True)["columns"]
+            )
         else:
+            tab_scaled = get_dt(scaled_tables, key)
             feats = np.asarray(tab_scaled.to_numpy(), np.float32)
-        all_cols = list(tab_scaled.columns)
+            all_cols = list(tab_scaled.columns)
 
         node_cols = meta_info.get("node_columns")
         use_angles = bool(model.rebuild_spec.get("use_angles"))

@@ -160,3 +160,108 @@ def test_fused_lane_drops_all_nan_tables(monkeypatch):
         assert len(train_keys) >= 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lazy_windows_protocol():
+    """LazyWindows: metainfo without realize, cached realize, tuple
+    behavior, range loads, pickling."""
+    import pickle
+
+    from deepof_tpu.core.storage import LazyWindows
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        return (
+            np.arange(24.0, dtype=np.float32).reshape(4, 2, 3),
+            np.arange(8.0, dtype=np.float32).reshape(4, 2, 1),
+            np.zeros((4, 2, 0), dtype=np.float32),
+        )
+
+    lw = LazyWindows(make, ((4, 2, 3), (4, 2, 1), (4, 2, 0)))
+    d = {"k": lw}
+
+    meta = get_dt(d, "k", only_metainfo=True)
+    assert meta["shape"] == [(4, 2, 3), (4, 2, 1), (4, 2, 0)]
+    assert meta["num_rows"] == 4
+    assert not calls  # metainfo never realizes
+
+    nodes, edges, angles = get_dt(d, "k")
+    assert nodes.shape == (4, 2, 3) and angles.shape == (4, 2, 0)
+    get_dt(d, "k")
+    assert len(calls) == 1  # realize is cached
+
+    part = get_dt(d, "k", load_range=(1, 2))
+    assert part[0].shape == (2, 2, 3)
+
+    rt = pickle.loads(pickle.dumps(lw))
+    for a, b in zip(rt, (nodes, edges, angles)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_lane_defers_training_windows(monkeypatch):
+    """Device lane: the returned training tensors are LazyWindows whose
+    source matrix is never fetched by the inference flow — only a
+    consumer that actually reads them pays the device->host transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepof_tpu.core.storage import LazyWindows
+    from deepof_tpu.models import build_model, init_variables
+    from deepof_tpu.train.harness import ModelBundle
+    from deepof_tpu.train.inference import embedding_per_video
+
+    tmp = _build_project("test_single_topview")
+    try:
+        coords, (ds, meta, adjacency, tab, scaler) = _run(
+            tmp, None, "1", monkeypatch
+        )
+        train = ds[0]
+        assert train.keys()
+        assert all(isinstance(train[k], LazyWindows) for k in train.keys())
+        holders = getattr(train, "_deferred_f32", None)
+        assert holders and all(h._host is None for h in holders.values())
+
+        # metainfo answers shapes without realizing anything.
+        for k in train.keys():
+            m = get_dt(train, k, only_metainfo=True)
+            assert m["shape"][0][1] == 10  # window size
+        assert all(h._host is None for h in holders.values())
+
+        # The inference flow never touches the training tensors.
+        n = len(meta["node_columns"]) // 3
+        e = len(meta["edge_columns"])
+        model = build_model(
+            "VQVAE", (10, n, 3), (10, e, 1), adjacency, latent_dim=4,
+            n_components=4, encoder_type="recurrent", use_gnn=True,
+        )
+        variables = init_variables(
+            model, {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 10, n, 3), jnp.float32),
+            jnp.zeros((1, 10, e, 1), jnp.float32), train=False,
+        )
+        bundle = ModelBundle(
+            model=model, variables=variables,
+            rebuild_spec={
+                "model": "VQVAE", "input_shape": [10, n, 3],
+                "edge_feature_shape": [10, e, 1], "n_components": 4,
+                "use_angles": False,
+            },
+        )
+        emb, _ = embedding_per_video(
+            coords, tab, bundle, meta, global_scaler=scaler
+        )
+        assert emb and all(len(v) for v in emb.values())
+        assert all(h._host is None for h in holders.values())
+
+        # Reading a training tensor realizes it (once) from the shared
+        # holder; the shapes match the promised metainfo.
+        k0 = sorted(train.keys())[0]
+        nodes, edges, angles = get_dt(train, k0)
+        assert nodes.shape == tuple(
+            get_dt(train, k0, only_metainfo=True)["shape"][0]
+        )
+        assert any(h._host is not None for h in holders.values())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
