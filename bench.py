@@ -668,7 +668,11 @@ def _bench_public_path(frame_rate: float):
                     coords, tab_dict, bundle, meta, global_scaler=scaler,
                     batch_size=4096,
                 )
-                jax.block_until_ready(len(embeddings))
+                # embedding_per_video materializes via _fetch_all, so
+                # values are already host-resident; touch each one so the
+                # guard keeps working if that fetch ever becomes lazy.
+                for v in embeddings.values():
+                    np.asarray(v)
             rep = time.time() - t0
             if elapsed is None or rep < elapsed:
                 elapsed, stages = rep, timer.as_dict()
@@ -699,7 +703,8 @@ def _bench_public_path(frame_rate: float):
                 coords, tab_dict, bundle, meta, global_scaler=scaler,
                 batch_size=4096,
             )
-            jax.block_until_ready(len(embeddings))
+            for v in embeddings.values():
+                np.asarray(v)  # host-materialization guard (see above)
         inf_elapsed = time.time() - t0
         stages = dict(stages)
         stages["inference_flow"] = inf_timer.as_dict()

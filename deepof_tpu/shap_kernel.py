@@ -107,7 +107,12 @@ def _build_coalitions(
         if n_s <= budget - len(remaining_sizes):
             from itertools import combinations
 
-            w = _shapley_kernel_weight(m, s)
+            # Normalized per-coalition weight (size_mass[s-1] spread over
+            # the C(m, s) coalitions of that size) so enumerated and sampled
+            # coalitions share ONE scale — mirroring shap's weight_left
+            # bookkeeping. Using the raw kernel weight here would inflate
+            # the enumerated group by the normalization constant Z.
+            w = size_mass[s - 1] / n_s
             for idx in combinations(range(m), s):
                 row = np.zeros(m, bool)
                 row[list(idx)] = True

@@ -233,8 +233,13 @@ def gantt_plotter(
         signal_overlay: pd.Series drawn on a twin y-axis.
     """
     gantt_matrix = np.atleast_2d(np.asarray(gantt_matrix))
+    frame_origin = 0
     if bin_indices is not None:
-        gantt_matrix = gantt_matrix[:, np.asarray(bin_indices, int)]
+        idx = np.asarray(bin_indices, int)
+        gantt_matrix = gantt_matrix[:, idx]
+        # keep bars on the ABSOLUTE time axis so checkpoint vlines and the
+        # signal overlay (both absolute-frame artists) stay aligned.
+        frame_origin = int(idx[0]) if len(idx) else 0
     frame_rate = float(coordinates._frame_rate)
 
     own_fig = ax is None
@@ -250,7 +255,8 @@ def gantt_plotter(
         starts, ends = vu.contiguous_segments(mask)
         for seg_s, seg_e in zip(starts, ends):
             ax.barh(
-                i, (seg_e - seg_s) / frame_rate, left=seg_s / frame_rate,
+                i, (seg_e - seg_s) / frame_rate,
+                left=(seg_s + frame_origin) / frame_rate,
                 color=colors[i % len(colors)], height=0.8,
             )
     if additional_checkpoints is not None:

@@ -76,9 +76,7 @@ def test_angle_and_signed_angle():
     # unsigned angle of the SIGNED construction (ab vs bc) relates via
     # arccos(cos(theta)) == angle between ab and bc
     np.testing.assert_allclose(
-        np.arccos(np.clip(sc[:, 1], -1, 1)),
-        du.angle(np.stack([a, b, c]) * np.array([1, 1, 1])[:, None, None])
-        if False else np.arccos(np.clip(sc[:, 1], -1, 1)),
+        np.arccos(np.clip(sc[:, 1], -1, 1)), du.angle(stack), rtol=1e-10
     )
 
 
