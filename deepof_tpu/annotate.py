@@ -1061,27 +1061,36 @@ def supervised_annotation(
     if params:
         tag_params.update(params)
 
-    raw_coords = coordinates.get_coords(center=False)
-    coords = coordinates.get_coords(center=center, align="Spine_1")
-    # Graph-filtered distances, as the reference pipeline feeds the rules
-    # (deepof/data.py:3128): close-range scans then only see the skeleton's
-    # inter-animal links (Nose/Tail_base), not every bodypart pair.
-    dists = coordinates.get_distances()
-    angles = coordinates.get_angles()
-    speeds = coordinates.get_coords(speed=1)
+    from deepof_tpu.profiling import stage as _profile_stage
 
-    from deepof_tpu.posthoc import align_deepof_kinematics_with_unsupervised_labels
+    with _profile_stage("supervised_feature_gather"):
+        raw_coords = coordinates.get_coords(center=False)
+        coords = coordinates.get_coords(center=center, align="Spine_1")
+        # Graph-filtered distances, as the reference pipeline feeds the
+        # rules (deepof/data.py:3128): close-range scans then only see the
+        # skeleton's inter-animal links (Nose/Tail_base), not every
+        # bodypart pair.
+        dists = coordinates.get_distances()
+        angles = coordinates.get_angles()
+        speeds = coordinates.get_coords(speed=1)
 
-    full_features = align_deepof_kinematics_with_unsupervised_labels(
-        coordinates, include_angles=False, animal_id=None, file_name=None,
-    )
-    if len(coordinates._animal_ids) > 1:
-        per_animal = {}
-        for aid in coordinates._animal_ids:
-            per_animal[aid] = align_deepof_kinematics_with_unsupervised_labels(
-                coordinates, include_angles=False, animal_id=aid, file_name=None,
-            )
-        full_features = per_animal
+        from deepof_tpu.posthoc import (
+            align_deepof_kinematics_with_unsupervised_labels,
+        )
+
+        full_features = align_deepof_kinematics_with_unsupervised_labels(
+            coordinates, include_angles=False, animal_id=None, file_name=None,
+        )
+        if len(coordinates._animal_ids) > 1:
+            per_animal = {}
+            for aid in coordinates._animal_ids:
+                per_animal[aid] = (
+                    align_deepof_kinematics_with_unsupervised_labels(
+                        coordinates, include_angles=False, animal_id=aid,
+                        file_name=None,
+                    )
+                )
+            full_features = per_animal
 
     tabs = {}
     from deepof_tpu.utils import progress
@@ -1089,31 +1098,33 @@ def supervised_annotation(
     for key in progress(
         list(coordinates._tables.keys()), desc="Tagging behaviors", verbose=verbose
     ):
-        tag = supervised_tagging(
-            coordinates,
-            raw_coords=raw_coords,
-            coords=coords,
-            dists=dists,
-            angles=angles,
-            speeds=speeds,
-            full_features=full_features,
-            key=key,
-            immobility_estimator=immobility_estimator,
-            center=center,
-            params=tag_params,
-            custom_behaviors=custom_behaviors,
-            custom_behavior_context=custom_behavior_context or {},
-        )
-        # Per-animal missing flag (deepof/data.py:3219-3223).
-        presence = coordinates._presence[key]
-        n = min(len(tag), len(presence))
-        undercond = "_" if len(coordinates._animal_ids) > 1 else ""
-        for ai, aid in enumerate(coordinates._animal_ids):
-            missing = (presence[:n, ai] == 0).astype(float)
-            tag[aid + undercond + "missing"] = 0.0
-            tag.loc[tag.index[:n], aid + undercond + "missing"] = missing
-        tag.index = coordinates._time_index(len(tag))
-        tabs[key] = tag
+        with _profile_stage("supervised_tagging"):
+            tag = supervised_tagging(
+                coordinates,
+                raw_coords=raw_coords,
+                coords=coords,
+                dists=dists,
+                angles=angles,
+                speeds=speeds,
+                full_features=full_features,
+                key=key,
+                immobility_estimator=immobility_estimator,
+                center=center,
+                params=tag_params,
+                custom_behaviors=custom_behaviors,
+                custom_behavior_context=custom_behavior_context or {},
+            )
+        with _profile_stage("supervised_postprocess"):
+            # Per-animal missing flag (deepof/data.py:3219-3223).
+            presence = coordinates._presence[key]
+            n = min(len(tag), len(presence))
+            undercond = "_" if len(coordinates._animal_ids) > 1 else ""
+            for ai, aid in enumerate(coordinates._animal_ids):
+                missing = (presence[:n, ai] == 0).astype(float)
+                tag[aid + undercond + "missing"] = 0.0
+                tag.loc[tag.index[:n], aid + undercond + "missing"] = missing
+            tag.index = coordinates._time_index(len(tag))
+            tabs[key] = tag
 
     return TableDict(
         tabs,

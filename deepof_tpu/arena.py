@@ -66,19 +66,75 @@ def fit_ellipse_to_polygon(polygon, return_ellipse: bool = True):
 
 
 def simplify_polygon(polygon, n_points: int = None, relative_tolerance: float = 0.05):
-    """Simplify a dense polygon with cv2.approxPolyDP."""
+    """Simplify a dense polygon.
+
+    Without ``n_points``: cv2.approxPolyDP at a perimeter-relative
+    tolerance. With ``n_points``: exactly that many vertices, picked by a
+    fixed-count Douglas-Peucker-style farthest-point refinement (the
+    reference simplifies the detected contour to ``len(arena_reference)``
+    corners before side matching, arena_utils.py:335-336,487-560)."""
     pts = np.asarray(polygon, dtype=np.float32)
-    perimeter = cv2.arcLength(pts, True)
-    eps = relative_tolerance * perimeter
-    approx = cv2.approxPolyDP(pts, eps, True)[:, 0, :]
-    if n_points is not None and len(approx) > n_points:
-        step = len(approx) // n_points
-        approx = approx[::step][:n_points]
-    return approx
+    if n_points is None:
+        perimeter = cv2.arcLength(pts, True)
+        eps = relative_tolerance * perimeter
+        return cv2.approxPolyDP(pts, eps, True)[:, 0, :]
+    m = len(pts)
+    if m <= n_points:
+        return pts.copy()
+    # Seed with the two mutually farthest vertices, then greedily add the
+    # vertex with the largest distance to the current corner polygon.
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    i0, i1 = np.unravel_index(int(np.argmax(d2)), d2.shape)
+    corners = sorted([int(i0), int(i1)])
+    while len(corners) < n_points:
+        best_gain, best_idx = -1.0, None
+        for a_pos in range(len(corners)):
+            a = corners[a_pos]
+            b = corners[(a_pos + 1) % len(corners)]
+            # candidate vertices strictly between corners a and b
+            seg = (
+                np.arange(a + 1, b)
+                if b > a
+                else np.concatenate([np.arange(a + 1, m), np.arange(0, b)])
+            )
+            if len(seg) == 0:
+                continue
+            pa, pb = pts[a], pts[b]
+            ab = pb - pa
+            denom = float(ab @ ab) or 1.0
+            tt = np.clip(((pts[seg] - pa) @ ab) / denom, 0.0, 1.0)
+            dist2 = ((pts[seg] - (pa + tt[:, None] * ab)) ** 2).sum(-1)
+            k = int(np.argmax(dist2))
+            if dist2[k] > best_gain:
+                best_gain, best_idx = float(dist2[k]), int(seg[k])
+        if best_idx is None:  # pragma: no cover - degenerate input
+            break
+        corners = sorted(corners + [best_idx])
+    return pts[np.asarray(corners, int)]
 
 
 def get_first_length(corners) -> float:
     return math.dist(corners[0], corners[1])
+
+
+def closest_side(polygon, reference_side) -> list:
+    """The polygon side most similar to a user-annotated reference side,
+    scored by |Δlength| + |Δorientation| (the reference's matching rule,
+    arena_utils.py:577-608) — the side the mm calibration is taken from
+    for autodetected polygonal arenas (arena_utils.py:337-341)."""
+    poly = np.asarray(polygon, float)
+    (r0x, r0y), (r1x, r1y) = np.asarray(reference_side, float)[:2]
+    ref_len = math.dist((r0x, r0y), (r1x, r1y))
+    ref_ang = math.atan2(r1y - r0y, r1x - r0x)
+    best, best_score = None, float("inf")
+    for i in range(len(poly)):
+        p1, p2 = poly[i], poly[(i + 1) % len(poly)]
+        score = abs(math.dist(p1, p2) - ref_len) + abs(
+            math.atan2(p2[1] - p1[1], p2[0] - p1[0]) - ref_ang
+        )
+        if score < best_score:
+            best_score, best = score, [p1, p2]
+    return best
 
 
 # --------------------------------------------------------------------------- #
@@ -345,6 +401,163 @@ def automatically_recognize_arena(
     return arena, h, w
 
 
+def _arena_image_export_path(coordinates) -> Optional[str]:
+    """<project>/<name>/Arena_detection, where detection snapshots land
+    (reference arena_utils.py:131-137); None when no project context."""
+    ppath = getattr(
+        coordinates, "project_path", getattr(coordinates, "_project_path", None)
+    )
+    pname = getattr(
+        coordinates, "project_name", getattr(coordinates, "_project_name", None)
+    )
+    if not ppath or not pname:
+        return None
+    path = os.path.join(ppath, pname, "Arena_detection")
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:  # pragma: no cover - unwritable project dir
+        return None
+    return path
+
+
+def save_arena_image(
+    numpy_im, roi, image_export_path, name, arena_reference=None, color=None
+):
+    """Save one annotated arena/ROI frame (arena_utils.py:725-790):
+    the detected ellipse or polygon outline, a translucent fill for
+    colored ROIs, and — when ``arena_reference`` is given — circles on
+    the endpoints of the side the mm scale was taken from (the scale
+    overlay at arena_utils.py:768-780)."""
+    frame = np.ascontiguousarray(np.asarray(numpy_im), dtype=np.uint8)
+    add_overlay = color is not None
+    draw_color = color if color is not None else (40, 86, 236)
+
+    if isinstance(roi, tuple):  # circular: (center, axes, angle)
+        cv2.ellipse(
+            frame,
+            center=tuple(map(int, roi[0])),
+            axes=tuple(map(int, roi[1])),
+            angle=float(roi[2]),
+            startAngle=0.0,
+            endAngle=360.0,
+            color=draw_color,
+            thickness=3,
+        )
+    else:  # polygonal: (N, 2) vertices
+        pts = np.asarray(roi, float).astype(int)
+        cv2.polylines(frame, [pts], isClosed=True, color=draw_color, thickness=3)
+        if add_overlay:
+            overlay = frame.copy()
+            cv2.fillPoly(overlay, [pts.reshape(-1, 1, 2)], draw_color)
+            cv2.addWeighted(overlay, 0.3, frame, 0.7, 0, frame)
+        if arena_reference is not None:
+            for point in closest_side(
+                simplify_polygon(pts), np.asarray(arena_reference, float)[:2]
+            ):
+                cv2.circle(
+                    frame, tuple(map(int, point)), radius=10,
+                    color=(40, 86, 236), thickness=2,
+                )
+    out = os.path.join(image_export_path, f"{name}.png")
+    cv2.imwrite(out, frame)
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Operator annotation surface (reference arena_utils.py:791-1560)
+# --------------------------------------------------------------------------- #
+
+
+def display_message(message: List[str], duration_ms: int = 2500) -> None:
+    """Show a multi-line notice to the operator (arena_utils.py:791-846).
+    Headless environments (no display) get it on stdout."""
+    try:  # pragma: no cover - needs a display
+        canvas = np.full((60 + 30 * len(message), 640, 3), 30, np.uint8)
+        for i, line in enumerate(message):
+            cv2.putText(
+                canvas, str(line), (20, 40 + 30 * i),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 255, 255), 1,
+            )
+        cv2.imshow("deepof_tpu", canvas)
+        cv2.waitKey(duration_ms)
+        cv2.destroyWindow("deepof_tpu")
+    except Exception:
+        print("\n".join(map(str, message)))
+
+
+def confirm_action(prompt: str, responder=None) -> bool:
+    """Yes/no confirmation (arena_utils.py GUI confirm_action). A
+    ``responder(prompt) -> bool`` makes it scriptable; without one, the
+    operator answers y/n on the terminal."""
+    if responder is not None:
+        return bool(responder(prompt))
+    ans = input(f"{prompt} [y/n] ")  # pragma: no cover - interactive
+    return ans.strip().lower().startswith("y")  # pragma: no cover
+
+
+class DropdownUI:
+    """Minimal option selector (counterpart of the reference's OpenCV
+    DropdownUI): renders numbered options and returns the chosen one.
+    ``chooser(options) -> index`` makes it scriptable."""
+
+    def __init__(self, options: List[str], title: str = "Select an option"):
+        self.options = list(options)
+        self.title = title
+
+    def select(self, chooser=None) -> str:
+        if chooser is not None:
+            return self.options[int(chooser(self.options))]
+        print(self.title)  # pragma: no cover - interactive
+        for i, opt in enumerate(self.options):  # pragma: no cover
+            print(f"  [{i}] {opt}")  # pragma: no cover
+        return self.options[int(input("> "))]  # pragma: no cover
+
+
+def retrieve_corners_from_image(
+    frame: np.ndarray, arena_type: str, key: str = "", point_provider=None
+) -> np.ndarray:
+    """Collect arena corner annotations on one frame
+    (arena_utils.py:1353-1456): polygon vertices (polygonal) or perimeter
+    points (circular). Injectable provider for headless runs; the OpenCV
+    click collector otherwise."""
+    provider = point_provider or _collect_points_gui
+    corners = np.asarray(provider(frame, key, "arena"), float)
+    assert corners.ndim == 2 and corners.shape[0] >= 3, (
+        "arena annotation needs at least 3 points"
+    )
+    return corners
+
+
+def extract_polygonal_arena_coordinates(
+    video_path_full: str,
+    arena_type: str,
+    video_index: int = 0,
+    videos: Dict[str, str] = None,
+    arena_dims: float = 1.0,
+    image_export_path: str = None,
+    point_provider=None,
+    key_current: str = "",
+):
+    """Annotate one video's arena + scale (the per-video core of the
+    reference's GUI loop, arena_utils.py:860-1000, without the
+    next/previous/propagate navigation): returns
+    ``(arena_corners, arena_dist_px, h, w)`` where ``arena_dist_px`` is
+    the pixel length of the first drawn side — the side the operator is
+    told corresponds to ``arena_dims`` mm (arena_utils.py:146-152)."""
+    frame = median_frame(video_path_full)
+    h, w = frame.shape[:2]
+    corners = retrieve_corners_from_image(
+        frame, arena_type, key_current, point_provider
+    )
+    arena_dist = get_first_length(corners)
+    if image_export_path:
+        save_arena_image(
+            frame, corners, image_export_path,
+            f"{key_current or video_index}_arena",
+        )
+    return corners, arena_dist, h, w
+
+
 # --------------------------------------------------------------------------- #
 # Main entry point
 # --------------------------------------------------------------------------- #
@@ -383,8 +596,20 @@ def get_arenas(
     arena_params: Dict = None,
     scales: Dict = None,
     point_provider=None,
+    arena_reference=None,
 ):
     """Arena calibration for every video.
+
+    ``arena_reference`` (polygonal-autodetect only) is the user-annotated
+    reference polygon whose FIRST SIDE spans the known ``arena_dims`` mm:
+    each detected contour is simplified to ``len(arena_reference)``
+    vertices and calibrated off the side closest to that reference side
+    (reference flow: arena_utils.py:335-341,577-608). Without it the
+    first side of the simplified detection is used — correct only for
+    regular polygons. When a ``point_provider`` is given and no reference
+    is passed, the provider is asked once (purpose "arena_reference") on
+    the first video, mirroring the reference's first-video GUI annotation
+    (arena_utils.py:296-326).
 
     Returns (scales, arena_params_mm, roi_dicts_mm, video_resolution).
     """
@@ -422,12 +647,26 @@ def get_arenas(
         scales, arena_params, video_resolution = {}, {}, {}
         roi_dicts = {}
         segmentation_model = _maybe_load_sam(segmentation_model_path, download=True)
+        keys = list((videos or {}).keys())
+        if (
+            "polygonal" in arena
+            and arena_reference is None
+            and point_provider is not None
+            and keys
+        ):
+            first = median_frame(os.path.join(video_path, videos[keys[0]]))
+            arena_reference = point_provider(first, keys[0], "arena_reference")
+        if arena_reference is not None:
+            arena_reference = np.asarray(arena_reference, float)
+        image_export_path = _arena_image_export_path(coordinates)
         for key, vid in (videos or {}).items():
             frame = median_frame(os.path.join(video_path, vid))
             h, w = frame.shape[:2]
             video_resolution[key] = (h, w)
             if segmentation_model is not None:
-                poly, ellipse = _detect_with_sam(frame, segmentation_model, arena)
+                poly, ellipse = _detect_with_sam(
+                    frame, segmentation_model, arena, arena_reference
+                )
             else:
                 poly, ellipse = detect_arena_contour(frame, arena)
 
@@ -435,10 +674,30 @@ def get_arenas(
                 length_px = 2 * float(np.mean(ellipse[1]))
                 center_px = np.array(ellipse[0])
                 arena_params[key] = ellipse
+            elif arena_reference is not None and "polygonal" in arena:
+                # Reference-matched calibration (arena_utils.py:335-341):
+                # simplify to the annotated vertex count and take the mm
+                # scale off the side closest to the user's reference side
+                # — NOT off an arbitrary first side.
+                poly = simplify_polygon(
+                    np.asarray(poly), n_points=len(arena_reference)
+                )
+                side = closest_side(poly, arena_reference[:2])
+                length_px = math.dist(*side)
+                center_px = np.mean(np.asarray(poly), axis=0)
+                arena_params[key] = np.asarray(poly)
             else:
                 length_px = get_first_length(poly)
                 center_px = np.mean(np.asarray(poly), axis=0)
                 arena_params[key] = np.asarray(poly)
+            if image_export_path:
+                try:
+                    save_arena_image(
+                        frame, arena_params[key], image_export_path,
+                        f"{key}_arena", arena_reference=arena_reference,
+                    )
+                except Exception:  # pragma: no cover - diagnostics only
+                    pass
             ratio = arena_dims / length_px
             scales[key] = [
                 float(center_px[0] * ratio),

@@ -421,12 +421,19 @@ class Project:
         fast_implementations_threshold: int = 50000,
         precision: str = "auto",
         point_provider=None,
+        arena_reference=None,
     ):
         assert precision in ("auto", "float32", "float64"), precision
         self.precision = precision
         # Manual-arena annotation hook: (frame, key, purpose) -> points.
         # None = interactive OpenCV collector (arena.annotate_arenas_manual).
         self.point_provider = point_provider
+        # Polygonal-autodetect calibration reference: the user-annotated
+        # polygon whose FIRST side spans `video_scale` mm; detected arenas
+        # are simplified to its vertex count and mm-calibrated off the
+        # closest side (reference arena_utils.py:335-341). The reference
+        # collects this via a first-video GUI; here it is injectable.
+        self.arena_reference = arena_reference
         self.version = CURRENT_VERSION
         self.project_path = project_path
         self.project_name = project_name
@@ -822,6 +829,7 @@ class Project:
             self.videos,
             test=test,
             point_provider=self.point_provider,
+            arena_reference=self.arena_reference,
         )
 
     # ------------------------------------------------------------------ #

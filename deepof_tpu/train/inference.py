@@ -15,6 +15,7 @@ a single dispatch per experiment instead of hundreds of 256-row calls.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Any, Dict, Optional
 
@@ -379,7 +380,12 @@ def embedding_per_video(
     # Dispatch every experiment's scanned program first (device work and
     # host->device puts pipeline), then fetch all results concurrently —
     # one overlapped transfer phase instead of a round trip per key.
+    # Stage timers feed the process-wide profiler (read by bench.py for
+    # the device-vs-wire split of the public path).
+    from deepof_tpu.profiling import GLOBAL_TIMER
+
     pending = {}
+    _t_dispatch = time.perf_counter()
     for key in progress(
         list(to_preprocess.keys()), desc="Computing embeddings", verbose=True
     ):
@@ -428,9 +434,27 @@ def embedding_per_video(
 
     from deepof_tpu.data import _fetch_all
 
-    flat = _fetch_all(
-        [x for emb, sc in pending.values() for x in (emb, sc) if x is not None]
-    )
+    GLOBAL_TIMER.totals["embed_dispatch"] += time.perf_counter() - _t_dispatch
+    GLOBAL_TIMER.counts["embed_dispatch"] += 1
+    pending_arrays = [
+        x for emb, sc in pending.values() for x in (emb, sc) if x is not None
+    ]
+    # Wait for device completion WITHOUT transferring, then time the fetch
+    # separately: device_wait ~ remote compute left after dispatch overlap,
+    # fetch_wire ~ pure device->host transfer through the tunnel. (Under
+    # the axon tunnel block_until_ready can return early for memoized
+    # dispatches; fetch_wire is always real.)
+    _t_wait = time.perf_counter()
+    try:
+        jax.block_until_ready(pending_arrays)
+    except Exception:
+        pass
+    GLOBAL_TIMER.totals["embed_device_wait"] += time.perf_counter() - _t_wait
+    GLOBAL_TIMER.counts["embed_device_wait"] += 1
+    _t_fetch = time.perf_counter()
+    flat = _fetch_all(pending_arrays)
+    GLOBAL_TIMER.totals["embed_fetch_wire"] += time.perf_counter() - _t_fetch
+    GLOBAL_TIMER.counts["embed_fetch_wire"] += 1
     it = iter(flat)
     for key, (emb, sc) in pending.items():
         embeddings[key] = pd.DataFrame(next(it))

@@ -190,3 +190,86 @@ def test_autodetect_flow_with_injected_segmentation_backend(monkeypatch):
     assert sorted([ea, eb]) == pytest.approx(
         [a * ratio for a in sorted(axes)], abs=4
     )
+
+
+def test_closest_side_and_fixed_n_simplification():
+    """closest_side picks the side matching the reference in length and
+    orientation (arena_utils.py:577-608); simplify_polygon(n_points=k)
+    returns exactly k denoised corners."""
+    from deepof_tpu.arena import closest_side, simplify_polygon
+
+    # Right trapezoid with four clearly different side characteristics.
+    quad = np.array([(100, 100), (500, 100), (460, 380), (140, 380)], float)
+    side = closest_side(quad, [(140, 380), (460, 380)])
+    got = {tuple(map(float, p)) for p in side}
+    assert got == {(460.0, 380.0), (140.0, 380.0)}
+    # Reference side matching the TOP side instead.
+    side = closest_side(quad, [(0, 0), (400, 0)])
+    got = {tuple(map(float, p)) for p in side}
+    assert got == {(100.0, 100.0), (500.0, 100.0)}
+
+    # Densify the trapezoid boundary and recover exactly 4 corners.
+    dense = []
+    for i in range(4):
+        a, b = quad[i], quad[(i + 1) % 4]
+        for t in np.linspace(0, 1, 60, endpoint=False):
+            dense.append(a + t * (b - a))
+    dense = np.asarray(dense)
+    approx = simplify_polygon(dense, n_points=4)
+    assert len(approx) == 4
+    for c in quad:
+        assert np.linalg.norm(np.asarray(approx, float) - c, axis=1).min() < 2.5
+
+
+def test_polygonal_autodetect_calibrates_off_closest_side(monkeypatch, tmp_path):
+    """Autodetected polygonal arenas take the mm scale from the side
+    closest to the user's arena_reference side, not from an arbitrary
+    first side (reference arena_utils.py:335-341): on a non-regular
+    trapezoid whose detected first side is NOT the annotated one, the
+    stored length_px must pin to the annotated side's 320 px."""
+    import deepof_tpu.arena as arena_mod
+    from deepof_tpu.arena import detect_arena_contour, get_first_length
+
+    # Synthetic video frame: bright trapezoid arena on dark background.
+    frame = np.zeros((480, 640, 3), np.uint8)
+    quad = np.array([(100, 100), (500, 100), (460, 380), (140, 380)])
+    cv2.fillPoly(frame, [quad], (220, 220, 220))
+
+    # Sanity: the raw detection's first side is NOT the 320 px bottom one
+    # (otherwise this test could pass by accident).
+    raw_poly, _ = detect_arena_contour(frame, "polygonal-autodetect")
+    assert abs(get_first_length(raw_poly) - 320.0) > 20.0
+
+    monkeypatch.setattr(
+        arena_mod, "median_frame",
+        lambda path, n_samples=20: frame,
+    )
+
+    class _Proj:
+        project_path = str(tmp_path)
+        project_name = "arena_test"
+
+    scales, params, rois, res = arena_mod.get_arenas(
+        coordinates=_Proj(),
+        arena="polygonal-autodetect",
+        arena_dims=380.0,
+        number_of_rois=0,
+        segmentation_model_path=None,
+        video_path="/nonexistent",
+        videos={"exp0": "exp0.mp4"},
+        arena_reference=[(140, 380), (460, 380), (500, 100), (100, 100)],
+    )
+    # length_px = the annotated bottom side (320 px), length_mm = 380.
+    assert scales["exp0"][2] == pytest.approx(320.0, abs=4.0)
+    assert scales["exp0"][3] == 380.0
+    # The stored polygon was simplified to the reference's 4 vertices
+    # (returned in mm).
+    ratio = scales["exp0"][3] / scales["exp0"][2]
+    poly_px = np.asarray(params["exp0"], float) / ratio
+    assert len(poly_px) == 4
+    for c in quad:
+        assert np.linalg.norm(poly_px - c, axis=1).min() < 4.0
+    # The scale-reference overlay snapshot landed in Arena_detection
+    # (arena_utils.py:768-780).
+    out = tmp_path / "arena_test" / "Arena_detection" / "exp0_arena.png"
+    assert out.exists()
