@@ -1314,6 +1314,317 @@ class KeyErrorMessage(str):
 
 
 # --------------------------------------------------------------------------- #
+# Remaining reference-name surface (migration layer, part 2)
+# --------------------------------------------------------------------------- #
+# The implementations live under idiomatic homes (deepof_tpu.ops,
+# io.conditions, core.graph, evaluation, posthoc); these wrappers and
+# re-exports make `from deepof.utils import <name>` migrations work for
+# every public deepof.utils name.
+
+
+def moving_average(time_series, lag: int = 5) -> np.ndarray:
+    """Same-mode moving average (deepof/utils.py:3504-3517)."""
+    return np.convolve(np.asarray(time_series, float), np.ones(lag) / lag, mode="same")
+
+
+def rotate(p, angles, origin=np.array([0, 0])) -> np.ndarray:
+    """2D rotation of positions by ``angles`` radians around ``origin``
+    (deepof/utils.py:1298-1320)."""
+    r = np.array(
+        [[np.cos(angles), -np.sin(angles)], [np.sin(angles), np.cos(angles)]]
+    )
+    o = np.atleast_2d(origin)
+    p = np.atleast_2d(p)
+    return np.squeeze((r @ (p.T - o.T) + o.T).T)
+
+
+def align_trajectories(data, mode: str = "all", run_numba: bool = False):
+    """Remove rotational variance: rotate so feature column 0's bodypart
+    lands on the +y axis (deepof/utils.py:2097-2142). ``run_numba`` is
+    accepted for parity; everything runs the jitted kernel."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import align_trajectories as _align
+
+    data = np.asarray(data, float)
+    dshape = data.shape
+    l = dshape[-1]
+    if mode == "center":
+        arr = data.reshape(dshape[0], dshape[1], l // 2, 2)
+        out = np.asarray(_align(jnp.asarray(arr), mode="center"))
+        return out.reshape(dshape)
+    flat = data.reshape(-1, l // 2, 2)
+    out = np.asarray(_align(jnp.asarray(flat), mode=mode))
+    return out.reshape(dshape)
+
+
+def mask_outliers(
+    time_series: pd.DataFrame,
+    likelihood,
+    likelihood_tolerance: float,
+    lag: int,
+    n_std: int,
+    mode: str,
+):
+    """Outlier mask for ONE bodypart's (x, y) table
+    (deepof/utils.py:3536-3583): moving-average residual deviation plus a
+    likelihood floor."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import mask_outliers as _mask
+
+    xy = np.stack(
+        [np.asarray(time_series["x"], float), np.asarray(time_series["y"], float)],
+        axis=1,
+    )[:, None, :]
+    lik = np.asarray(likelihood, float).reshape(-1, 1)
+    mask = np.asarray(
+        _mask(
+            jnp.asarray(xy), jnp.asarray(lik), float(likelihood_tolerance),
+            lag=int(lag), n_std=float(n_std), mode=mode,
+        )
+    )[:, 0]
+    return pd.Series(mask, index=time_series.index)
+
+
+def remove_outliers(
+    experiment: pd.DataFrame,
+    likelihood: pd.DataFrame,
+    likelihood_tolerance: float,
+    exclude: str = "",
+    lag: int = 5,
+    n_std: int = 3,
+    mode: str = "or",
+):
+    """NaN out detected outliers across all bodyparts; returns
+    ``(masked_experiment, warn_nans)`` with the reference's >30% NaN
+    warning flag (deepof/utils.py:3632-3673)."""
+    mask = full_outlier_mask(
+        experiment, likelihood, likelihood_tolerance, exclude, lag, n_std, mode
+    )
+    out = experiment.copy()
+    out[mask] = np.nan
+    warn_nans = float(mask.to_numpy().mean()) > 0.3
+    return out, warn_nans
+
+
+def rolling_speed(
+    dframe: pd.DataFrame,
+    frame_rate: int = 1,
+    window: int = 3,
+    rounds: int = 3,
+    deriv: int = 1,
+    shift: int = 2,
+    typ: str = "coords",
+) -> pd.DataFrame:
+    """n-th order speed (mm/s) per bodypart (deepof/utils.py:3788-3860):
+    displacement over ``shift`` frames, trailing ``window``-frame rolling
+    mean rounded to ``rounds`` decimals, times ``frame_rate``."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import rolling_speed as _rs
+
+    if isinstance(dframe.columns, pd.MultiIndex):
+        seen = list(dict.fromkeys(c[0] for c in dframe.columns))
+        # Reference quirk reproduced for drop-in compatibility: the data
+        # stays in DataFrame column order, but the output labels come from
+        # the np.unique first-occurrence trick, which SORTS them
+        # (deepof/utils.py:3810-3815,3850). For unsorted inputs the labels
+        # are therefore permuted relative to the data, exactly as upstream.
+        labels = list(
+            np.array(seen)[np.unique(seen, return_index=True)[1]]
+        )
+    else:
+        seen = labels = list(dframe.columns)
+    is_coords = typ == "coords"
+    if is_coords:
+        arr = np.stack([dframe[bp].to_numpy(float) for bp in seen], axis=1)
+    else:
+        arr = dframe.to_numpy(float)
+    out = np.asarray(
+        _rs(
+            jnp.asarray(arr), frame_rate=float(frame_rate), window=int(window),
+            rounds=int(rounds), deriv=int(deriv), shift=int(shift),
+            is_coords=is_coords,
+        )
+    )
+    return pd.DataFrame(out, index=dframe.index, columns=labels)
+
+
+def multi_step_paired_smoothing(
+    behavior_in,
+    not_behavior=None,
+    exclude=None,
+    min_length: int = 6,
+    get_both: bool = False,
+):
+    """Paired bout smoothing (deepof/utils.py:3260-3352); runs the exact
+    host twin of the vectorized cascade (ops.bouts)."""
+    from deepof_tpu.ops.bouts import multi_step_paired_smoothing_host
+
+    return multi_step_paired_smoothing_host(
+        np.asarray(behavior_in),
+        None if not_behavior is None else np.asarray(not_behavior),
+        None if exclude is None else np.asarray(exclude),
+        min_length=int(min_length),
+        get_both=get_both,
+    )
+
+
+def filter_short_true_segments(array, min_length: int) -> np.ndarray:
+    """Drop True runs shorter than min_length (deepof/utils.py:3961-3998)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import filter_short_true_segments as _filt
+
+    return np.asarray(_filt(jnp.asarray(np.asarray(array, bool)), int(min_length)))
+
+
+def _polygon_vertices(polygon) -> np.ndarray:
+    """(V, 2) vertex array from a shapely Polygon or array-like."""
+    if hasattr(polygon, "exterior"):
+        return np.asarray(polygon.exterior.coords, float)[:-1]
+    return np.asarray(polygon, float)
+
+
+def point_in_polygon(points, polygon) -> np.ndarray:
+    """Point-in-polygon membership (deepof/utils.py:1400-1416); accepts a
+    shapely Polygon or a vertex array."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops import point_in_polygon as _pip
+
+    return np.asarray(
+        _pip(jnp.asarray(np.asarray(points, float)), _polygon_vertices(polygon))
+    )
+
+
+def in_field_of_view(mouse_pts, fov_angle_deg, roi, plot: bool = True, eps: float = 1e-10):
+    """FOV-cone / ROI intersection per frame (deepof/utils.py:1542-1724);
+    accepts a shapely Polygon or a vertex array. ``plot`` is accepted for
+    parity and ignored (the reference uses it for debug rendering)."""
+    import jax.numpy as jnp
+
+    from deepof_tpu.ops.geometry import in_field_of_view as _fov
+
+    pts = np.asarray(mouse_pts, float)
+    if pts.ndim == 2:
+        pts = pts[None]
+    return np.asarray(
+        _fov(jnp.asarray(pts), float(fov_angle_deg), _polygon_vertices(roi), eps=eps)
+    )
+
+
+def kleinberg(offsets, s: float = 2.0, gamma: float = 1.0, n=None, T=None, k=None):
+    """Kleinberg burst detection (deepof/utils.py:3030-3141)."""
+    from deepof_tpu.ops.bursts import kleinberg as _kb
+
+    return _kb(offsets, s=s, gamma=gamma, n=n, T=T, k=k)
+
+
+def smooth_boolean_array(a, scale: int = 1, sigma=2.0, batch_size: int = 50000):
+    """Legacy Kleinberg-based boolean smoothing (deepof/utils.py:3215-3258)."""
+    from deepof_tpu.ops.bursts import smooth_boolean_array as _sba
+
+    return _sba(np.asarray(a), scale=scale, sigma=sigma, batch_size=batch_size)
+
+
+def extract_windows(to_window, window_size: int, window_step: int, **kwargs):
+    """Sliding-window extraction over a TableDict
+    (deepof/utils.py:3380-3470); see core.table_dict.extract_windows."""
+    from deepof_tpu.core.table_dict import extract_windows as _ew
+
+    kwargs.pop("windows_desc", None)  # progress label, cosmetic
+    return _ew(to_window, window_size, window_step, **kwargs)
+
+
+def cluster_transition_matrix(
+    cluster_sequence, nclusts: int, autocorrelation: bool = True,
+    return_graph: bool = False,
+):
+    """Cluster transition matrix + lag-1 autocorrelation
+    (deepof/utils.py:4256-4306); see posthoc.cluster_transition_matrix."""
+    from deepof_tpu.posthoc import cluster_transition_matrix as _ctm
+
+    return _ctm(
+        cluster_sequence, nclusts, autocorrelation=autocorrelation,
+        return_graph=return_graph,
+    )
+
+
+def load_exp_conditions(filepath: str):
+    """Experimental-condition CSV loader (deepof/utils.py:775-784)."""
+    from deepof_tpu.io.conditions import load_exp_conditions as _lec
+
+    return _lec(filepath)
+
+
+def load_start_markers(filepath, frame_rate):
+    """Start-marker CSV loader (deepof/utils.py:786-816)."""
+    from deepof_tpu.io.conditions import load_start_markers as _lsm
+
+    return _lsm(filepath, frame_rate)
+
+
+def connect_mouse(*args, **kwargs):
+    """Body-part graph presets (deepof/utils.py:416-510); see
+    core.graph.connect_mouse."""
+    from deepof_tpu.core.graph import connect_mouse as _cm
+
+    return _cm(*args, **kwargs)
+
+
+def enumerate_all_bridges(graph):
+    """All 3-node bridges of a body graph (deepof/utils.py:531-560)."""
+    from deepof_tpu.core.graph import enumerate_all_bridges as _eab
+
+    return _eab(graph)
+
+
+def load_table(*args, **kwargs):
+    """DLC/SLEAP table reader (deepof/utils.py:2188-2341); see
+    io.readers.load_table."""
+    from deepof_tpu.io.readers import load_table as _lt
+
+    return _lt(*args, **kwargs)
+
+
+def gmm_compute(x, n_components: int, cv_type: str):
+    """Single GMM fit + BIC (deepof/utils.py:4040-4076)."""
+    from deepof_tpu.evaluation import gmm_compute as _gc
+
+    return _gc(x, n_components, cv_type)
+
+
+def gmm_model_selection(*args, **kwargs):
+    """BIC model selection over GMM sizes (deepof/utils.py:4078-4121)."""
+    from deepof_tpu.evaluation import gmm_model_selection as _gms
+
+    return _gms(*args, **kwargs)
+
+
+def compute_compactness(*args, **kwargs):
+    """Embedding compactness metric (deepof/utils.py:4122-4160)."""
+    from deepof_tpu.evaluation import compute_compactness as _cc
+
+    return _cc(*args, **kwargs)
+
+
+def compute_separability_logreg(*args, **kwargs):
+    """Embedding separability metric (deepof/utils.py:4161-4210)."""
+    from deepof_tpu.evaluation import compute_separability_logreg as _cs
+
+    return _cs(*args, **kwargs)
+
+
+def compute_knn_agreement(*args, **kwargs):
+    """kNN label-agreement metric (deepof/utils.py:4211-4255)."""
+    from deepof_tpu.evaluation import compute_knn_agreement as _ck
+
+    return _ck(*args, **kwargs)
+
+
+# --------------------------------------------------------------------------- #
 # Reference kernel-name tier (the *_numba functions)
 # --------------------------------------------------------------------------- #
 # The reference exposes its 23 numba JIT kernels as public names on

@@ -490,3 +490,266 @@ def test_arena_reference_named_entry_points(tmp_path):
     (cx, cy), (a, b), ang = arena_fit
     assert (h, wdt) == (80, 100)
     assert abs(cx - 50) < 3 and abs(cy - 40) < 3 and abs(a - 30) < 4
+
+
+# --------------------------------------------------------------------------- #
+# Migration layer part 2: the remaining deepof.utils public names
+# (VERDICT r4 missing #3), A/B-pinned against the REAL reference where its
+# dependency surface allows, independent oracles otherwise.
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    from reference_shim import load_reference
+
+    return load_reference().utils
+
+
+def test_moving_average_and_rotate_ab(ref_utils):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=200)
+    np.testing.assert_allclose(
+        du.moving_average(x, lag=7), ref_utils.moving_average(pd.Series(x), 7),
+        rtol=1e-12,
+    )
+    p = rng.normal(size=(10, 2))
+    for ang in (0.0, 0.7, -2.1):
+        np.testing.assert_allclose(
+            du.rotate(p, ang), ref_utils.rotate(p, ang), rtol=1e-12
+        )
+    np.testing.assert_allclose(
+        du.rotate(p, 0.5, origin=np.array([2.0, -1.0])),
+        ref_utils.rotate(p, 0.5, origin=np.array([2.0, -1.0])),
+        rtol=1e-12,
+    )
+
+
+def test_align_trajectories_ab(ref_utils):
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=(6, 11, 8))  # (windows, length, 4 bps x 2)
+    for mode in ("all", "center", "none"):
+        np.testing.assert_allclose(
+            du.align_trajectories(data, mode=mode),
+            ref_utils.align_trajectories(data.copy(), mode=mode),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_mask_and_remove_outliers_ab(ref_utils):
+    rng = np.random.default_rng(5)
+    t = 120
+    tab = _coords_frame(t=t)
+    # Inject genuine spikes so the masks are non-trivial.
+    tab.iloc[40, 0] += 80.0
+    tab.iloc[40, 1] += 80.0
+    tab.iloc[77, 2] -= 60.0
+    lik = pd.DataFrame(
+        np.clip(rng.beta(9, 1, size=(t, 3)), 0, 1),
+        columns=pd.MultiIndex.from_product(
+            [["Nose", "Center", "Tail_base"], ["likelihood"]]
+        ),
+    )
+    lik.iloc[10, 0] = 0.1  # low-likelihood outlier
+    ref_lik = lik.copy()
+    ref_lik.columns = ["Nose", "Center", "Tail_base"]
+
+    ours = du.mask_outliers(
+        tab[("Nose",)], lik[("Nose", "likelihood")], 0.75, 5, 2, "or"
+    )
+    theirs = ref_utils.mask_outliers(
+        tab[("Nose",)], ref_lik["Nose"], 0.75, 5, 2, "or"
+    )
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(theirs))
+    assert ours.to_numpy().any()
+
+    ours_exp, ours_warn = du.remove_outliers(tab, ref_lik, 0.75, "", 5, 2, "or")
+    theirs_exp, theirs_warn = ref_utils.remove_outliers(
+        tab, ref_lik, 0.75, "", 5, 2, "or"
+    )
+    np.testing.assert_allclose(
+        ours_exp.to_numpy(), theirs_exp.to_numpy(), rtol=1e-10, equal_nan=True
+    )
+    assert ours_warn == theirs_warn
+
+
+def test_rolling_speed_ab(ref_utils):
+    # NOTE: _coords_frame's bodyparts are unsorted (Nose before Center), so
+    # this also pins the reference's label-permutation quirk (data in
+    # DataFrame order, labels np.unique-sorted) being reproduced.
+    tab = _coords_frame(t=60)
+    for deriv in (1, 2):
+        ours = du.rolling_speed(tab, frame_rate=25, deriv=deriv)
+        theirs = ref_utils.rolling_speed(tab, frame_rate=25, deriv=deriv)
+        assert list(ours.columns) == list(theirs.columns)
+        o, t = ours.to_numpy(), theirs.to_numpy()
+        if deriv == 1:
+            np.testing.assert_allclose(o, t, rtol=1e-4, atol=1e-4, equal_nan=True)
+        else:
+            # deriv>=2 inputs are 3-decimal-rounded speeds, so window means
+            # land EXACTLY on round-half boundaries; accumulation-order ULPs
+            # flip the tie by one rounding step (0.001 * frame_rate = 0.025).
+            # Allow that flip on isolated elements, nothing more.
+            close = np.isclose(o, t, atol=0.026) | (np.isnan(o) & np.isnan(t))
+            assert close.all()
+            exact = np.isclose(o, t, atol=1e-9) | (np.isnan(o) & np.isnan(t))
+            assert exact.mean() > 0.95
+
+
+def test_multi_step_paired_smoothing_and_filter_ab(ref_utils):
+    rng = np.random.default_rng(6)
+    raw = rng.random(400) < 0.3
+    ours = du.multi_step_paired_smoothing(raw, min_length=6)
+    theirs = ref_utils.multi_step_paired_smoothing(raw.copy(), min_length=6)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(theirs))
+    both_o = du.multi_step_paired_smoothing(raw, min_length=4, get_both=True)
+    both_t = ref_utils.multi_step_paired_smoothing(
+        raw.copy(), min_length=4, get_both=True
+    )
+    for a, b in zip(both_o, both_t):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    seg = rng.random(200) < 0.4
+    np.testing.assert_array_equal(
+        du.filter_short_true_segments(seg, 4),
+        ref_utils.filter_short_true_segments(seg.copy(), 4),
+    )
+
+
+def test_kleinberg_and_smooth_boolean_ab(ref_utils):
+    rng = np.random.default_rng(7)
+    offsets = np.unique(rng.choice(3000, size=120, replace=False))
+    ours = du.kleinberg(offsets, s=2.0, gamma=1.0)
+    theirs = ref_utils.kleinberg(offsets, s=2.0, gamma=1.0)
+    assert np.asarray(ours).shape == np.asarray(theirs).shape
+    np.testing.assert_array_equal(
+        np.asarray(ours, float), np.asarray(theirs, float)
+    )
+
+    raw = rng.random(1500) < 0.15
+    np.testing.assert_array_equal(
+        du.smooth_boolean_array(raw, scale=1, sigma=2.0),
+        ref_utils.smooth_boolean_array(raw.copy(), scale=1, sigma=2.0),
+    )
+
+
+def test_cluster_transition_matrix_ab(ref_utils):
+    rng = np.random.default_rng(8)
+    seq = rng.integers(0, 5, size=400)
+    ours, ours_ac = du.cluster_transition_matrix(seq.astype(float), 5)
+    theirs, theirs_ac = ref_utils.cluster_transition_matrix(seq.copy(), 5)
+    np.testing.assert_allclose(ours, theirs, atol=2e-3)
+    np.testing.assert_allclose(ours_ac, theirs_ac, rtol=1e-8)
+
+
+def test_point_in_polygon_and_fov_wrappers():
+    # Polygon given as vertex array AND as a shapely-like object with
+    # .exterior.coords (the reference's call convention).
+    square = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], float)
+
+    class _FakePolygon:
+        class _Ext:
+            coords = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+
+        exterior = _Ext()
+
+    pts = np.array([(5, 5), (11, 5), (-1, -1), (9.5, 0.5)])
+    inside = du.point_in_polygon(pts, square)
+    np.testing.assert_array_equal(inside, [True, False, False, True])
+    np.testing.assert_array_equal(
+        du.point_in_polygon(pts, _FakePolygon()), inside
+    )
+
+    # Mouse at the center looking +x: ROI to the right is in view, after
+    # rotating the mouse 180 degrees it is not.
+    ears_nose = np.array([[(0, 1), (2, 0), (0, -1)]], float)  # gaze +x
+    roi = np.array([(5, -1), (7, -1), (7, 1), (5, 1)], float)
+    assert du.in_field_of_view(ears_nose, 60.0, roi)[0] == 1.0
+    flipped = ears_nose * np.array([-1, 1])
+    assert du.in_field_of_view(flipped, 60.0, roi)[0] == 0.0
+    # 2D single-frame input is promoted like the reference's.
+    assert du.in_field_of_view(ears_nose[0], 60.0, roi).shape == (1,)
+
+
+def test_extract_windows_wrapper():
+    rng = np.random.default_rng(9)
+    tabs = {"a": rng.normal(size=(30, 4)), "b": rng.normal(size=(21, 4))}
+    out, shape = du.extract_windows(
+        {k: v.copy() for k, v in tabs.items()}, window_size=5, window_step=1
+    )
+    assert shape == (26 + 17, 5, 4)
+    windows_a = np.asarray(out["a"])
+    np.testing.assert_allclose(windows_a[0], tabs["a"][:5], rtol=1e-12)
+    np.testing.assert_allclose(windows_a[-1], tabs["a"][25:30], rtol=1e-12)
+    # Aggregations reduce the window axis to one row.
+    out_mid, shape_mid = du.extract_windows(
+        {k: v.copy() for k, v in tabs.items()}, 5, 1, aggregate="mid"
+    )
+    assert shape_mid[1] == 1
+    np.testing.assert_allclose(np.asarray(out_mid["a"])[0, 0], tabs["a"][2])
+
+
+def test_condition_loaders_ab(ref_utils, tmp_path):
+    csv = tmp_path / "conditions.csv"
+    csv.write_text(
+        ",experiment_id,CSDS,sex\n0,test,Stressed,male\n1,test2,Control,female\n"
+    )
+    ours = du.load_exp_conditions(str(csv))
+    theirs = ref_utils.load_exp_conditions(str(csv))
+    assert set(ours) == set(theirs) == {"test", "test2"}
+    for key in ours:
+        pd.testing.assert_frame_equal(ours[key], theirs[key])
+
+    # Uniform dtypes per file (mixed int/str columns read as all-str,
+    # which both implementations reject): one frame-int file, one
+    # time-string file.
+    m_int = tmp_path / "markers_int.csv"
+    m_int.write_text(",experiment_id,start\n0,test,250\n1,test2,500\n")
+    m_time = tmp_path / "markers_time.csv"
+    m_time.write_text(
+        ",experiment_id,start\n0,test,00:01:30.5\n1,test2,00:02:00\n"
+    )
+    ours_m = du.load_start_markers(str(m_time), frame_rate=25)
+    theirs_m = ref_utils.load_start_markers(str(m_time), frame_rate=25)
+    for key in ours_m:
+        assert list(ours_m[key].iloc[0]) == list(theirs_m[key].iloc[0])
+    # Frame-int markers: the reference converts them to time strings via a
+    # chained assignment (utils.py:810) that silently no-ops under
+    # pandas 3, so no direct A/B is possible — pin the INTENDED behavior
+    # (the conversion) against the reference's own seconds_to_time.
+    ours_i = du.load_start_markers(str(m_int), frame_rate=25)
+    assert ours_i["test"].iloc[0, 0] == ref_utils.seconds_to_time(
+        250 / 25, cut_milliseconds=False
+    )
+    assert ours_i["test2"].iloc[0, 0] == ref_utils.seconds_to_time(
+        500 / 25, cut_milliseconds=False
+    )
+
+
+def test_reexported_graph_and_evaluation_names():
+    g = du.connect_mouse(graph_preset="deepof_14")
+    assert len(g.nodes) == 14
+    bridges = du.enumerate_all_bridges(g)
+    assert all(len(b) == 3 for b in bridges)
+
+    rng = np.random.default_rng(10)
+    x = np.vstack(
+        [rng.normal(0, 1, size=(40, 3)), rng.normal(6, 1, size=(40, 3))]
+    )
+    model, bic = du.gmm_compute(x, 2, "full")
+    assert np.isfinite(bic) and model.means_.shape == (2, 3)
+
+
+def test_utils_public_name_diff_is_empty():
+    """Every public deepof.utils name resolves on deepof_tpu.utils."""
+    import ast
+
+    ref_ast = ast.parse(open("/root/reference/deepof/utils.py").read())
+    ref_names = {
+        n.name
+        for n in ref_ast.body
+        if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+        and not n.name.startswith("_")
+    }
+    missing = sorted(ref_names - set(dir(du)))
+    assert missing == [], missing
