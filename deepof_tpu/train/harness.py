@@ -158,6 +158,11 @@ class ModelBundle:
             model, {"params": jax.random.PRNGKey(0)}, x, a, ang, train=False
         )
         variables = flax.serialization.from_bytes(variables, payload["variables"])
+        # from_bytes restores leaves as NUMPY arrays; inference jits close
+        # over the variables, and a numpy constant fancy-indexed by a
+        # tracer (e.g. the VQ codebook lookup) raises
+        # TracerArrayConversionError. Coerce every leaf to a device array.
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
         return cls(model=model, variables=variables, rebuild_spec=spec,
                    history=payload.get("history", {}))
 

@@ -413,3 +413,60 @@ def test_preprocess_device_scale_matches_host(single_coords, monkeypatch):
             np.asarray(inf_dev[key]), np.asarray(inf_host[key]),
             atol=2e-4, rtol=2e-3,
         )
+
+
+def test_device_scale_budget_fallback(single_coords, monkeypatch):
+    """A tiny DEEPOF_TPU_DEVICE_SCALE_BUDGET_BYTES forces the device
+    scaling lane to bail to the host path (the OOM protection,
+    core/table_dict.py:553-560); outputs must equal the unbounded run
+    exactly (both end up on the float64 host pass)."""
+    coords = single_coords
+    _, _, _, tab_dict, _ = coords.get_graph_dataset(window_size=10)
+    kwargs = dict(
+        coordinates=coords, window_size=10, scale="standard",
+        return_windows=False,
+        dist_standardize="per_column", speed_standardize="per_column",
+        coord_standardize="per_column",
+    )
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "1")
+    (unbounded, _), _, sc_un = tab_dict.preprocess(**kwargs)
+    assert getattr(unbounded, "_device_frames", None)
+
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE_BUDGET_BYTES", "64")
+    (bounded, _), _, sc_b = tab_dict.preprocess(**kwargs)
+    # Fallback engaged: no device-resident frames survive.
+    assert not getattr(bounded, "_device_frames", None)
+    for key in unbounded.keys():
+        np.testing.assert_allclose(
+            np.asarray(bounded[key]), np.asarray(unbounded[key]),
+            atol=2e-4, rtol=2e-3,
+        )
+    np.testing.assert_allclose(sc_b["dist"].mean_, sc_un["dist"].mean_, atol=1e-5)
+
+
+def test_device_frames_budget_fallback(single_coords, monkeypatch):
+    """DEEPOF_TPU_DEVICE_FRAMES_BYTES=0 disables pinning the scaled frames
+    on device (core/table_dict.py:740-762): tables come back eager instead
+    of LazyFrame, with identical contents."""
+    from deepof_tpu.core.storage import LazyFrame
+
+    coords = single_coords
+    _, _, _, tab_dict, _ = coords.get_graph_dataset(window_size=10)
+    kwargs = dict(
+        coordinates=coords, window_size=10, scale="standard",
+        return_windows=False,
+        dist_standardize="per_column", speed_standardize="per_column",
+        coord_standardize="per_column",
+    )
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE", "1")
+    (pinned, _), _, _ = tab_dict.preprocess(**kwargs)
+    assert getattr(pinned, "_device_frames", None)
+
+    monkeypatch.setenv("DEEPOF_TPU_DEVICE_FRAMES_BYTES", "0")
+    (eager, _), _, _ = tab_dict.preprocess(**kwargs)
+    assert not getattr(eager, "_device_frames", None)
+    for key in pinned.keys():
+        assert not isinstance(eager[key], LazyFrame)
+        p, e = np.asarray(pinned[key]), np.asarray(eager[key])
+        np.testing.assert_allclose(e, p, atol=1e-6, rtol=1e-6)
+        assert list(pinned[key].columns) == list(eager[key].columns)

@@ -265,3 +265,29 @@ def test_fused_lane_defers_training_windows(monkeypatch):
         assert any(h._host is not None for h in holders.values())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fused_lane_with_tiny_scale_budget_matches_host(monkeypatch, tmp_path):
+    """Fused lane + a tiny DEEPOF_TPU_DEVICE_SCALE_BUDGET_BYTES: the
+    device scaling pass must bail to the host path mid-build (the OOM
+    protection) and still produce the exact host-path training tensors."""
+    tmp = _build_project("test_single_topview")
+    try:
+        _, (ds0, meta0, _, tab0, sc0) = _run(tmp, None, "0", monkeypatch)
+        monkeypatch.setenv("DEEPOF_TPU_DEVICE_SCALE_BUDGET_BYTES", "64")
+        _, (ds1, meta1, _, tab1, sc1) = _run(tmp, None, "1", monkeypatch)
+
+        for part0, part1 in zip(ds0, ds1):
+            assert sorted(part0.keys()) == sorted(part1.keys())
+            for key in part0.keys():
+                for x0, x1 in zip(get_dt(part0, key), get_dt(part1, key)):
+                    if np.asarray(x0).size:
+                        np.testing.assert_allclose(
+                            np.asarray(x1), np.asarray(x0),
+                            atol=2e-4, rtol=2e-3,
+                        )
+        np.testing.assert_allclose(
+            sc1["dist"].mean_, sc0["dist"].mean_, atol=1e-6
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
