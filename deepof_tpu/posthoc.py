@@ -437,107 +437,163 @@ def compute_steady_state(
 # --------------------------------------------------------------------------- #
 
 
-def _split_conditions(embedding_df: pd.DataFrame, exp_conditions: dict):
-    conds = {}
-    for key in embedding_df.index:
-        c = exp_conditions.get(key)
-        if hasattr(c, "iloc"):
-            c = str(c.iloc[0, 0])
-        conds.setdefault(str(c), []).append(key)
-    return conds
-
-
 def condition_distance_binning(
     embedding: TableDict,
     soft_counts: TableDict,
     exp_conditions: dict,
     start_bin: int = None,
-    precomputed_bins: np.ndarray = None,
+    end_bin: int = None,
     step_bin: int = None,
     scan_mode: str = "growing_window",
-    agg: str = "time_on_cluster",
+    precomputed_bins: np.ndarray = None,
+    agg: str = "mean",
     metric: str = "auc",
     n_jobs: int = 1,
 ) -> np.ndarray:
-    """Separability of conditions across growing/sliding time bins
-    (post_hoc.py:1946-2094) via Wasserstein distance or classifier AUC."""
-    lengths = {
-        key: len(np.asarray(get_dt(soft_counts, key))) for key in soft_counts.keys()
-    }
-    max_len = min(lengths.values())
-    if start_bin is None:
-        start_bin = max(10, max_len // 10)
-    if step_bin is None:
-        step_bin = max(10, max_len // 10)
+    """Separability of conditions across time bins (post_hoc.py:1946-2021).
 
-    if scan_mode == "growing_window":
-        bin_ends = list(range(start_bin, max_len + 1, step_bin))
-        bins = [(0, e) for e in bin_ends]
-    else:  # per-bin
-        edges = list(range(0, max_len + 1, step_bin))
-        bins = list(zip(edges[:-1], edges[1:]))
+    Scan modes mirror the reference exactly:
 
-    distances = []
-    for (lo, hi) in bins:
-        rng = np.arange(lo, hi)
-        if agg == "time_on_cluster":
-            feats = get_time_on_cluster(soft_counts, bin_info=rng)
-        else:
-            feats = get_aggregated_embedding(embedding, bin_info=rng)
-        distances.append(
-            separation_between_conditions(feats, exp_conditions, metric=metric)
+    - ``growing_window``: bins ``[0, i]`` for ``i in range(start_bin,
+      end_bin, step_bin)`` (inclusive frame ranges, like ``get_dt``'s
+      ``load_range``).
+    - ``per-bin``: bins ``[i*step_bin, (i+1)*step_bin - 1]`` for ``i in
+      range(end_bin // step_bin)``.
+    - anything else: ``precomputed`` — ``precomputed_bins`` holds bin
+      *sizes*; bin ``i`` spans ``[cumsum[i], cumsum[i+1]]`` (the reference's
+      inclusive-end overlap of one frame between consecutive bins is
+      preserved, post_hoc.py:2002).
+
+    ``end_bin`` may be omitted (repo extension): it falls back to the
+    shortest soft-count table, which is what the reference's callers pass
+    (visuals.py:3990).
+    """
+    if scan_mode in ("growing_window", "per-bin"):
+        if end_bin is None:
+            end_bin = min(
+                len(np.asarray(get_dt(soft_counts, key)))
+                for key in soft_counts.keys()
+            )
+        if start_bin is None:
+            start_bin = max(10, end_bin // 10)
+        if step_bin is None:
+            step_bin = max(10, end_bin // 10)
+
+    if scan_mode == "per-bin":
+        bin_infos = [
+            np.array([i * step_bin, (i + 1) * step_bin - 1])
+            for i in range(end_bin // step_bin)
+        ]
+    elif scan_mode == "growing_window":
+        bin_infos = [
+            np.array([0, i]) for i in range(start_bin, end_bin, step_bin)
+        ]
+    else:
+        assert precomputed_bins is not None, (
+            "For precomputed binning, provide a numpy array with bin IDs "
+            "under the precomputed_bins parameter"
         )
+        cumsums = np.insert(np.cumsum(precomputed_bins), 0, 0)
+        bin_infos = [
+            np.array([cumsums[i], cumsums[i + 1]])
+            for i in range(len(precomputed_bins))
+        ]
+
+    distances = [
+        separation_between_conditions(
+            embedding, soft_counts, bin_info, exp_conditions, agg, metric=metric
+        )
+        for bin_info in bin_infos
+    ]
     return np.asarray(distances)
 
 
+def _plain_condition(value):
+    """Flatten a one-cell exp-condition DataFrame to its scalar value."""
+    if hasattr(value, "iloc"):
+        return value.iloc[0, 0]
+    return value
+
+
+def _sliced_wasserstein(a: np.ndarray, b: np.ndarray, n_projections: int = 10000, seed: int = 0) -> float:
+    """Sliced 2-Wasserstein distance between equal-size samples.
+
+    Numpy replacement for ``ot.sliced_wasserstein_distance`` (POT default
+    p=2): project onto ``n_projections`` random unit directions, take the
+    exact 1-D W2 per direction (sorted-difference form), return the root
+    mean of the squared distances. Used when POT is not installed.
+    """
+    rng = np.random.default_rng(seed)
+    proj = rng.normal(size=(a.shape[1], n_projections))
+    proj /= np.maximum(np.linalg.norm(proj, axis=0, keepdims=True), 1e-30)
+    pa = np.sort(a @ proj, axis=0)
+    pb = np.sort(b @ proj, axis=0)
+    return float(np.sqrt(np.mean((pa - pb) ** 2)))
+
+
 def separation_between_conditions(
-    features: pd.DataFrame, exp_conditions: dict, metric: str = "auc"
+    cur_embedding: TableDict,
+    cur_soft_counts: TableDict,
+    bin_info: Union[dict, np.ndarray],
+    exp_conditions: dict,
+    agg: str,
+    metric: str = "auc",
 ) -> float:
-    """Wasserstein distance or LOO classifier AUC between two conditions."""
-    groups = _split_conditions(features, exp_conditions)
-    if len(groups) != 2:
-        raise ValueError("Exactly two conditions are required.")
-    (ka, keys_a), (kb, keys_b) = groups.items()
-    a = features.loc[[k for k in keys_a if k in features.index]].to_numpy(float)
-    b = features.loc[[k for k in keys_b if k in features.index]].to_numpy(float)
+    """Distance between the embeddings of two conditions in one time bin
+    (post_hoc.py:2023-2094).
+
+    ``agg``: "time_on_cluster" aggregates soft counts, "mean"/"median"
+    aggregate the embeddings — always with ``reduce_dim=True`` (PCA to 2
+    components + standard scaling), like the reference. ``metric``:
+    "auc" fits an unpenalized logistic regression on the aggregated rows
+    and reports its in-sample ROC-AUC (the reference's exact procedure);
+    "wasserstein" KDE-resamples each condition to 100 points and reports
+    the sliced 2-Wasserstein distance over 10k projections.
+    """
+    if agg == "time_on_cluster":
+        aggregated = get_time_on_cluster(
+            cur_soft_counts, reduce_dim=True, bin_info=bin_info
+        )
+    elif agg in ("mean", "median"):
+        aggregated = get_aggregated_embedding(
+            cur_embedding, agg=agg, reduce_dim=True, bin_info=bin_info
+        )
+    else:
+        raise ValueError(f"Unknown aggregation method: {agg}")
+
+    labels = aggregated.index.map(lambda k: _plain_condition(exp_conditions[k]))
+
+    if metric == "auc":
+        from sklearn.linear_model import LogisticRegression
+        from sklearn.metrics import roc_auc_score
+        from sklearn.preprocessing import LabelEncoder
+
+        y = LabelEncoder().fit_transform(labels)
+        clf = LogisticRegression(penalty=None)
+        clf.fit(aggregated, y)
+        return float(roc_auc_score(y, clf.predict_proba(aggregated)[:, 1]))
 
     if metric == "wasserstein":
+        from sklearn.neighbors import KernelDensity
+
+        conditions = sorted({_plain_condition(v) for v in exp_conditions.values()})
+        if len(conditions) != 2:
+            raise ValueError("Exactly two conditions are required.")
+        arrays = [
+            KernelDensity()
+            .fit(aggregated.loc[np.asarray(labels) == cond].to_numpy(float))
+            .sample(100, random_state=0)
+            for cond in conditions
+        ]
         try:
             import ot
 
-            m = ot.dist(a, b)
-            wa = np.ones(len(a)) / len(a)
-            wb = np.ones(len(b)) / len(b)
-            # TypeError covers stubbed `ot` modules returning non-numerics.
-            return float(ot.emd2(wa, wb, m))
+            d = ot.sliced_wasserstein_distance(*arrays, n_projections=10000)
+            return float(d)
         except (ImportError, TypeError, AttributeError):
-            from scipy.stats import wasserstein_distance
+            return _sliced_wasserstein(*arrays)
 
-            return float(
-                np.mean(
-                    [
-                        wasserstein_distance(a[:, j], b[:, j])
-                        for j in range(a.shape[1])
-                    ]
-                )
-            )
-
-    from sklearn.linear_model import LogisticRegression
-    from sklearn.metrics import roc_auc_score
-    from sklearn.model_selection import LeaveOneOut, cross_val_predict
-
-    x = np.concatenate([a, b])
-    y = np.concatenate([np.zeros(len(a)), np.ones(len(b))])
-    if len(x) < 3 or len(np.unique(y)) < 2:
-        return np.nan
-    try:
-        probs = cross_val_predict(
-            LogisticRegression(max_iter=1000), x, y,
-            cv=min(len(x), 5), method="predict_proba",
-        )[:, 1]
-        return float(roc_auc_score(y, probs))
-    except ValueError:
-        return np.nan
+    raise ValueError(f"Unknown metric: {metric}")
 
 
 # --------------------------------------------------------------------------- #
@@ -546,18 +602,28 @@ def separation_between_conditions(
 
 
 def fit_normative_global_model(global_normal_embeddings: pd.DataFrame):
-    """GMM fit on control-condition embeddings (post_hoc.py:2097-2124)."""
-    from sklearn.mixture import GaussianMixture
+    """Gaussian KDE fit on control-condition embeddings with the bandwidth
+    grid-searched over ``linspace(0.1, 10, 200)`` (post_hoc.py:2097-2124,
+    procedure reproduced exactly: ``GridSearchCV`` with
+    ``cv=min(10, n_rows)``, then a fresh ``KernelDensity`` refit at the
+    best bandwidth)."""
+    from sklearn.model_selection import GridSearchCV
+    from sklearn.neighbors import KernelDensity
 
-    gmm = GaussianMixture(
-        n_components=1, covariance_type="full", reg_covar=1e-4, random_state=0,
+    params = {"bandwidth": np.linspace(0.1, 10, 200)}
+    grid_search = GridSearchCV(
+        KernelDensity(kernel="gaussian"),
+        params,
+        cv=int(np.minimum(10, global_normal_embeddings.shape[0])),
     )
-    gmm.fit(global_normal_embeddings.to_numpy(float))
-    return gmm
+    grid_search.fit(global_normal_embeddings.values)
+    return KernelDensity(
+        kernel="gaussian", bandwidth=grid_search.best_params_["bandwidth"]
+    ).fit(global_normal_embeddings.values)
 
 
 def score_against_normative(model, embeddings: pd.DataFrame) -> pd.Series:
-    """Per-experiment log-likelihood under the normative model."""
+    """Per-experiment log-likelihood under the normative KDE model."""
     return pd.Series(
         model.score_samples(embeddings.to_numpy(float)), index=embeddings.index
     )

@@ -70,15 +70,21 @@ def test_cluster_transition_matrix_counts():
 
 def test_separation_between_conditions_auc():
     rng = np.random.default_rng(0)
-    feats = pd.DataFrame(
-        np.concatenate([rng.normal(size=(6, 3)), rng.normal(3.0, 1, size=(6, 3))]),
-        index=[f"e{i}" for i in range(12)],
+    emb, conds = {}, {}
+    for i in range(12):
+        shift = 0.0 if i < 6 else 3.0
+        emb[f"e{i}"] = rng.normal(shift, 1.0, size=(50, 4))
+        conds[f"e{i}"] = "A" if i < 6 else "B"
+    sc = {k: np.abs(rng.normal(size=(50, 5))) + 1e-3 for k in emb}
+    sc = {k: v / v.sum(1, keepdims=True) for k, v in sc.items()}
+    auc = posthoc.separation_between_conditions(
+        emb, sc, np.array([0, 49]), conds, agg="mean", metric="auc"
     )
-    conds = {f"e{i}": "A" if i < 6 else "B" for i in range(12)}
-    auc = posthoc.separation_between_conditions(feats, conds, metric="auc")
     assert auc > 0.8
-    w = posthoc.separation_between_conditions(feats, conds, metric="wasserstein")
-    assert w > 0.5
+    w = posthoc.separation_between_conditions(
+        emb, sc, np.array([0, 49]), conds, agg="mean", metric="wasserstein"
+    )
+    assert w > 0.3
 
 
 def test_chunk_summary_statistics():

@@ -147,3 +147,80 @@ def test_transition_and_steady_state_parity(ref_posthoc, data):
     assert sorted(want_v) == sorted(got_v)
     for c in want_v:
         np.testing.assert_allclose(got_v[c], want_v[c], rtol=1e-12)
+
+
+# --------------------------------------------------------------------------- #
+# Round-5 extension (VERDICT r4 weak #6): condition-distance binning and the
+# normative KDE model, A/B vs the real reference. The wasserstein metric,
+# recluster (pomegranate DenseHMM) and chunk_summary_statistics (seglearn
+# FeatureRep) cannot be numerically A/B'd here because the reference's
+# backing libraries (ot/pomegranate/seglearn) are absent and stubbed by
+# reference_shim; they are pinned by independent oracles in
+# test_posthoc_visuals.py / test_msm.py instead.
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("agg", ["mean", "time_on_cluster"])
+@pytest.mark.parametrize(
+    "scan_mode,kwargs",
+    [
+        ("growing_window", dict(start_bin=40, end_bin=200, step_bin=40)),
+        ("per-bin", dict(end_bin=200, step_bin=50)),
+        ("precomputed", dict(precomputed_bins=np.array([60, 70, 69]))),
+    ],
+)
+def test_condition_distance_binning_auc_parity(
+    ref_posthoc, data, agg, scan_mode, kwargs
+):
+    """AUC-mode bin scan matches the reference on every scan mode
+    (post_hoc.py:1946-2021): same bins, same PCA+scaler reduction, same
+    unpenalized logistic-regression in-sample ROC-AUC per bin."""
+    sc, emb, conds = data
+
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", category=FutureWarning)
+        want = ref_posthoc.condition_distance_binning(
+            dict(emb), dict(sc), dict(conds), scan_mode=scan_mode,
+            agg=agg, metric="auc", n_jobs=1, **kwargs
+        )
+        from deepof_tpu.posthoc import condition_distance_binning
+
+        got = condition_distance_binning(
+            dict(emb), dict(sc), dict(conds), scan_mode=scan_mode,
+            agg=agg, metric="auc", **kwargs
+        )
+    assert got.shape == want.shape and len(got) > 1
+    np.testing.assert_allclose(
+        np.asarray(got, float), np.asarray(want, float), rtol=1e-9
+    )
+
+
+def test_normative_model_parity(ref_posthoc, data):
+    """KDE bandwidth grid search + log-likelihood scoring match the
+    reference (post_hoc.py:2097-2124; scoring as used at
+    visuals.py:2318-2326)."""
+    _, emb, _ = data
+    from deepof_tpu.posthoc import (
+        fit_normative_global_model,
+        get_aggregated_embedding,
+        score_against_normative,
+    )
+
+    want_agg = ref_posthoc.get_aggregated_embedding(dict(emb), agg="mean")
+    got_agg = get_aggregated_embedding(dict(emb), agg="mean")
+    np.testing.assert_allclose(
+        got_agg.to_numpy(float), want_agg.to_numpy(float), rtol=1e-12
+    )
+
+    want_model = ref_posthoc.fit_normative_global_model(want_agg)
+    got_model = fit_normative_global_model(got_agg)
+    assert got_model.bandwidth == want_model.bandwidth
+
+    want_scores = want_model.score_samples(want_agg.values)
+    got_scores = score_against_normative(got_model, got_agg)
+    assert list(got_scores.index) == list(got_agg.index)
+    np.testing.assert_allclose(
+        got_scores.to_numpy(float), want_scores, rtol=1e-10
+    )
