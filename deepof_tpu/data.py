@@ -1129,7 +1129,10 @@ class Coordinates:
             }
         return {key: "00:00:00.000" for key in self._tables}
 
+    @property
     def get_exp_conditions(self):
+        """Stored per-experiment condition tables (property, like the
+        reference deepof/data.py:2448)."""
         return self._exp_conditions
 
     def get_condition_values(self, exp_cond):

@@ -100,7 +100,7 @@ def get_supervised_chaos(
 
     return TableDict(
         out, typ="supervised_annotation",
-        exp_conditions=coordinates.get_exp_conditions(),
+        exp_conditions=coordinates.get_exp_conditions,
     )
 
 
@@ -473,7 +473,7 @@ def get_contrastive_soft_counts_gmm(
     return {
         gate: TableDict(
             out[gate], typ="unsupervised_counts",
-            exp_conditions=coordinates.get_exp_conditions(),
+            exp_conditions=coordinates.get_exp_conditions,
         )
         for gate in gates
     }
@@ -565,7 +565,7 @@ def get_contrastive_soft_counts_msm_pcca(
     return {
         gate: TableDict(
             out[gate], typ="unsupervised_counts",
-            exp_conditions=coordinates.get_exp_conditions(),
+            exp_conditions=coordinates.get_exp_conditions,
         )
         for gate in gates
     }
@@ -635,6 +635,6 @@ def add_chaos_gates(
 
         out[gate] = TableDict(
             result_gate, typ="unsupervised_counts",
-            exp_conditions=coordinates.get_exp_conditions(),
+            exp_conditions=coordinates.get_exp_conditions,
         )
     return out

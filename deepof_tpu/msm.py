@@ -592,5 +592,5 @@ def get_contrastive_soft_counts(
     }
     return TableDict(
         saved, typ="unsupervised_counts", table_path=table_path,
-        exp_conditions=coordinates.get_exp_conditions(),
+        exp_conditions=coordinates.get_exp_conditions,
     )

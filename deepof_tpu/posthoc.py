@@ -392,7 +392,19 @@ def compute_transition_matrix_per_condition(
         arr = np.asarray(get_dt(soft_counts, key, load_range=load_range))
         n_clusters = arr.shape[1]
         hard = np.argmax(arr, axis=1)
-        trans = get_transitions(hard, n_clusters, index_sequence=load_range)
+        index_sequence = load_range
+        if (
+            index_sequence is not None
+            and len(index_sequence) == 2
+            and len(hard) != 2
+        ):
+            # get_dt treated the 2-element load_range as an inclusive
+            # [start, end] span; expand to the matching frame indices so
+            # the gap-exclusion mask lines up with the loaded rows.
+            index_sequence = np.arange(
+                index_sequence[0], index_sequence[1] + 1
+            )
+        trans = get_transitions(hard, n_clusters, index_sequence=index_sequence)
         if silence_diagonal:
             np.fill_diagonal(trans, 0)
         if aggregate:
@@ -689,18 +701,22 @@ def annotate_time_chunks(
     window_size: int = None,
     window_step: int = 1,
     animal_id: str = None,
-    samples_max: int = 10000,
+    samples: int = 10000,
     min_confidence: float = 0.0,
     kin_derivative: int = 1,
     include_distances: bool = False,
     include_angles: bool = False,
     include_areas: bool = False,
     aggregate: str = "mean",
-) -> Tuple[pd.DataFrame, np.ndarray]:
+) -> Tuple[pd.DataFrame, pd.Series, dict]:
     """Kinematic feature windows annotated with hard cluster labels
-    (post_hoc.py:2562-2742)."""
-    from deepof_tpu.core.table_dict import extract_windows
+    (post_hoc.py:2562-2707).
 
+    Returns, like the reference: the per-chunk summary features, the hard
+    cluster label per chunk, and ``bin_info`` mapping each experiment to
+    the window start indices of its surviving chunks (the format
+    :func:`chunk_cv_splitter` consumes).
+    """
     kinematics = align_deepof_kinematics_with_unsupervised_labels(
         deepof_project,
         kin_derivative=kin_derivative,
@@ -713,25 +729,44 @@ def annotate_time_chunks(
     if window_size is None:
         window_size = int(np.round(deepof_project._frame_rate))
 
-    feats, labels = [], []
+    feats, labels, bin_info = [], [], {}
+    offset = 0
     for key in soft_counts.keys():
-        kin = get_dt(kinematics, key)
+        kin = pd.DataFrame(get_dt(kinematics, key))
+        if supervised_annotations is not None:
+            # Merge supervised labels as extra per-frame features
+            # (post_hoc.py:2617-2622).
+            sup = pd.DataFrame(get_dt(supervised_annotations, key))
+            m = min(len(kin), len(sup))
+            kin = pd.concat(
+                [
+                    kin.iloc[:m].reset_index(drop=True),
+                    sup.iloc[:m].reset_index(drop=True),
+                ],
+                axis=1,
+            )
         counts = np.asarray(get_dt(soft_counts, key))
         windows = np.lib.stride_tricks.sliding_window_view(
             kin.to_numpy(float), (window_size,), axis=0
         )[::window_step].transpose(0, 2, 1)
         m = min(len(windows), len(counts))
         windows, cnt = windows[:m], counts[:m]
-        conf = cnt.max(axis=1)
-        keep = conf >= min_confidence
+        keep = cnt.max(axis=1) > min_confidence
         feats.append(windows[keep])
         labels.append(np.argmax(cnt[keep], axis=1))
+        bin_info[key] = offset + np.arange(m)[keep] * window_step
+        offset += m * window_step
 
     x = np.concatenate(feats) if feats else np.zeros((0, window_size, 1))
     y = np.concatenate(labels) if labels else np.zeros(0)
-    if len(x) > samples_max:
-        idx = np.random.choice(len(x), samples_max, replace=False)
+    if samples is not None and len(x) > samples:
+        idx = np.sort(np.random.choice(len(x), samples, replace=False))
         x, y = x[idx], y[idx]
+        flat = np.concatenate([bin_info[k] for k in bin_info])
+        bounds = np.cumsum([0] + [len(bin_info[k]) for k in bin_info])
+        for i, k in enumerate(bin_info):
+            sel = idx[(idx >= bounds[i]) & (idx < bounds[i + 1])]
+            bin_info[k] = flat[sel]
 
     body_part_names = [str(c) for c in kin.columns]
     if aggregate == "mean":
@@ -740,7 +775,7 @@ def annotate_time_chunks(
         )
     else:
         stats = chunk_summary_statistics(x, body_part_names)
-    return stats, y
+    return stats, pd.Series(y), bin_info
 
 
 # --------------------------------------------------------------------------- #
