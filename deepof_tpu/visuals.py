@@ -1037,30 +1037,97 @@ def plot_distance_between_conditions(
     embeddings: TableDict,
     soft_counts: TableDict,
     exp_condition: str = None,
-    metric: str = "auc",
-    scan_mode: str = "growing_window",
-    agg: str = "time_on_cluster",
-    start_bin: int = None,
-    step_bin: int = None,
+    embedding_aggregation_method: str = "median",
+    distance_metric: str = "wasserstein",
+    n_jobs: int = 1,
     save: bool = False,
     ax: Any = None,
     **kwargs,
 ):
-    """Condition separability across growing/sliding time bins
-    (visuals.py:3932-4091)."""
-    distances = posthoc.condition_distance_binning(
-        embeddings, soft_counts, coordinates._exp_conditions or {},
-        start_bin=start_bin, step_bin=step_bin, scan_mode=scan_mode,
-        agg=agg, metric=metric,
+    """Condition separability across a growing time window, with the
+    reference's optimal-bin overlay (visuals.py:3932-4091).
+
+    Procedure: (1) growing-window scan starting at 10x the frame rate in
+    frames, stepping one frame-rate; (2) Savitzky-Golay smooth the curve
+    and take its argmax + 10 as the optimal bin size in seconds; (3)
+    re-scan per-bin at that size; (4) plot the growing-window curve in
+    grey with the per-bin points on top.
+
+    Repo extensions via kwargs: ``metric``/``agg`` alias the reference's
+    ``distance_metric``/``embedding_aggregation_method``; ``start_bin``/
+    ``step_bin`` (frames) override the frame-rate-derived scan defaults,
+    which tiny demo recordings need.
+    """
+    from deepof_tpu.core.storage import get_dt as _get_dt
+
+    distance_metric = kwargs.pop("metric", distance_metric)
+    embedding_aggregation_method = kwargs.pop("agg", embedding_aggregation_method)
+    frame_rate = float(getattr(coordinates, "_frame_rate", 25) or 25)
+    min_len = int(min(
+        len(np.asarray(_get_dt(soft_counts, key))) for key in soft_counts.keys()
+    ))
+    start_bin = kwargs.pop("start_bin", None) or int(np.round(10 * frame_rate))
+    step_bin = kwargs.pop("step_bin", None) or int(np.round(frame_rate))
+    start_bin = min(start_bin, max(min_len - step_bin, 1))
+    kwargs.pop("scan_mode", None)
+
+    conds = {
+        key: (
+            str(val[exp_condition].values[0])
+            if exp_condition is not None and hasattr(val, "columns")
+            else (str(val.iloc[0, 0]) if hasattr(val, "iloc") else str(val))
+        )
+        for key, val in (coordinates._exp_conditions or {}).items()
+    }
+
+    distance_array = posthoc.condition_distance_binning(
+        embeddings, soft_counts, conds,
+        start_bin, min_len, step_bin,
+        agg=embedding_aggregation_method, metric=distance_metric,
+        n_jobs=n_jobs,
     )
+
+    # Optimal bin: argmax of the smoothed growing-window curve, in
+    # seconds (visuals.py:3986). Savitzky-Golay needs >10 samples; fall
+    # back to the raw argmax on short demo scans.
+    if len(distance_array) > 10:
+        from scipy.signal import savgol_filter
+
+        smoothed = savgol_filter(distance_array, 10, 2)
+    else:
+        smoothed = distance_array
+    optimal_bin = int(np.argmax(smoothed)) + 10
+
+    distance_per_bin = posthoc.condition_distance_binning(
+        embeddings, soft_counts, conds,
+        start_bin, min_len,
+        max(min(int(np.round(optimal_bin * frame_rate)), min_len), 1),
+        scan_mode="per-bin",
+        agg=embedding_aggregation_method, metric=distance_metric,
+        n_jobs=n_jobs,
+    )
+
     own_fig = ax is None
     if own_fig:
         fig, ax = plt.subplots()
     else:
         fig = ax.figure
-    ax.plot(distances, marker="o")
-    ax.set_xlabel("bin")
-    ax.set_ylabel(metric)
+    t_grow = np.linspace(10, min_len, len(distance_array)) / frame_rate
+    ax.plot(t_grow, distance_array, color="#d6dbd2", label="growing window")
+    if len(distance_per_bin):
+        t_bin = np.concatenate(
+            [optimal_bin * np.arange(1, len(distance_per_bin)),
+             [min_len / frame_rate]]
+        )
+        ax.plot(t_bin, distance_per_bin, color="#0b7189", zorder=100)
+        ax.scatter(
+            t_bin, distance_per_bin, color="#0b7189", s=200,
+            linewidth=1, zorder=100,
+        )
+    ax.set_xlabel("Time")
+    ax.set_ylabel(distance_metric)
+    if own_fig:
+        ax.set_title("deepOF - distance between conditions")
     return _maybe_save(fig, save, "condition_distance")
 
 
