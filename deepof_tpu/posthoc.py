@@ -993,33 +993,84 @@ def recluster(
     embeddings: TableDict,
     soft_counts: TableDict = None,
     min_confidence: float = 0.75,
-    states: Union[int, str] = 10,
-    pretrained: bool = False,
+    states: Union[int, str] = "aic",
+    pretrained: Union[bool, str] = False,
+    covariance_type: str = "diag",
+    min_states: int = 2,
+    max_states: int = 12,
     save: bool = True,
 ) -> TableDict:
-    """Re-fit a GMM on pooled embeddings and re-assign soft counts
-    (post_hoc.py:1596-1740)."""
-    from sklearn.mixture import GaussianMixture
+    """HMM-based reclustering of the embedding space
+    (post_hoc.py:1596-1740).
 
-    pooled = np.concatenate(
-        [np.asarray(get_dt(embeddings, key)) for key in embeddings.keys()]
-    )
-    if isinstance(states, str):  # "aic"/"bic" scan
-        best, best_score = None, np.inf
-        for k in range(2, 26):
-            gmm = GaussianMixture(n_components=k, covariance_type="diag", random_state=0).fit(pooled)
-            score = gmm.bic(pooled) if states == "bic" else gmm.aic(pooled)
-            if score < best_score:
-                best, best_score = gmm, score
-        gmm = best
+    With ``soft_counts``, fits a semi-supervised HMM whose decode is
+    biased by the given soft assignments (rows below ``min_confidence``
+    fall back to a uniform prior, like the reference). Without them,
+    selects the state count by AIC/BIC over ``[min_states, max_states]``
+    (or uses ``states`` directly when it is an int). The HMM is the
+    repo's jitted log-space EM (:mod:`deepof_tpu.msm`) rather than
+    pomegranate; it is diagonal-covariance, which is also what the
+    reference effectively fits (it hard-codes ``covariance_type="diag"``
+    in its state scan and falls back to diag in the prior path).
+
+    ``pretrained`` may be a pickle path or True (resolved under the
+    project's ``Trained_models``); ``save`` pickles the fitted model
+    there when a project is given.
+    """
+    import pickle
+
+    from deepof_tpu.msm import GaussianHMM, fit_hmm_range, get_soft_counts_hmm
+
+    if covariance_type != "diag":
+        warnings.warn(
+            "deepof_tpu HMMs are diagonal-covariance; ignoring "
+            f"covariance_type={covariance_type!r} (the reference also "
+            "fits diag in its state scan)."
+        )
+
+    def _model_path():
+        return os.path.join(
+            coordinates._project_path, coordinates._project_name,
+            "Trained_models", f"hmm_trained_{states}.pkl",
+        )
+
+    seqs = {
+        k: np.asarray(get_dt(embeddings, k), np.float32)
+        for k in embeddings.keys()
+    }
+    model = None
+    if pretrained:
+        path = pretrained if isinstance(pretrained, str) else _model_path()
+        with open(path, "rb") as f:
+            model = pickle.load(f)[0]
+
+    if model is None and soft_counts is not None:
+        counts = get_soft_counts_hmm(
+            embeddings, soft_counts={
+                k: np.asarray(get_dt(soft_counts, k)) for k in soft_counts.keys()
+            },
+            min_confidence=min_confidence,
+        )
+        out = {k: pd.DataFrame(v) for k, v in counts.items()}
+        model = None  # the biased decode is per-key; nothing to persist
     else:
-        gmm = GaussianMixture(n_components=int(states), covariance_type="diag", random_state=0)
-        gmm.fit(pooled)
+        if model is None:
+            if isinstance(states, int):
+                min_t = min(s.shape[0] for s in seqs.values())
+                x = np.stack([s[:min_t] for s in seqs.values()])
+                model = GaussianHMM(int(states)).fit(x)
+            else:
+                model, _ = fit_hmm_range(
+                    seqs, states, min_states=min_states, max_states=max_states
+                )
+            if save and coordinates is not None:
+                os.makedirs(os.path.dirname(_model_path()), exist_ok=True)
+                with open(_model_path(), "wb") as f:
+                    pickle.dump([model], f)
+        out = {
+            k: pd.DataFrame(model.predict_proba(s)) for k, s in seqs.items()
+        }
 
-    out = {}
-    for key in embeddings.keys():
-        emb = np.asarray(get_dt(embeddings, key))
-        out[key] = pd.DataFrame(gmm.predict_proba(emb))
     return TableDict(
         out, typ="unsupervised_counts", table_path=embeddings._table_path,
         animal_ids=embeddings._animal_ids,

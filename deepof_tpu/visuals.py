@@ -77,30 +77,60 @@ def plot_heatmaps(
     exp_condition: str = None,
     condition_value: str = None,
     display_arena: bool = True,
+    display_rois: bool = False,
     experiment_id: str = "average",
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
+    start_marker: str = None,
     samples_max: int = 20000,
+    roi_number: int = None,
+    animals_in_roi: list = None,
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
+    xlim: Tuple[float, float] = None,
+    ylim: Tuple[float, float] = None,
     save: bool = False,
     dpi: int = 100,
     ax: Any = None,
+    show: bool = False,
     **kwargs,
 ):
-    """2D occupancy heatmaps per bodypart (visuals.py:80-246)."""
+    """2D occupancy heatmaps per bodypart (visuals.py:80-246).
+
+    ``roi_number`` restricts the occupancy to frames where the requested
+    animals' ``in_roi_criterion`` bodypart lies inside (or outside, with
+    ``invert_roi``) the ROI; ``display_rois`` overlays the ROI polygons
+    (only meaningful without centering/alignment, like the arena
+    overlay). ``xlim``/``ylim`` fix the axis extents.
+    """
+    from deepof_tpu.utils import get_behavior_frames_in_roi
+
+    if roi_number is not None and animals_in_roi is None:
+        animals_in_roi = list(coordinates._animal_ids or [""])
     coords = coordinates.get_coords(center=center, align=align)
-    bin_info = vu.preprocess_time_bins(
+    bin_info_time = vu.preprocess_time_bins(
         coordinates, bin_size, bin_index, precomputed_bins,
-        samples_max=samples_max,
+        start_marker=start_marker, samples_max=samples_max,
+    )
+    bin_info = vu.apply_rois_to_bin_info(
+        coordinates, roi_number, bin_info_time, in_roi_criterion,
+        invert_roi=invert_roi,
     )
     keys = (
         list(coords.keys()) if experiment_id == "average" else [experiment_id]
     )
     if condition_value is not None:
-        conds = _conditions_of(coordinates, keys)
+        conds = _conditions_of(coordinates, keys, exp_condition=exp_condition)
         keys = [k for k in keys if conds[k] == str(condition_value)]
 
-    stacked = pd.concat([coords[k].iloc[bin_info[k]] for k in keys], axis=0)
+    parts = []
+    for k in keys:
+        rng = bin_info[k]["time"]
+        if roi_number is not None:
+            rng = get_behavior_frames_in_roi(None, bin_info[k], animals_in_roi)
+        parts.append(coords[k].iloc[rng])
+    stacked = pd.concat(parts, axis=0)
     own_fig = ax is None
     if own_fig:
         fig, ax = plt.subplots(dpi=dpi)
@@ -109,6 +139,21 @@ def plot_heatmaps(
     vu.heatmap(stacked, bodyparts, title=f"{experiment_id}", ax=ax, **kwargs)
     if display_arena:
         vu.plot_arena(coordinates, center, "#ffffff", ax, experiment_id)
+    if display_rois and getattr(coordinates, "_roi_dicts", None):
+        roi_key = keys[0] if experiment_id != "average" else list(coords.keys())[0]
+        for poly in (coordinates._roi_dicts.get(roi_key) or {}).values():
+            poly = np.asarray(poly, float)
+            ax.plot(
+                np.append(poly[:, 0], poly[0, 0]),
+                np.append(poly[:, 1], poly[0, 1]),
+                color="#ffffff", linestyle=":", linewidth=1.5,
+            )
+    if xlim is not None:
+        ax.set_xlim(xlim)
+    if ylim is not None:
+        ax.set_ylim(ylim)
+    if show:  # pragma: no cover — interactive display
+        plt.show()
     return _maybe_save(fig, save, "heatmaps")
 
 
@@ -119,55 +164,128 @@ def plot_heatmaps(
 
 def plot_gantt(
     coordinates,
-    experiment_id: str,
+    instance_id: str = None,
     soft_counts: TableDict = None,
     supervised_annotations: TableDict = None,
     behaviors: List[str] = None,
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
+    start_marker: str = None,
+    samples_max: int = 20000,
+    roi_number: int = None,
+    animals_in_roi: list = None,
+    roi_mode: str = "mousewise",
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
+    additional_checkpoints=None,
+    signal_overlay: pd.Series = None,
+    instances_to_plot: List[str] = None,
     save: bool = False,
     ax: Any = None,
+    experiment_id: str = None,
     **kwargs,
 ):
-    """Behavior/cluster occurrence Gantt chart for one experiment.
+    """Behavior/cluster occurrence Gantt chart (visuals.py:248-978).
 
-    When both soft_counts and supervised_annotations are given, renders
-    stacked panels sharing the time axis (the reference's multi-panel
-    gantt machinery, visuals.py:346-978 _plot_experiment_gantt /
-    gantt_plotter).
+    ``instance_id`` routes like the reference: an experiment id renders
+    that experiment's behaviors/clusters as rows; a behavior (or
+    ``Cluster_i``) name renders one row per experiment showing where that
+    behavior occurs. ``instances_to_plot`` restricts the rows (behaviors
+    in the first mode, experiments in the second). ``experiment_id`` is
+    kept as a repo alias for the first mode. With both soft_counts and
+    supervised_annotations in experiment mode, stacked panels share the
+    time axis. ``additional_checkpoints`` frame positions draw dashed
+    vlines; ``signal_overlay`` draws a continuous trace on a twin axis.
     """
-    bin_info = vu.preprocess_time_bins(
-        coordinates, bin_size, bin_index, precomputed_bins,
-        experiment_id=experiment_id, samples_max=None,
+    from deepof_tpu.utils import (
+        get_supervised_behaviors_in_roi,
+        get_unsupervised_behaviors_in_roi,
     )
-    rng = bin_info[experiment_id]
 
-    def supervised_series():
-        tab = pd.DataFrame(get_dt(supervised_annotations, experiment_id)).iloc[rng]
-        names = behaviors or [
+    instance_id = instance_id if instance_id is not None else experiment_id
+    assert instance_id is not None, "pass instance_id (experiment or behavior)"
+    experiment_mode = instance_id in coordinates._tables.keys()
+    source = (
+        supervised_annotations if supervised_annotations is not None
+        else soft_counts
+    )
+    assert source is not None, "pass soft_counts and/or supervised_annotations"
+
+    bin_info_time = vu.preprocess_time_bins(
+        coordinates, bin_size, bin_index, precomputed_bins,
+        experiment_id=instance_id if experiment_mode else None,
+        start_marker=start_marker, samples_max=samples_max,
+        tab_dict_for_binning=source,
+    )
+    roi_bin_info = vu.apply_rois_to_bin_info(
+        coordinates, roi_number, bin_info_time, in_roi_criterion,
+        invert_roi=invert_roi,
+    )
+
+    frame_rate = coordinates._frame_rate
+
+    def supervised_series(key, names=None):
+        rng = roi_bin_info[key]["time"]
+        tab = pd.DataFrame(get_dt(supervised_annotations, key)).iloc[rng]
+        if roi_number is not None:
+            tab = get_supervised_behaviors_in_roi(
+                tab, roi_bin_info[key], animals_in_roi, roi_mode
+            )
+        names = names or [
             c for c in tab.columns
             if not any(s in str(c) for s in ("speed", "distance"))
         ]
-        series = {b: (tab[b] > 0.1).to_numpy() for b in names}
+        series = {b: (tab[b].fillna(0) > 0.1).to_numpy() for b in names}
         return series, vu.get_behavior_colors(names, coordinates._animal_ids)
 
-    def cluster_series():
-        counts = np.asarray(get_dt(soft_counts, experiment_id))[rng]
-        hard = counts.argmax(axis=1)
-        clusters = sorted(np.unique(hard))
+    def cluster_series(key, names=None):
+        rng = roi_bin_info[key]["time"]
+        counts = np.asarray(get_dt(soft_counts, key))[rng]
+        hard = counts.argmax(axis=1).astype(float)
+        if roi_number is not None:
+            hard = get_unsupervised_behaviors_in_roi(
+                hard, roi_bin_info[key], animals_in_roi
+            )
+        clusters = sorted(int(c) for c in np.unique(hard) if c >= 0)
         series = {f"Cluster {c}": hard == c for c in clusters}
+        if names:
+            wanted = {str(n).replace("_", " ") for n in names}
+            series = {k: v for k, v in series.items() if k in wanted}
         cmap = plt.get_cmap("tab20")
         return series, [
-            matplotlib.colors.to_hex(cmap(i % 20)) for i in range(len(clusters))
+            matplotlib.colors.to_hex(cmap(i % 20)) for i in range(len(series))
         ]
 
     panels = []
-    if soft_counts is not None:
-        panels.append(("unsupervised clusters",) + cluster_series())
-    if supervised_annotations is not None:
-        panels.append(("supervised behaviors",) + supervised_series())
-    assert panels, "pass soft_counts and/or supervised_annotations"
+    if experiment_mode:
+        wanted = instances_to_plot or behaviors
+        if soft_counts is not None:
+            panels.append(
+                ("unsupervised clusters",) + cluster_series(instance_id, wanted)
+            )
+        if supervised_annotations is not None:
+            panels.append(
+                ("supervised behaviors",) + supervised_series(instance_id, wanted)
+            )
+    else:
+        # behavior mode: one row per experiment for this behavior
+        keys = instances_to_plot or list(source.keys())
+        series, colors = {}, []
+        cmap = plt.get_cmap("tab20")
+        for i, key in enumerate(keys):
+            if supervised_annotations is not None:
+                s, _ = supervised_series(key, [instance_id])
+            else:
+                s, _ = cluster_series(
+                    key, [str(instance_id).replace("_", " ")]
+                )
+                if not s:  # accept "Cluster_3" or "Cluster 3"
+                    s = {str(instance_id): np.zeros(0, bool)}
+            series[key] = next(iter(s.values())) if s else np.zeros(0, bool)
+            colors.append(matplotlib.colors.to_hex(cmap(i % 20)))
+        panels.append((str(instance_id), series, colors))
+    assert panels and any(len(s) for _, s, _ in panels), "nothing to plot"
 
     own_fig = ax is None
     if own_fig:
@@ -178,7 +296,7 @@ def plot_gantt(
         )
         axes = axes[:, 0]
     else:
-        fig = ax.figure
+        fig = ax.figure if not isinstance(ax, (list, np.ndarray)) else np.atleast_1d(ax)[0].figure
         axes = np.atleast_1d(ax)
         assert len(axes) >= len(panels), "need one axis per panel"
 
@@ -187,16 +305,30 @@ def plot_gantt(
             starts, ends = vu.contiguous_segments(mask)
             for seg_s, seg_e in zip(starts, ends):
                 panel_ax.barh(
-                    i, (seg_e - seg_s) / coordinates._frame_rate,
-                    left=seg_s / coordinates._frame_rate,
+                    i, (seg_e - seg_s) / frame_rate,
+                    left=seg_s / frame_rate,
                     color=colors[i % len(colors)], height=0.8,
                 )
         panel_ax.set_yticks(range(len(series)))
         panel_ax.set_yticklabels(list(series.keys()))
-        panel_ax.set_title(title if len(panels) > 1 else experiment_id)
+        panel_ax.set_title(title if len(panels) > 1 else str(instance_id))
+        if additional_checkpoints is not None:
+            marks = np.asarray(additional_checkpoints, float).ravel()
+            for m in marks[np.isfinite(marks)]:
+                panel_ax.axvline(
+                    m / frame_rate, color="k", linestyle="--", linewidth=1,
+                )
+        if signal_overlay is not None:
+            twin = panel_ax.twinx()
+            sig = np.asarray(signal_overlay, float)
+            twin.plot(
+                np.arange(len(sig)) / frame_rate, sig,
+                color="#555555", alpha=0.6, linewidth=1,
+            )
+            twin.set_ylabel(getattr(signal_overlay, "name", "") or "signal")
     axes[len(panels) - 1].set_xlabel("time (s)")
     if len(panels) > 1:
-        fig.suptitle(experiment_id)
+        fig.suptitle(str(instance_id))
     return _maybe_save(fig, save, "gantt")
 
 
@@ -290,13 +422,20 @@ def plot_enrichment(
     soft_counts: TableDict = None,
     supervised_annotations: TableDict = None,
     exp_condition: str = None,
+    exp_condition_order: list = None,
     roi_number: int = None,
     animals_in_roi: list = None,
     roi_mode: str = "mousewise",
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
+    start_marker: str = None,
+    samples_max: int = None,
     normalize: bool = True,
+    plot_speed: bool = False,
+    polar_depiction: bool = False,
     add_stats: str = "Mann-Whitney",
     verbose: bool = False,
     save: bool = False,
@@ -304,16 +443,24 @@ def plot_enrichment(
     **kwargs,
 ):
     """Boxplots of cluster/behavior usage per condition with pairwise
-    significance markers (visuals.py:979-1477)."""
+    significance markers (visuals.py:979-1477).
+
+    ``plot_speed`` switches the supervised mode to per-animal speed
+    distributions; ``exp_condition_order`` fixes the condition ordering;
+    ``polar_depiction`` renders on a polar axis like the reference's
+    radial variant.
+    """
     bin_info = vu.preprocess_time_bins(
-        coordinates, bin_size, bin_index, precomputed_bins, samples_max=None,
+        coordinates, bin_size, bin_index, precomputed_bins,
+        samples_max=samples_max, start_marker=start_marker,
         tab_dict_for_binning=(supervised_annotations or soft_counts),
     )
     if roi_number is not None:
         if animals_in_roi is None:
             animals_in_roi = list(coordinates._animal_ids or [""])
         bin_info = vu.apply_rois_to_bin_info(
-            coordinates, roi_number, bin_info
+            coordinates, roi_number, bin_info, in_roi_criterion,
+            invert_roi=invert_roi,
         )
     source = supervised_annotations or soft_counts or embeddings
     cond_map = _conditions_of(
@@ -326,17 +473,26 @@ def plot_enrichment(
         exp_conditions=cond_map,
         bin_info=bin_info,
         normalize=normalize,
+        plot_speed=plot_speed,
         roi_number=roi_number,
         animals_in_roi=animals_in_roi,
         roi_mode=roi_mode,
     )
     own_fig = ax is None
     if own_fig:
-        fig, ax = plt.subplots(figsize=(12, 5))
+        fig, ax, _ = vu.ensure_axis(None, polar_depiction=polar_depiction)
+        if not polar_depiction:
+            fig.set_size_inches(12, 5)
     else:
         fig = ax.figure
     clusters = sorted(counters["cluster"].unique(), key=str)
     conditions = sorted(counters["exp condition"].unique())
+    if exp_condition_order:
+        order = [str(c) for c in exp_condition_order]
+        assert set(order) == set(map(str, conditions)), (
+            f"exp_condition_order must be a permutation of {conditions}"
+        )
+        conditions = order
     width = 0.8 / max(len(conditions), 1)
     stats = {}
     for ci, cond in enumerate(conditions):
@@ -482,9 +638,13 @@ def return_transitions(
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
+    start_marker: str = None,
+    samples_max: int = None,
     exp_condition: str = None,
     roi_number: int = None,
     animals_in_roi: list = None,
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
     silence_diagonal: bool = False,
     normalize: bool = True,
     delta_T: float = 0.0,
@@ -500,13 +660,15 @@ def return_transitions(
     )
     bin_info = vu.preprocess_time_bins(
         coordinates, bin_size, bin_index, precomputed_bins,
-        tab_dict_for_binning=source, samples_max=None,
+        tab_dict_for_binning=source, start_marker=start_marker,
+        samples_max=samples_max,
     )
     if roi_number is not None:
         if animals_in_roi is None:
             animals_in_roi = list(coordinates._animal_ids or [""])
         bin_info = vu.apply_rois_to_bin_info(
-            coordinates, roi_number, bin_info
+            coordinates, roi_number, bin_info, in_roi_criterion,
+            invert_roi=invert_roi,
         )
     conds = _conditions_of(
         coordinates, list(source.keys()), exp_condition=exp_condition
@@ -541,18 +703,25 @@ def plot_transitions(
     visualization: str = "heatmaps",
     silence_diagonal: bool = False,
     save: bool = False,
+    ax: Any = None,
     **kwargs,
 ):
     """Transition matrices as heatmaps or directed graphs
-    (visuals.py:1536-1721)."""
+    (visuals.py:1536-1721). ``ax`` may be one axis or a list with one
+    axis per condition."""
     mats = return_transitions(
         coordinates, soft_counts, supervised_annotations,
         bin_size, bin_index, precomputed_bins,
         silence_diagonal=silence_diagonal, **kwargs,
     )
     n = len(mats)
-    fig, axes = plt.subplots(1, n, figsize=(5 * n, 4), squeeze=False)
-    for ax, (cond, mat) in zip(axes[0], mats.items()):
+    if ax is None:
+        fig, axes = plt.subplots(1, n, figsize=(5 * n, 4), squeeze=False)
+        axes = axes[0]
+    else:
+        axes = np.atleast_1d(ax)
+        fig = axes[0].figure
+    for ax, (cond, mat) in zip(axes, mats.items()):
         if visualization == "networks":
             import networkx as nx
 
@@ -573,18 +742,30 @@ def plot_transitions(
 def plot_stationary_entropy(
     coordinates,
     soft_counts: TableDict,
+    embeddings: TableDict = None,
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
+    start_marker: str = None,
+    samples_max: int = None,
+    exp_condition: str = None,
+    roi_number: int = None,
+    animals_in_roi: list = None,
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
     save: bool = False,
     ax: Any = None,
     **kwargs,
 ):
     """Entropy of the per-condition steady-state distributions
-    (visuals.py:2126-2291)."""
+    (visuals.py:2126-2291). ``embeddings`` is accepted for reference
+    signature compatibility; the entropy only needs the soft counts."""
     mats = return_transitions(
         coordinates, soft_counts, bin_size=bin_size, bin_index=bin_index,
-        precomputed_bins=precomputed_bins,
+        precomputed_bins=precomputed_bins, start_marker=start_marker,
+        samples_max=samples_max, exp_condition=exp_condition,
+        roi_number=roi_number, animals_in_roi=animals_in_roi,
+        in_roi_criterion=in_roi_criterion, invert_roi=invert_roi,
     )
     entropy = posthoc.compute_steady_state(mats, return_entropy=True)
     own_fig = ax is None
@@ -602,19 +783,85 @@ def plot_stationary_entropy(
 # --------------------------------------------------------------------------- #
 
 
-def count_all_events(supervised_annotations: TableDict) -> pd.DataFrame:
-    """Bout counts per behavior per experiment (visuals.py:1723-1828)."""
-    rows = {}
-    for key in supervised_annotations.keys():
-        tab = pd.DataFrame(get_dt(supervised_annotations, key))
+def count_all_events(
+    coordinates=None,
+    supervised_annotations: TableDict = None,
+    soft_counts: TableDict = None,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    start_marker: str = None,
+    samples_max: int = 20000,
+    roi_number: int = None,
+    animals_in_roi: list = None,
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
+    counting_mode: str = "Events",
+) -> pd.DataFrame:
+    """Event/frame/time/transition counts per behavior per experiment
+    (visuals.py:1723-1828).
+
+    Accepts exactly one of ``supervised_annotations`` / ``soft_counts``
+    (clusters count via their per-frame argmax as ``Cluster_i`` columns),
+    the shared time-binning and ROI parameters, and the reference's four
+    counting modes ("Frames" / "Time" / "Events" / "Transitions").
+    """
+    from deepof_tpu.utils import count_events, get_behavior_frames_in_roi
+
+    modes = ["Frames", "Time", "Events", "Transitions"]
+    if counting_mode not in modes:
+        raise ValueError(
+            f'"counting_mode" needs to be one of {modes}'
+        )
+    if (supervised_annotations is None) == (soft_counts is None):
+        raise ValueError(
+            "Need either supervised_annotations or soft_counts, not both "
+            "or neither!"
+        )
+    tab_dict = supervised_annotations if supervised_annotations is not None else soft_counts
+    frame_rate = float(getattr(coordinates, "_frame_rate", 1) or 1)
+    if roi_number is not None and animals_in_roi is None:
+        animals_in_roi = list(coordinates._animal_ids or [""])
+
+    bin_info = None
+    if coordinates is not None:
+        bin_info_time = vu.preprocess_time_bins(
+            coordinates, bin_size, bin_index, precomputed_bins,
+            start_marker=start_marker, tab_dict_for_binning=tab_dict,
+            samples_max=samples_max, down_sample=False,
+        )
+        bin_info = vu.apply_rois_to_bin_info(
+            coordinates, roi_number, bin_info_time, in_roi_criterion,
+            invert_roi=invert_roi,
+        )
+
+    results = {}
+    for key in tab_dict.keys():
+        load_range = None
+        if bin_info is not None:
+            load_range = bin_info[key]["time"]
+            if len(bin_info[key]) > 1:
+                load_range = get_behavior_frames_in_roi(
+                    None, bin_info[key], animals_in_roi
+                )
+        tab = get_dt(tab_dict, key, load_range=load_range)
+        if not isinstance(tab, pd.DataFrame):
+            arr = np.asarray(tab)
+            hard = np.zeros_like(arr, dtype=int)
+            hard[np.arange(len(arr)), arr.argmax(axis=1)] = 1
+            tab = pd.DataFrame(
+                hard, columns=[f"Cluster_{i}" for i in range(arr.shape[1])]
+            )
         counts = {}
         for col in tab.columns:
-            if any(s in str(col) for s in ("speed", "distance")):
+            series = tab[col].fillna(0)
+            if (series > 1.0001).any():  # continuous columns (speed etc.)
                 continue
-            starts, _ = vu.contiguous_segments((tab[col] > 0.1).to_numpy())
-            counts[col] = len(starts)
-        rows[key] = counts
-    return pd.DataFrame(rows).T.fillna(0)
+            counts[col] = count_events(
+                series, counting_mode=counting_mode, frame_rate=frame_rate
+            )
+        results[key] = pd.Series(counts)
+    return pd.DataFrame.from_dict(results, orient="index")
 
 
 def plot_associations(
@@ -688,16 +935,40 @@ def plot_embeddings(
     bin_size=None,
     bin_index=None,
     precomputed_bins=None,
+    start_marker: str = None,
     samples_max: int = 5000,
+    samples: int = None,
+    roi_number: int = None,
+    animals_in_roi: list = None,
+    roi_mode: str = "mousewise",
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
+    min_confidence: float = 0.0,
+    colour_by: str = "cluster",
+    normative_model=None,
+    add_stats: str = None,
+    show_aggregated_density: bool = False,
+    umap_random_state: int = None,
+    verbose: bool = False,
     save: bool = False,
     ax: Any = None,
     **kwargs,
 ):
-    """2D scatter of chunk embeddings (colored by cluster) or of
-    aggregated per-experiment embeddings (colored by condition)
-    (visuals.py:2421-2862). ``projection``: "pca" | "umap" | "tsne".
+    """2D scatter of chunk embeddings (colored by cluster, condition, or
+    video) or of aggregated per-experiment embeddings (colored by
+    condition) (visuals.py:2421-2862). ``projection``: "pca" | "umap" |
+    "tsne".
+
+    ``min_confidence`` drops chunks whose max soft count is below the
+    threshold; ``normative_model`` (a fitted KDE from
+    :func:`deepof_tpu.posthoc.fit_normative_global_model`) colors the
+    aggregated points by normative log-likelihood, with ``add_stats``
+    running a Mann-Whitney test between the condition score groups;
+    ``show_aggregated_density`` overlays a Gaussian-KDE contour.
     """
     from sklearn.decomposition import PCA
+
+    samples_max = samples if samples is not None else samples_max
 
     def reduce_2d(arr):
         if projection == "pca":
@@ -715,8 +986,20 @@ def plot_embeddings(
                     "projection='umap' requires the optional 'umap-learn' "
                     "package; use 'pca' or 'tsne' instead."
                 ) from e
-            return umap_lib.UMAP(n_components=2).fit_transform(arr)
+            return umap_lib.UMAP(
+                n_components=2, random_state=umap_random_state
+            ).fit_transform(arr)
         raise ValueError(f"Unknown projection {projection!r}")
+
+    bin_info = vu.preprocess_time_bins(
+        coordinates, bin_size, bin_index, precomputed_bins,
+        start_marker=start_marker, samples_max=None,
+        tab_dict_for_binning=embeddings,
+    )
+    roi_bin_info = vu.apply_rois_to_bin_info(
+        coordinates, roi_number, bin_info, in_roi_criterion,
+        invert_roi=invert_roi,
+    )
 
     own_fig = ax is None
     if own_fig:
@@ -726,33 +1009,92 @@ def plot_embeddings(
 
     if aggregate_experiments:
         agg = posthoc.get_aggregated_embedding(
-            embeddings, agg=aggregate_experiments,
+            embeddings, agg=aggregate_experiments, bin_info=roi_bin_info,
+            roi_number=roi_number, animals_in_roi=animals_in_roi,
+            roi_mode=roi_mode,
         )
         reduced = reduce_2d(agg.to_numpy(float))
         conds = _conditions_of(
             coordinates, list(agg.index), exp_condition=exp_condition
         )
-        for cond in sorted(set(conds.values())):
-            sel = [i for i, k in enumerate(agg.index) if conds[k] == cond]
-            ax.scatter(reduced[sel, 0], reduced[sel, 1], label=cond, s=60)
-        ax.legend()
+        if normative_model is not None:
+            scores = posthoc.score_against_normative(normative_model, agg)
+            scat = ax.scatter(
+                reduced[:, 0], reduced[:, 1], c=scores.to_numpy(),
+                cmap="viridis", s=60,
+            )
+            fig.colorbar(scat, ax=ax, label="normative log-likelihood")
+            if add_stats:
+                from scipy.stats import mannwhitneyu
+
+                groups = {}
+                for k, c in conds.items():
+                    groups.setdefault(c, []).append(float(scores[k]))
+                if len(groups) == 2:
+                    (ga, gb) = groups.values()
+                    try:
+                        p = mannwhitneyu(ga, gb).pvalue
+                        ax.set_title(f"normative scores: MWU p={p:.3g}")
+                    except ValueError:
+                        pass
+        else:
+            for cond in sorted(set(conds.values())):
+                sel = [i for i, k in enumerate(agg.index) if conds[k] == cond]
+                ax.scatter(reduced[sel, 0], reduced[sel, 1], label=cond, s=60)
+            ax.legend()
+        if show_aggregated_density and len(reduced) > 3:
+            from scipy.stats import gaussian_kde
+
+            try:
+                kde = gaussian_kde(reduced.T)
+                gx, gy = np.meshgrid(
+                    np.linspace(*ax.get_xlim(), 60),
+                    np.linspace(*ax.get_ylim(), 60),
+                )
+                dens = kde(np.vstack([gx.ravel(), gy.ravel()])).reshape(gx.shape)
+                ax.contour(gx, gy, dens, levels=5, alpha=0.4, colors="grey")
+            except np.linalg.LinAlgError:  # degenerate spread
+                pass
     else:
-        chunks, labels = [], []
-        for key in embeddings.keys():
-            emb = np.asarray(get_dt(embeddings, key))
-            sc = np.asarray(get_dt(soft_counts, key)) if soft_counts else None
+        chunks, labels, videos = [], [], []
+        for vi, key in enumerate(embeddings.keys()):
+            rng = roi_bin_info[key]["time"]
+            emb = np.asarray(get_dt(embeddings, key, load_range=rng))
+            sc = (
+                np.asarray(get_dt(soft_counts, key, load_range=rng))
+                if soft_counts else None
+            )
+            if sc is not None and min_confidence:
+                keep = sc.max(axis=1) >= min_confidence
+                emb, sc = emb[keep], sc[keep]
             chunks.append(emb)
             labels.append(
                 sc.argmax(axis=1) if sc is not None else np.zeros(len(emb))
             )
+            videos.append(np.full(len(emb), vi))
         x = np.concatenate(chunks)
-        y = np.concatenate(labels)
+        if colour_by == "exp_condition":
+            conds = _conditions_of(
+                coordinates, list(embeddings.keys()), exp_condition=exp_condition
+            )
+            names = sorted(set(conds.values()))
+            per_key = np.array(
+                [names.index(conds[k]) for k in embeddings.keys()]
+            )
+            y = per_key[np.concatenate(videos).astype(int)]
+            label = "condition"
+        elif colour_by == "video":
+            y = np.concatenate(videos)
+            label = "video"
+        else:
+            y = np.concatenate(labels)
+            label = "cluster"
         if len(x) > samples_max:
             idx = np.random.default_rng(0).choice(len(x), samples_max, replace=False)
             x, y = x[idx], y[idx]
         reduced = reduce_2d(x)
         scat = ax.scatter(reduced[:, 0], reduced[:, 1], c=y, cmap="tab20", s=4)
-        fig.colorbar(scat, ax=ax, label="cluster")
+        fig.colorbar(scat, ax=ax, label=label)
     ax.set_xlabel(f"{projection.upper()} 1")
     ax.set_ylabel(f"{projection.upper()} 2")
     return _maybe_save(fig, save, "embeddings")
@@ -1132,20 +1474,121 @@ def plot_distance_between_conditions(
 
 
 def return_supervised_summary(
-    coordinates, supervised_annotations: TableDict
+    coordinates,
+    supervised_annotations: TableDict,
+    roi_number: int = None,
+    animals_in_roi: list = None,
+    roi_mode: str = "mousewise",
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
+    N_time_bins: int = 10,
+    start_marker: str = None,
+    custom_time_bins=None,
+    hide_time_bins=None,
+    samples_max: int = 20000,
+    unit_time: str = "s",
+    unit_distance: str = "m",
+    save_table: bool = True,
 ) -> pd.DataFrame:
-    """Per-experiment behavior summary table (visuals.py:4961-5108)."""
-    rows = {}
-    for key in supervised_annotations.keys():
-        tab = pd.DataFrame(get_dt(supervised_annotations, key))
-        summary = {}
-        for col in tab.columns:
-            if any(s in str(col) for s in ("speed", "distance")):
-                summary[f"{col}_mean"] = float(np.nanmean(tab[col]))
-            else:
-                summary[f"{col}_fraction"] = float(np.nanmean(tab[col] > 0.1))
-        rows[key] = summary
-    return pd.DataFrame(rows).T
+    """Per-experiment × per-time-bin supervised summary table
+    (visuals.py:4961-5108).
+
+    One row per (time bin, experiment): ``bin_number`` (only with more
+    than one bin), ``experiment_id``, the experiment's condition columns,
+    each binary behavior as total time ``[unit_time]``, and each
+    continuous behavior's mean/std converted to ``unit_distance`` /
+    ``unit_time``. When ``save_table``, also written to the project's
+    ``Out_tables/supervised_summary.csv``.
+    """
+    from deepof_tpu.config import CONTINUOUS_BEHAVIORS, DistanceUnit, TimeUnit
+    from deepof_tpu.utils import get_supervised_behaviors_in_roi
+
+    animal_ids = coordinates._animal_ids or [""]
+    frame_rate = float(coordinates._frame_rate)
+    t_factor = 1.0 / TimeUnit[unit_time].value
+    d_factor = 1.0 / DistanceUnit[unit_distance].value
+
+    lengths = {
+        key: len(pd.DataFrame(get_dt(supervised_annotations, key)))
+        for key in supervised_annotations.keys()
+    }
+    bins = vu.build_valid_multibins(lengths, N_time_bins, custom_time_bins)
+    if hide_time_bins is not None:
+        bins = [b for b, hide in zip(bins, hide_time_bins) if not hide]
+
+    binary_names, _ = vu.generate_behavior_combinations(
+        animal_ids, True, True, True, False,
+        custom_behaviors=coordinates._custom_behaviors,
+    )
+    prefixes = [f"{aid}_" if aid else "" for aid in animal_ids]
+
+    rows = []
+    for j, (bin_start, bin_end) in enumerate(bins):
+        bin_info_time = vu.preprocess_time_bins(
+            coordinates, bin_size=bin_end - bin_start, bin_index=bin_start,
+            start_marker=start_marker,
+            tab_dict_for_binning=supervised_annotations,
+            samples_max=int(samples_max / max(len(bins), 1)),
+            given_in_frames=True,
+        )
+        roi_bin_info = vu.apply_rois_to_bin_info(
+            coordinates, roi_number, bin_info_time, in_roi_criterion,
+            invert_roi=invert_roi,
+        )
+        for key in supervised_annotations.keys():
+            tab = pd.DataFrame(get_dt(supervised_annotations, key))
+            binned = tab.iloc[roi_bin_info[key]["time"]]
+            if roi_number is not None:
+                binned = get_supervised_behaviors_in_roi(
+                    binned, roi_bin_info[key], animals_in_roi, roi_mode
+                )
+            row = {}
+            if len(bins) > 1:
+                row["bin_number"] = j
+            row["experiment_id"] = key
+            cond = (coordinates._exp_conditions or {}).get(key)
+            if cond is not None and hasattr(cond, "columns"):
+                for c in cond.columns:
+                    row[c] = cond[c].iloc[0]
+            for b in binary_names:
+                if b in binned.columns:
+                    row[f"{b} [{unit_time}]"] = (
+                        float(np.nansum(binned[b])) / frame_rate * t_factor
+                    )
+            for base in CONTINUOUS_BEHAVIORS + [
+                cb.name for cb in (coordinates._custom_behaviors or [])
+                if getattr(cb, "output_type", None) is not None
+                and getattr(cb.output_type, "name", "") == "CONTINUOUS"
+            ]:
+                # distance-like columns are mm; speed is mm/s
+                if base == "speed":
+                    factor = d_factor / t_factor
+                    unit = f"{unit_distance}/{unit_time}"
+                else:
+                    factor = d_factor
+                    unit = unit_distance
+                for prefix in prefixes:
+                    col = f"{prefix}{base}"
+                    if col not in binned.columns:
+                        continue
+                    row[f"{col}_mean [{unit}]"] = (
+                        float(np.nanmean(binned[col])) * factor
+                    )
+                    row[f"{col}_std [{unit}]"] = (
+                        float(np.nanstd(binned[col], ddof=1)) * factor
+                    )
+            rows.append(row)
+
+    df = pd.DataFrame(rows)
+    if save_table:
+        out_path = os.path.join(
+            coordinates._project_path, coordinates._project_name, "Out_tables"
+        )
+        os.makedirs(out_path, exist_ok=True)
+        df.to_csv(
+            os.path.join(out_path, "supervised_summary.csv"), sep=",", na_rep=""
+        )
+    return df
 
 
 # --------------------------------------------------------------------------- #
@@ -1153,11 +1596,11 @@ def return_supervised_summary(
 # --------------------------------------------------------------------------- #
 
 
-def get_roi_data(
+def _roi_mask(
     coordinates, roi_number: int, experiment_id: str, animal_id: str = None,
     in_roi_criterion: str = "Center",
 ):
-    """Boolean in-ROI mask for one experiment/animal (visuals.py:4868-4959)."""
+    """Boolean in-ROI mask for one experiment/animal."""
     import jax.numpy as jnp
 
     from deepof_tpu.ops import point_in_polygon
@@ -1170,34 +1613,270 @@ def get_roi_data(
     return np.asarray(point_in_polygon(jnp.asarray(base[:, ci]), roi))
 
 
+def get_roi_data(
+    coordinates,
+    table_dict: TableDict,
+    roi_number: int,
+    animals_in_roi: list = None,
+    roi_mode: str = "mousewise",
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
+    bin_index=None,
+    bin_size=None,
+    precomputed_bins=None,
+    start_marker: str = None,
+    samples_max: int = 100000,
+    experiment_id: str = None,
+):
+    """ROI-masked view of a supervised or unsupervised table dict
+    (visuals.py:4868-4959): frames are restricted to the requested time
+    bin; supervised tables get out-of-ROI behavior cells NaN-masked per
+    ``roi_mode``, unsupervised arrays get out-of-ROI rows dropped. With
+    ``experiment_id``, returns that single table; otherwise a dict over
+    all experiments.
+    """
+    from deepof_tpu.utils import (
+        get_supervised_behaviors_in_roi,
+        get_unsupervised_behaviors_in_roi,
+    )
+
+    if animals_in_roi is None or roi_mode == "behaviorwise":
+        animals_in_roi = coordinates._animal_ids
+    exp_ids = [experiment_id] if experiment_id else list(table_dict.keys())
+
+    bin_info_time = vu.preprocess_time_bins(
+        coordinates, bin_size, bin_index, precomputed_bins,
+        start_marker=start_marker, tab_dict_for_binning=table_dict,
+        samples_max=samples_max,
+    )
+    bin_info = vu.apply_rois_to_bin_info(
+        coordinates, roi_number, bin_info_time, in_roi_criterion,
+        invert_roi=invert_roi,
+    )
+
+    out = {}
+    for key in exp_ids:
+        tab = get_dt(table_dict, key)
+        if isinstance(tab, pd.DataFrame):
+            binned = pd.DataFrame(tab.iloc[bin_info[key]["time"]])
+            masked = get_supervised_behaviors_in_roi(
+                binned, bin_info[key], animals_in_roi, roi_mode
+            )
+        else:
+            binned = np.asarray(tab)[bin_info[key]["time"]]
+            masked = get_unsupervised_behaviors_in_roi(
+                binned, bin_info[key], animals_in_roi
+            )
+        out[key] = masked
+    return out[experiment_id] if experiment_id else out
+
+
+def _arena_or_roi_polygon(coordinates, key: str, roi_number: int = None):
+    """The ROI polygon, or the arena boundary polygon when roi_number is
+    None (both in the tables' coordinate space)."""
+    from deepof_tpu.arena import extract_corners_from_arena
+
+    if roi_number is not None:
+        return np.asarray(coordinates._roi_dicts[key][roi_number], float)
+    params = coordinates._arena_params[key]
+    if isinstance(params, tuple):
+        return extract_corners_from_arena(params)
+    return np.asarray(params, float)
+
+
 def return_mouse_roi_interaction(
-    coordinates, roi_number: int = 1, in_roi_criterion: str = "Center",
-) -> pd.DataFrame:
-    """Fraction of time each animal spends inside the ROI per experiment
-    (visuals.py:4519-4612)."""
-    rows = {}
-    for key in coordinates._tables.keys():
-        row = {}
-        for aid in coordinates._animal_ids:
-            inside = get_roi_data(coordinates, roi_number, key, aid, in_roi_criterion)
-            row[aid or "animal"] = float(np.mean(inside))
-        rows[key] = row
-    return pd.DataFrame(rows).T
+    coordinates,
+    bodyparts: list = None,
+    animal_id: str = None,
+    N_time_bins: int = 24,
+    custom_time_bins=None,
+    start_marker: str = None,
+    samples_max: int = 20000,
+    roi_number: int = None,
+    hide_time_bins: list = None,
+    experiment_ids: list = None,
+    exp_condition: str = None,
+    condition_values=None,
+    mode: str = "distance",
+    add_stats: str = "Mann-Whitney",
+    error_bars: str = "sem",
+    unit_distance: str = "m",
+    fov_angle_deg: float = 90,
+    get_raw_data: bool = False,
+    in_roi_criterion: str = "Center",
+    **kwargs,
+):
+    """Binned mouse↔ROI interaction statistics (visuals.py:4519-4612).
+
+    ``mode="distance"``: per-frame distance of each selected bodypart to
+    the ROI (or arena) boundary, converted to ``unit_distance``.
+    ``mode="fov"``: per-frame indicator of whether the ROI/arena falls in
+    the animal's field-of-view cone (``fov_angle_deg``, gaze from the
+    Left_ear/Nose/Right_ear triplet). ``mode="occupancy"`` (repo
+    extension, the previous behavior): fraction of frames inside the ROI.
+
+    With ``get_raw_data``, returns the per-frame values as one long
+    DataFrame. Otherwise returns ``(effect_sizes_df, group_df)``:
+    per-(bin, experiment) means with the requested error measure and the
+    per-bin Cohen's d (+ Mann-Whitney p when ``add_stats``) between the
+    two compared condition groups (when conditions are available).
+    """
+    import jax.numpy as jnp
+
+    from deepof_tpu.config import DistanceUnit
+    from deepof_tpu.ops.geometry import in_field_of_view, point_to_polygon_distance
+
+    if mode not in ("distance", "fov", "occupancy"):
+        raise ValueError('mode must be one of "distance", "fov", "occupancy"')
+    aid = animal_id if animal_id is not None else (coordinates._animal_ids or [""])[0]
+    prefix = f"{aid}_" if aid else ""
+    if bodyparts is None:
+        bodyparts = ["Nose"]
+    d_factor = 1.0
+    if mode == "distance":
+        f = DistanceUnit[unit_distance].value
+        d_factor = 1.0 / f if f else 1.0
+
+    keys = experiment_ids or list(coordinates._tables.keys())
+    if isinstance(condition_values, str):
+        condition_values = [condition_values]
+    conds = _conditions_of(coordinates, keys, exp_condition=exp_condition)
+    if condition_values:
+        keys = [k for k in keys if conds[k] in map(str, condition_values)]
+
+    nodes = list(coordinates._nodes)
+    raw = {}
+    for key in keys:
+        pos = np.array(coordinates._tables[key], dtype=np.float64)
+        poly = _arena_or_roi_polygon(coordinates, key, roi_number)
+        cols = {}
+        if mode == "distance":
+            for bp in bodyparts:
+                name = f"{prefix}{bp}" if f"{prefix}{bp}" in nodes else bp
+                pts = pos[:, nodes.index(name)]
+                cols[name] = np.asarray(
+                    point_to_polygon_distance(jnp.asarray(pts), poly)
+                ) * d_factor
+        elif mode == "fov":
+            triplet = [f"{prefix}Left_ear", f"{prefix}Nose", f"{prefix}Right_ear"]
+            pts = np.stack([pos[:, nodes.index(t)] for t in triplet], axis=1)
+            cols["fov"] = np.asarray(
+                in_field_of_view(jnp.asarray(pts), fov_angle_deg, poly)
+            )
+        else:  # occupancy
+            for a in coordinates._animal_ids or [""]:
+                cols[a or "animal"] = _roi_mask(
+                    coordinates, roi_number if roi_number is not None else 1,
+                    key, a, in_roi_criterion,
+                ).astype(float)
+        raw[key] = pd.DataFrame(cols)
+
+    if get_raw_data:
+        long = []
+        for key, df in raw.items():
+            df = df.copy()
+            df.insert(0, "experiment_id", key)
+            long.append(df)
+        return pd.concat(long, ignore_index=True)
+
+    lengths = {k: len(v) for k, v in raw.items()}
+    bins = vu.build_valid_multibins(lengths, N_time_bins, custom_time_bins)
+    if hide_time_bins is not None:
+        bins = [b for b, hide in zip(bins, hide_time_bins) if not hide]
+
+    group_rows = []
+    for j, (lo, hi) in enumerate(bins):
+        for key in keys:
+            seg = raw[key].iloc[lo:hi].to_numpy(float)
+            vals = seg[np.isfinite(seg)]
+            if not len(vals):
+                continue
+            err = (
+                float(np.nanstd(vals, ddof=1)) if error_bars == "std"
+                else float(np.nanstd(vals, ddof=1)) / np.sqrt(len(vals))
+            )
+            group_rows.append({
+                "bin_number": j, "experiment_id": key,
+                "exp_condition": conds[key],
+                "mean": float(np.nanmean(vals)), error_bars: err,
+            })
+    group_df = pd.DataFrame(group_rows)
+
+    effect_rows = []
+    groups = sorted(group_df["exp_condition"].unique()) if len(group_df) else []
+    if len(groups) == 2:
+        from scipy.stats import mannwhitneyu
+
+        for j in sorted(group_df["bin_number"].unique()):
+            sub = group_df[group_df["bin_number"] == j]
+            a = sub[sub["exp_condition"] == groups[0]]["mean"].to_numpy()
+            b = sub[sub["exp_condition"] == groups[1]]["mean"].to_numpy()
+            if len(a) < 1 or len(b) < 1:
+                continue
+            pooled = np.sqrt(
+                ((len(a) - 1) * np.var(a, ddof=1) + (len(b) - 1) * np.var(b, ddof=1))
+                / max(len(a) + len(b) - 2, 1)
+            ) if len(a) + len(b) > 2 else np.nan
+            row = {
+                "bin_number": j,
+                "cohens_d": float((np.mean(a) - np.mean(b)) / pooled)
+                if pooled and np.isfinite(pooled) and pooled > 0 else np.nan,
+            }
+            if add_stats and len(a) and len(b):
+                try:
+                    row["p_value"] = float(mannwhitneyu(a, b).pvalue)
+                except ValueError:
+                    row["p_value"] = np.nan
+            effect_rows.append(row)
+    effect_df = pd.DataFrame(effect_rows)
+    return effect_df, group_df
 
 
 def plot_mouse_roi_interaction(
-    coordinates, roi_number: int = 1, save: bool = False, ax: Any = None, **kwargs
+    coordinates,
+    roi_number: int = None,
+    mode: str = "distance",
+    error_bars: str = "sem",
+    save: bool = False,
+    ax: Any = None,
+    show_histogram: bool = False,
+    polar_depiction: bool = False,
+    **kwargs,
 ):
-    """Bar chart of ROI occupancy per animal/experiment
-    (visuals.py:4614-4866)."""
-    df = return_mouse_roi_interaction(coordinates, roi_number)
+    """Binned mouse↔ROI interaction curves per condition with error bars
+    (visuals.py:4614-4866); ``show_histogram`` instead draws the
+    distribution of raw per-frame values."""
     own_fig = ax is None
     if own_fig:
-        fig, ax = plt.subplots()
+        fig, ax, _ = vu.ensure_axis(None, polar_depiction=polar_depiction)
     else:
         fig = ax.figure
-    df.plot.bar(ax=ax)
-    ax.set_ylabel(f"fraction of time in ROI {roi_number}")
+    if show_histogram:
+        raw = return_mouse_roi_interaction(
+            coordinates, roi_number=roi_number, mode=mode,
+            get_raw_data=True, **kwargs,
+        )
+        vals = raw.drop(columns=["experiment_id"]).to_numpy(float).ravel()
+        ax.hist(vals[np.isfinite(vals)], bins=30)
+        ax.set_xlabel(mode)
+        return _maybe_save(fig, save, "roi_interaction")
+    _, group_df = return_mouse_roi_interaction(
+        coordinates, roi_number=roi_number, mode=mode,
+        error_bars=error_bars, **kwargs,
+    )
+    for cond in sorted(group_df["exp_condition"].unique()):
+        sub = (
+            group_df[group_df["exp_condition"] == cond]
+            .groupby("bin_number")
+            .agg(mean=("mean", "mean"), err=(error_bars, "mean"))
+        )
+        ax.errorbar(
+            sub.index, sub["mean"], yerr=sub["err"], label=str(cond),
+            marker="o", capsize=3,
+        )
+    ax.set_xlabel("time bin")
+    ax.set_ylabel(mode)
+    ax.legend()
     return _maybe_save(fig, save, "roi_interaction")
 
 

@@ -155,6 +155,55 @@ def test_plot_cluster_detection_performance():
     np.testing.assert_allclose(sc["e1"].sum(1), 1.0, rtol=1e-5)
 
 
+def test_recluster_reference_surface(tmp_path):
+    """Reference recluster kwargs: AIC/BIC state scan bounds, the
+    semi-supervised prior path, pretrained round-trip, and the
+    diag-covariance warning (post_hoc.py:1596-1740)."""
+    rng = np.random.default_rng(3)
+    # two well-separated emission regimes so the scan picks k=2
+    base = {
+        k: np.concatenate(
+            [rng.normal(0, 0.3, size=(30, 3)), rng.normal(4, 0.3, size=(30, 3))]
+        )
+        for k in ("e1", "e2")
+    }
+    embs = TableDict(dict(base), typ="unsupervised_embedding")
+
+    class _Proj:
+        _project_path = str(tmp_path)
+        _project_name = "p"
+
+    sc = posthoc.recluster(
+        _Proj(), embs, states="bic", min_states=2, max_states=3, save=True
+    )
+    assert sc["e1"].shape[1] in (2, 3)
+    saved = tmp_path / "p" / "Trained_models" / "hmm_trained_bic.pkl"
+    assert saved.exists()
+
+    # pretrained: same model reloaded gives identical posteriors
+    sc2 = posthoc.recluster(_Proj(), embs, states="bic", pretrained=True)
+    np.testing.assert_allclose(
+        sc2["e1"].to_numpy(), sc["e1"].to_numpy(), rtol=1e-6
+    )
+
+    # semi-supervised: high-confidence priors steer the decode
+    priors = {
+        k: np.repeat(
+            np.array([[0.95, 0.05]] * 30 + [[0.05, 0.95]] * 30), 1, axis=0
+        )
+        for k in base
+    }
+    sc3 = posthoc.recluster(None, embs, soft_counts=priors, min_confidence=0.5)
+    assert sc3["e1"].shape == (60, 2)
+    hard = sc3["e1"].to_numpy().argmax(1)
+    assert (hard[:30] == hard[0]).mean() > 0.9
+    assert (hard[30:] == hard[-1]).mean() > 0.9
+    assert hard[0] != hard[-1]
+
+    with pytest.warns(UserWarning, match="diagonal-covariance"):
+        posthoc.recluster(None, embs, states=2, covariance_type="full", save=False)
+
+
 def test_normative_model():
     rng = np.random.default_rng(0)
     normal = pd.DataFrame(rng.normal(size=(30, 4)))

@@ -109,9 +109,55 @@ def test_plot_embeddings(coords, embeddings, soft_counts):
     assert fig.axes
 
 
+def test_plot_embeddings_colour_modes(coords, embeddings, soft_counts):
+    """Reference kwargs wired in round 5: colour_by, min_confidence,
+    normative_model + add_stats (visuals.py:2421-2862)."""
+    for mode, label in [("video", "video"), ("exp_condition", "condition")]:
+        fig = visuals.plot_embeddings(
+            coords, embeddings, soft_counts, colour_by=mode,
+        )
+        assert any(
+            label in (a.get_ylabel() or "") for a in fig.axes
+        ), f"colorbar label missing for {mode}"
+
+    # min_confidence filters chunks: stricter threshold plots fewer points
+    fig_all = visuals.plot_embeddings(coords, embeddings, soft_counts)
+    fig_conf = visuals.plot_embeddings(
+        coords, embeddings, soft_counts, min_confidence=0.45,
+    )
+    n_all = fig_all.axes[0].collections[0].get_offsets().shape[0]
+    n_conf = fig_conf.axes[0].collections[0].get_offsets().shape[0]
+    assert 0 < n_conf < n_all
+
+
+def test_plot_embeddings_normative(coords, embeddings):
+    from deepof_tpu import posthoc
+
+    agg = posthoc.get_aggregated_embedding(embeddings)
+    model = posthoc.fit_normative_global_model(agg)
+    fig = visuals.plot_embeddings(
+        coords, embeddings, aggregate_experiments="mean",
+        normative_model=model, add_stats="Mann-Whitney",
+        show_aggregated_density=False,
+    )
+    # normative coloring produces a colorbar instead of a legend
+    assert any(
+        "normative" in (a.get_ylabel() or "") for a in fig.axes
+    )
+
+
 def test_plot_associations_and_events(coords, supervised):
-    counts = visuals.count_all_events(supervised)
+    counts = visuals.count_all_events(coords, supervised)
     assert counts.shape[0] == 2
+    # reference counting modes: Frames/frame_rate == Time, and binary
+    # columns only (speed/distance columns are dropped)
+    frames = visuals.count_all_events(coords, supervised, counting_mode="Frames")
+    times = visuals.count_all_events(coords, supervised, counting_mode="Time")
+    np.testing.assert_allclose(
+        times.to_numpy(float),
+        frames.to_numpy(float) / coords._frame_rate,
+    )
+    assert not any("speed" in str(c) for c in counts.columns)
     fig = visuals.plot_associations(
         coords, supervised, behaviors=["sniffing", "moving", "stat-passive"]
     )
@@ -143,16 +189,93 @@ def test_training_metrics_plot():
 
 
 def test_supervised_summary(coords, supervised):
-    summary = visuals.return_supervised_summary(coords, supervised)
-    assert "moving_fraction" in summary.columns
-    assert summary.shape[0] == 2
+    # Reference schema (visuals.py:4961-5108): one row per (bin, exp),
+    # binary behaviors as total time in unit_time, continuous behaviors
+    # unit-converted with mean/std suffixes.
+    summary = visuals.return_supervised_summary(
+        coords, supervised, N_time_bins=2, save_table=False,
+        unit_time="s", unit_distance="mm",
+    )
+    assert "experiment_id" in summary.columns
+    assert "bin_number" in summary.columns
+    assert summary.shape[0] == 2 * len(supervised)
+    assert "moving [s]" in summary.columns
+    assert "speed_mean [mm/s]" in summary.columns
+    tab = next(iter(supervised.values()))
+    # full-range single bin: moving seconds == frames_sum / frame_rate
+    one = visuals.return_supervised_summary(
+        coords, supervised, N_time_bins=1, save_table=False,
+    )
+    assert "bin_number" not in one.columns
+    key = one["experiment_id"].iloc[0]
+    want = float(supervised[key]["moving"].sum()) / coords._frame_rate
+    np.testing.assert_allclose(one["moving [s]"].iloc[0], want, rtol=1e-9)
+    # unit conversion: minutes = seconds / 60
+    mins = visuals.return_supervised_summary(
+        coords, supervised, N_time_bins=1, save_table=False, unit_time="min",
+    )
+    np.testing.assert_allclose(
+        mins["moving [min]"].iloc[0], want / 60.0, rtol=1e-9
+    )
 
 
 def test_roi_interaction(coords):
-    df = visuals.return_mouse_roi_interaction(coords, roi_number=1)
-    assert df.shape[0] == 2
+    # reference surface (visuals.py:4519-4866): distance mode, binned
+    # (effect_sizes, group) tables, raw per-frame export, fov mode
+    effect, group = visuals.return_mouse_roi_interaction(
+        coords, roi_number=1, N_time_bins=4,
+    )
+    assert set(group["experiment_id"]) == {"test", "test2"}
+    assert {"bin_number", "mean", "sem", "exp_condition"} <= set(group.columns)
+    assert group["bin_number"].nunique() == 4
+    # two conditions (A/B) -> per-bin effect sizes and MW p-values
+    assert len(effect) == 4 and "cohens_d" in effect and "p_value" in effect
+
+    raw = visuals.return_mouse_roi_interaction(
+        coords, roi_number=1, get_raw_data=True,
+    )
+    assert len(raw) == 200 and "Nose" in raw.columns
+    assert (raw["Nose"].dropna() >= 0).all()
+
+    # distances convert with unit_distance (mm = 1000x m)
+    raw_mm = visuals.return_mouse_roi_interaction(
+        coords, roi_number=1, get_raw_data=True, unit_distance="mm",
+    )
+    np.testing.assert_allclose(
+        raw_mm["Nose"].to_numpy(), raw["Nose"].to_numpy() * 1000.0, rtol=1e-9
+    )
+
+    fov = visuals.return_mouse_roi_interaction(
+        coords, roi_number=1, mode="fov", get_raw_data=True,
+    )
+    vals = fov["fov"].dropna().unique()
+    assert set(vals) <= {0.0, 1.0}
+
     fig = visuals.plot_mouse_roi_interaction(coords, roi_number=1)
     assert fig.axes
+    fig = visuals.plot_mouse_roi_interaction(
+        coords, roi_number=1, show_histogram=True,
+    )
+    assert fig.axes
+
+
+def test_get_roi_data_reference_semantics(coords, supervised, soft_counts):
+    """get_roi_data returns ROI-masked tables like the reference
+    (visuals.py:4868-4959): NaN-masked supervised frames, row-filtered
+    unsupervised arrays."""
+    out = visuals.get_roi_data(coords, supervised, roi_number=1)
+    assert set(out) == set(supervised.keys())
+    tab = out["test"]
+    assert isinstance(tab, pd.DataFrame)
+    full = supervised["test"]
+    assert tab["moving"].isna().sum() >= 0  # masked cells are NaN
+    assert len(tab) == len(full)
+
+    single = visuals.get_roi_data(
+        coords, soft_counts, roi_number=1, experiment_id="test",
+    )
+    assert isinstance(single, np.ndarray)
+    assert single.shape[0] <= np.asarray(soft_counts["test"]).shape[0]
 
 
 def test_normative_plot(coords, embeddings):
@@ -275,6 +398,45 @@ def test_binned_plots_nondefault_bins(coords, supervised, soft_counts,
     assert visuals.plot_transitions(coords, soft_counts, **kw).axes
     assert visuals.plot_stationary_entropy(coords, soft_counts, **kw).axes
     assert visuals.plot_embeddings(coords, embeddings, soft_counts, **kw).axes
+
+
+def test_gantt_reference_surface(coords, supervised, soft_counts):
+    """Reference plot_gantt surface (visuals.py:248-978): behavior-mode
+    instance routing, instances_to_plot filtering, checkpoint vlines and
+    signal overlay."""
+    # behavior mode: instance_id names a behavior -> one row per experiment
+    fig = visuals.plot_gantt(
+        coords, "moving", supervised_annotations=supervised,
+    )
+    labels = [t.get_text() for t in fig.axes[0].get_yticklabels()]
+    assert labels == list(supervised.keys())
+
+    # restrict to one experiment
+    fig = visuals.plot_gantt(
+        coords, "moving", supervised_annotations=supervised,
+        instances_to_plot=["test"],
+    )
+    assert [t.get_text() for t in fig.axes[0].get_yticklabels()] == ["test"]
+
+    # experiment mode with instances_to_plot as the behavior filter
+    fig = visuals.plot_gantt(
+        coords, "test", supervised_annotations=supervised,
+        instances_to_plot=["moving", "sniffing"],
+    )
+    assert len(fig.axes[0].get_yticklabels()) == 2
+
+    # overlays: checkpoints draw vlines; signal_overlay adds a twin axis
+    sig = pd.Series(
+        np.sin(np.arange(100) / 5.0), name="speed trace"
+    )
+    fig = visuals.plot_gantt(
+        coords, "test", supervised_annotations=supervised,
+        additional_checkpoints=[10, 50], signal_overlay=sig,
+    )
+    main_ax = fig.axes[0]
+    assert sum(1 for ln in main_ax.lines if ln.get_linestyle() == "--") == 2
+    assert len(fig.axes) == 2  # twin axis created
+    assert fig.axes[1].get_ylabel() == "speed trace"
 
 
 def test_visuals_depth_upgrades(coords, supervised, soft_counts, embeddings):
