@@ -212,6 +212,7 @@ def get_dt(
     return_path: bool = False,
     only_metainfo: bool = False,
     load_range: Optional[Tuple[int, int]] = None,
+    load_index: bool = False,
 ):
     """Resolve a TableDict value, loading from HDF5 if it is a pointer.
 
@@ -221,6 +222,8 @@ def get_dt(
         return_path: also return the pointer (or None for in-memory).
         only_metainfo: return {"shape":..., "columns":...} without data.
         load_range: (start, end) inclusive row range to load.
+        load_index: with only_metainfo, also include the row index under
+            "index_column" (reference data_loading.py:66-88 contract).
     """
     entry = tab_dict[key]
 
@@ -256,7 +259,10 @@ def get_dt(
     if not is_pointer(entry):
         obj = entry
         if only_metainfo:
-            obj = _metainfo_inmem(obj)
+            meta = _metainfo_inmem(obj)
+            if load_index and isinstance(obj, pd.DataFrame):
+                meta["index_column"] = obj.index
+            obj = meta
         elif load_range is not None:
             obj = _slice_obj(obj, load_range)
         return (obj, None) if return_path else obj

@@ -1101,14 +1101,42 @@ def plot_embeddings(
 
 
 def return_embedding_evaluation(
-    embeddings: TableDict,
-    supervised_annotations: TableDict,
-    behaviors: List[str] = None,
+    coordinates=None,
+    embeddings: TableDict = None,
+    supervised_annotations: TableDict = None,
+    include_behaviors: List[str] = None,
     window_size: int = None,
+    alignment_mode: str = "any",
+    minimum_number_of_positives: int = 200,
+    normalize: bool = True,
+    random_state: int = 0,
+    behaviors: List[str] = None,
 ) -> pd.DataFrame:
-    """Compactness / separability / kNN-agreement per behavior
-    (visuals.py:2864-2906 over deepof/utils.py:4122-4255)."""
-    from deepof_tpu.utils import natural_sorted
+    """Compactness / separability / kNN-agreement per binary behavior
+    (visuals.py:2864-2906 over deepof/utils.py:4122-4255).
+
+    ``alignment_mode``: "center" labels each embedding window by its
+    central frame; "any" labels it positive when the behavior occurs in
+    any window frame. ``minimum_number_of_positives`` skips rare
+    behaviors; ``normalize`` divides AP and kNN agreement by the positive
+    rate (chance level), like the reference. ``behaviors`` is a repo
+    alias of ``include_behaviors``; ``coordinates`` is accepted for
+    reference signature parity (metrics only need the tables). Calls
+    with the old repo layout (embeddings first) are detected and
+    re-shuffled.
+    """
+    if coordinates is not None and hasattr(coordinates, "keys") and not hasattr(
+        coordinates, "_tables"
+    ):
+        # legacy repo call: (embeddings, supervised_annotations, ...)
+        coordinates, embeddings, supervised_annotations, include_behaviors = (
+            None, coordinates, embeddings, supervised_annotations
+            if isinstance(supervised_annotations, list) else include_behaviors,
+        )
+    include_behaviors = include_behaviors or behaviors
+    assert alignment_mode in ("any", "center"), (
+        'alignment_mode must be "any" or "center"'
+    )
 
     embs, sups = [], []
     for key in embeddings.keys():
@@ -1116,41 +1144,70 @@ def return_embedding_evaluation(
         sup = pd.DataFrame(get_dt(supervised_annotations, key))
         if window_size is None:
             window_size = len(sup) - len(emb) + 1
-        center = window_size // 2
-        aligned = sup.iloc[center : center + len(emb)].reset_index(drop=True)
+        if alignment_mode == "center":
+            center = window_size // 2
+            aligned = sup.iloc[center : center + len(emb)].reset_index(drop=True)
+        else:  # any: window positive if the behavior occurs in any frame
+            arr = sup.to_numpy(float)
+            w = max(window_size, 1)
+            windows = np.lib.stride_tricks.sliding_window_view(arr, (w,), axis=0)
+            binary = np.nanmax(windows, axis=2)
+            cont = np.nanmean(windows, axis=2)
+            is_binary = np.nanmax(arr, axis=0) <= 1.0001
+            aligned = pd.DataFrame(
+                np.where(is_binary[None, :], binary, cont), columns=sup.columns
+            )
         m = min(len(emb), len(aligned))
         embs.append(emb[:m])
         sups.append(aligned.iloc[:m])
     z = np.concatenate(embs)
     sup = pd.concat(sups, axis=0).reset_index(drop=True)
-    if behaviors is None:
-        behaviors = [
+    if include_behaviors is None:
+        include_behaviors = [
             c for c in sup.columns
             if not any(s in str(c) for s in ("speed", "distance"))
         ]
     rows = {}
-    for b in behaviors:
+    for b in include_behaviors:
         y = (sup[b] > 0.5).to_numpy()
-        if y.sum() < 2:
+        if y.sum() < max(minimum_number_of_positives, 2):
             continue
         row = {}
         row.update(compute_compactness(z[y], z))
-        row.update(compute_separability_logreg(z, y))
+        row.update(compute_separability_logreg(z, y, seed=random_state))
         row.update(compute_knn_agreement(z, y))
+        if normalize:
+            rate = float(y.mean())
+            for k in list(row):
+                if k.startswith("ap") or "knn" in k:
+                    row[k] = row[k] / rate if rate > 0 else np.nan
         rows[b] = row
     return pd.DataFrame(rows).T
 
 
 def plot_embedding_evaluation(
-    embeddings: TableDict,
-    supervised_annotations: TableDict,
+    coordinates=None,
+    embeddings: TableDict = None,
+    supervised_annotations: TableDict = None,
+    include_behaviors: List[str] = None,
+    window_size: int = None,
+    alignment_mode: str = "any",
+    minimum_number_of_positives: int = 200,
+    normalize: bool = True,
+    random_state: int = 0,
     behaviors: List[str] = None,
     save: bool = False,
     ax: Any = None,
     **kwargs,
 ):
     """Bar panel of the embedding-quality metrics (visuals.py:2908-3000)."""
-    df = return_embedding_evaluation(embeddings, supervised_annotations, behaviors)
+    df = return_embedding_evaluation(
+        coordinates, embeddings, supervised_annotations,
+        include_behaviors=include_behaviors or behaviors,
+        window_size=window_size, alignment_mode=alignment_mode,
+        minimum_number_of_positives=minimum_number_of_positives,
+        normalize=normalize, random_state=random_state,
+    )
     metrics = ["trace_cov_pos_norm_global", "ap_mean", "pos_knn_agree_mean"]
     fig, axes = plt.subplots(1, len(metrics), figsize=(5 * len(metrics), 4))
     for ax_i, metric in zip(np.atleast_1d(axes), metrics):
@@ -1179,40 +1236,150 @@ def plot_training_metrics(log_summary: dict, save: bool = False) -> Any:
 def animate_skeleton(
     coordinates,
     experiment_id: str,
+    embeddings: TableDict = None,
+    soft_counts: TableDict = None,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    start_marker: str = None,
+    samples_max: int = 20000,
+    roi_number: int = None,
+    animals_in_roi=None,
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
     animal_id: str = None,
     center: str = "arena",
+    align: str = None,
+    sampling_rate: float = None,
+    min_confidence: float = 0.0,
+    min_bout_duration: int = None,
+    selected_cluster: int = None,
+    display_arena: bool = True,
+    legend: bool = True,
+    umap_random_state: int = 0,
     frame_limit: int = 250,
     cluster_assignments=None,
     save: Optional[str] = None,
     dpi: int = 100,
     **kwargs,
 ):
-    """Matplotlib animation of the moving skeleton (visuals.py:3110-3519)."""
+    """Matplotlib animation of the moving skeleton (visuals.py:3110-3519).
+
+    Reference surface: frames come from the shared time-binning engine
+    (with start markers, ROI filtering and downsampling); with
+    ``soft_counts`` each frame is labeled by its hard cluster, and
+    ``selected_cluster`` + ``min_confidence`` + ``min_bout_duration``
+    restrict the animation to confident bouts of one cluster. With
+    ``embeddings``, a second panel animates the 2D-reduced latent
+    trajectory (PCA; deterministic — ``umap_random_state`` is accepted
+    for signature parity and seeds the reduction when umap is used).
+    ``frame_limit`` is a repo extension bounding the rendered frames.
+    """
     from matplotlib.animation import FuncAnimation
+
+    from deepof_tpu.utils import get_behavior_frames_in_roi
 
     coords = coordinates.get_coords_at_key(
         key=experiment_id, scale=coordinates._scales[experiment_id],
-        center=center, selected_id=animal_id,
+        center=center, align=align if align else False,
+        selected_id=animal_id,
     )
+    bin_info_time = vu.preprocess_time_bins(
+        coordinates, bin_size, bin_index, precomputed_bins,
+        experiment_id=experiment_id, start_marker=start_marker,
+        samples_max=samples_max,
+    )
+    roi_bin_info = vu.apply_rois_to_bin_info(
+        coordinates, roi_number, bin_info_time, in_roi_criterion,
+        invert_roi=invert_roi,
+    )
+    frames_idx = roi_bin_info[experiment_id]["time"]
+    if roi_number is not None:
+        if animals_in_roi is None:
+            animals_in_roi = list(coordinates._animal_ids or [""])
+        frames_idx = get_behavior_frames_in_roi(
+            None, roi_bin_info[experiment_id], animals_in_roi
+        )
+    frames_idx = np.asarray(frames_idx)
+    frames_idx = frames_idx[frames_idx < len(coords)]
+
+    hard = conf = None
+    if soft_counts is not None:
+        sc = np.asarray(get_dt(soft_counts, experiment_id))
+        hard = sc.argmax(axis=1)
+        conf = sc.max(axis=1)
+        if cluster_assignments is None:
+            cluster_assignments = hard
+    if selected_cluster is not None and hard is not None:
+        valid = np.zeros(len(hard), bool)
+        in_range = frames_idx[frames_idx < len(hard)]
+        valid[in_range] = True
+        mask = valid & (hard == int(selected_cluster)) & (conf >= min_confidence)
+        if min_bout_duration:
+            starts, ends = vu.contiguous_segments(mask)
+            for s, e in zip(starts, ends):
+                if e - s < min_bout_duration:
+                    mask[s:e] = False
+        frames_idx = np.where(mask)[0]
+
     nodes = sorted({c[0] for c in coords.columns})
     edges = [
         (a, b) for (a, b) in coordinates._body_graph.edge_names
         if a in nodes and b in nodes
     ]
-    n_frames = min(frame_limit, len(coords))
+    frames_idx = frames_idx[: frame_limit if frame_limit else None]
+    n_frames = len(frames_idx)
+    assert n_frames > 0, "no frames left after filtering"
 
-    fig, ax = plt.subplots(dpi=dpi)
+    emb2d = None
+    if embeddings is not None:
+        from sklearn.decomposition import PCA
+
+        emb = np.asarray(get_dt(embeddings, experiment_id))
+        emb2d = (
+            PCA(n_components=2, random_state=umap_random_state)
+            .fit_transform(emb)
+        )
+
+    if emb2d is not None:
+        fig, (ax, ax_emb) = plt.subplots(1, 2, figsize=(11, 5), dpi=dpi)
+    else:
+        fig, ax = plt.subplots(dpi=dpi)
+        ax_emb = None
     x_all = coords.loc[:, (slice(None), "x")].to_numpy(float)
     y_all = coords.loc[:, (slice(None), "y")].to_numpy(float)
     ax.set_xlim(np.nanmin(x_all), np.nanmax(x_all))
     ax.set_ylim(np.nanmin(y_all), np.nanmax(y_all))
     ax.invert_yaxis()
+    if display_arena and center == "arena":
+        try:
+            vu.plot_arena(coordinates, center, "#999999", ax, experiment_id)
+        except Exception:  # arena overlay is cosmetic; never kill the render
+            pass
 
     scat = ax.scatter([], [], s=15)
     lines = [ax.plot([], [], "k-", lw=1)[0] for _ in edges]
     title = ax.set_title("")
+    artists = [scat, *lines, title]
+    if ax_emb is not None:
+        colors = (
+            cluster_assignments[: len(emb2d)]
+            if cluster_assignments is not None else None
+        )
+        ax_emb.scatter(
+            emb2d[:, 0], emb2d[:, 1], s=6, alpha=0.3,
+            c=colors, cmap="tab20",
+        )
+        marker = ax_emb.scatter([], [], s=90, color="red", zorder=10)
+        ax_emb.set_xlabel("latent 1")
+        ax_emb.set_ylabel("latent 2")
+        artists.append(marker)
+        if legend and cluster_assignments is not None:
+            shown = np.unique(np.asarray(cluster_assignments)[:10])
+            ax_emb.set_title(f"clusters: {list(map(int, shown))[:10]}")
 
-    def frame(i):
+    def frame(j):
+        i = int(frames_idx[j])
         pts = np.array([[coords[(n, "x")].iloc[i], coords[(n, "y")].iloc[i]] for n in nodes])
         scat.set_offsets(pts)
         for line, (a, b) in zip(lines, edges):
@@ -1224,9 +1391,12 @@ def animate_skeleton(
         if cluster_assignments is not None and i < len(cluster_assignments):
             label += f" | cluster {int(cluster_assignments[i])}"
         title.set_text(label)
-        return [scat, *lines, title]
+        if ax_emb is not None and i < len(emb2d):
+            marker.set_offsets(emb2d[i : i + 1])
+        return artists
 
-    anim = FuncAnimation(fig, frame, frames=n_frames, interval=1000 / coordinates._frame_rate)
+    interval = 1000 / (sampling_rate or coordinates._frame_rate)
+    anim = FuncAnimation(fig, frame, frames=n_frames, interval=interval)
     if save:
         anim.save(save, dpi=dpi)
     return anim
@@ -1881,34 +2051,190 @@ def plot_mouse_roi_interaction(
 
 
 def plot_normative_log_likelihood(
-    coordinates,
-    embeddings: TableDict,
-    normative_model,
+    coordinates=None,
+    embeddings: TableDict = None,
+    normative_model=None,
+    embedding_dataset: pd.DataFrame = None,
+    exp_condition: str = None,
+    add_stats: str = "Mann-Whitney",
+    verbose: bool = False,
     save: bool = False,
     ax: Any = None,
     **kwargs,
 ):
-    """Per-experiment log-likelihood under the normative GMM
-    (visuals.py:2293-2419)."""
+    """Normative log-likelihood per experimental condition
+    (visuals.py:2293-2419).
+
+    Reference mode: pass ``embedding_dataset`` (rows = experiments with
+    "PCA-1"/"PCA-2"/"experimental condition" columns) and
+    ``normative_model`` as the CONTROL COHORT NAME — the KDE is fitted on
+    the control rows, all rows are scored and centered on the control
+    mean, and a boxplot+strip per condition renders (on the second axis
+    when ``ax`` is a two-element list). Returns the augmented dataset.
+
+    Repo mode (previous behavior): pass ``coordinates``, ``embeddings``
+    and a FITTED model; per-experiment scores render as a scatter. With
+    ``add_stats``, a Mann-Whitney p-value between two condition groups is
+    annotated (printed too when ``verbose``).
+    """
+    from scipy.stats import mannwhitneyu
+
+    if embedding_dataset is not None:
+        assert isinstance(normative_model, str), (
+            "in reference mode normative_model names the control cohort"
+        )
+        ds = embedding_dataset.copy()
+        control = ds["experimental condition"] == normative_model
+        model = posthoc.fit_normative_global_model(
+            ds.loc[control, ["PCA-1", "PCA-2"]]
+        )
+        ds["norm_scores"] = model.score_samples(
+            ds.loc[:, ["PCA-1", "PCA-2"]].values
+        )
+        ds["norm_scores"] -= ds.loc[control, "norm_scores"].mean()
+
+        if ax is None:
+            fig, (ax, ax2) = plt.subplots(
+                1, 2, figsize=(12, 6), gridspec_kw={"width_ratios": [3, 1]}
+            )
+        elif isinstance(ax, (list, tuple)):
+            ax, ax2 = ax
+            fig = ax.figure
+        else:
+            raise ValueError(
+                "Passing normative_model produces two plots; pass a list "
+                "with two axes instead of a single one."
+            )
+        conds = sorted(
+            ds["experimental condition"].unique(),
+            key=lambda c: c != normative_model,  # control first
+        )
+        data = [
+            ds.loc[ds["experimental condition"] == c, "norm_scores"] for c in conds
+        ]
+        ax2.boxplot([d.to_numpy() for d in data], tick_labels=conds)
+        rng = np.random.default_rng(42)
+        for i, d in enumerate(data):
+            ax2.scatter(
+                1 + i + rng.normal(0, 0.06, len(d)), d, s=12, alpha=0.7,
+            )
+        ax2.set_ylabel("normative log-likelihood (centered)")
+        if add_stats and len(conds) == 2 and all(len(d) for d in data):
+            try:
+                p = mannwhitneyu(data[0], data[1]).pvalue
+                ax2.set_title(f"{add_stats}: p={p:.3g}")
+                if verbose:
+                    print(f"{add_stats} between {conds}: p={p:.5g}")
+            except ValueError:
+                pass
+        _maybe_save(fig, save, "normative_ll")
+        return ds
+
     agg = posthoc.get_aggregated_embedding(embeddings)
     scores = posthoc.score_against_normative(normative_model, agg)
-    conds = _conditions_of(coordinates, list(scores.index))
+    conds = _conditions_of(
+        coordinates, list(scores.index), exp_condition=exp_condition
+    )
     own_fig = ax is None
     if own_fig:
         fig, ax = plt.subplots()
     else:
         fig = ax.figure
-    for ci, cond in enumerate(sorted(set(conds.values()))):
-        vals = [scores[k] for k in scores.index if conds[k] == cond]
-        ax.scatter([ci] * len(vals), vals, label=cond)
-    ax.set_xticks(range(len(set(conds.values()))))
-    ax.set_xticklabels(sorted(set(conds.values())))
+    names = sorted(set(conds.values()))
+    groups = {c: [scores[k] for k in scores.index if conds[k] == c] for c in names}
+    for ci, cond in enumerate(names):
+        ax.scatter([ci] * len(groups[cond]), groups[cond], label=cond)
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names)
     ax.set_ylabel("normative log-likelihood")
+    if add_stats and len(names) == 2 and all(len(v) for v in groups.values()):
+        try:
+            p = mannwhitneyu(*groups.values()).pvalue
+            ax.set_title(f"{add_stats}: p={p:.3g}")
+            if verbose:
+                print(f"{add_stats} between {names}: p={p:.5g}")
+        except ValueError:
+            pass
     return _maybe_save(fig, save, "normative_ll")
 
 
-def export_annotated_video(coordinates, *args, **kwargs):
-    """Delegates to deepof_tpu.export_video (visuals.py:3713-3930)."""
-    from deepof_tpu.export_video import output_annotated_video
+def export_annotated_video(
+    coordinates,
+    soft_counts: TableDict = None,
+    supervised_annotations: TableDict = None,
+    bin_size=None,
+    bin_index=None,
+    precomputed_bins=None,
+    start_marker: str = None,
+    frame_limit_per_video: int = 250,
+    roi_number: int = None,
+    animals_in_roi: list = None,
+    roi_mode: str = "mousewise",
+    in_roi_criterion: str = "Center",
+    invert_roi: bool = False,
+    behaviors: List[str] = None,
+    experiment_id: str = None,
+    min_confidence: float = 0.0,
+    min_bout_duration: int = None,
+    display_time: bool = False,
+    display_counter: bool = False,
+    display_arena: bool = True,
+    display_markers: bool = True,
+    display_mouse_labels: bool = False,
+    display_roi: int = None,
+    exp_conditions=None,
+    cluster_names: dict = None,
+    **kwargs,
+):
+    """Annotated-video export (visuals.py:3713-3930), routed like the
+    reference: with ``experiment_id``, renders that experiment's full
+    video with overlays; without it, concatenates per-cluster (or
+    per-behavior) bout snippets across experiments. Display toggles map
+    onto :class:`deepof_tpu.export_video.VideoExportConfig`;
+    ``cluster_names`` relabels ``Cluster_i`` columns before export.
+    Requires readable experiment videos on disk.
+    """
+    from deepof_tpu.export_video import (
+        VideoExportConfig,
+        output_annotated_video,
+        output_videos_per_cluster,
+    )
 
-    return output_annotated_video(coordinates, *args, **kwargs)
+    if cluster_names and soft_counts is not None:
+        renamed = {}
+        for key in soft_counts.keys():
+            arr = get_dt(soft_counts, key)
+            if isinstance(arr, pd.DataFrame):
+                arr = arr.rename(columns=cluster_names)
+            renamed[key] = arr
+        soft_counts = TableDict(
+            renamed, typ="unsupervised_counts",
+        )
+
+    if experiment_id is not None:
+        config = VideoExportConfig(
+            display_time=display_time,
+            display_counter=display_counter,
+            display_arena=display_arena,
+            display_markers=display_markers,
+            display_mouse_labels=display_mouse_labels,
+            display_roi=display_roi if display_roi is not None else roi_number,
+        )
+        return output_annotated_video(
+            coordinates, experiment_id,
+            supervised_annotations=supervised_annotations,
+            soft_counts=soft_counts, behaviors=behaviors,
+            frame_limit=frame_limit_per_video, config=config,
+            **kwargs,
+        )
+    exp_condition = condition_value = None
+    if isinstance(exp_conditions, dict) and exp_conditions:
+        # {condition_name: value} selects the cohort, like the reference
+        exp_condition, condition_value = next(iter(exp_conditions.items()))
+    return output_videos_per_cluster(
+        coordinates, soft_counts=soft_counts,
+        supervised_annotations=supervised_annotations, behaviors=behaviors,
+        min_confidence=min_confidence, min_bout_duration=min_bout_duration,
+        exp_condition=exp_condition, condition_value=condition_value,
+        frame_limit_per_video=frame_limit_per_video, **kwargs,
+    )

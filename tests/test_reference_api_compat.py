@@ -370,6 +370,27 @@ def test_video_export_config_annotates_real_video(tmp_path):
     )
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
+    # The visuals-level wrapper routes the reference's kwarg surface
+    # (visuals.py:3713-3930): experiment mode with display toggles, and
+    # per-cluster snippet mode without experiment_id.
+    from deepof_tpu.visuals import export_annotated_video
+
+    out2 = export_annotated_video(
+        coords, supervised_annotations={"e0": sup}, experiment_id="e0",
+        display_time=True, display_counter=True, frame_limit_per_video=5,
+        out_path=str(tmp_path / "out2.mp4"),
+    )
+    assert os.path.exists(out2) and os.path.getsize(out2) > 0
+
+    sc = np.tile([0.1, 0.9], (t, 1))
+    per_cluster = export_annotated_video(
+        coords, soft_counts={"e0": sc}, min_bout_duration=1,
+        frame_limit_per_video=5, cluster_names={1: "walking"},
+        out_path=str(tmp_path / "clusters"),
+    )
+    assert isinstance(per_cluster, dict) and len(per_cluster) >= 1
+    assert all(os.path.getsize(p) > 0 for p in per_cluster.values())
+
 
 def test_numba_named_kernel_aliases():
     """The reference's *_numba kernel names (deepof/utils.py:70-4037)

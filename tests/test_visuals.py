@@ -173,14 +173,63 @@ def test_behavior_trends(coords, supervised):
 
 
 def test_embedding_evaluation(coords, embeddings, supervised):
+    # legacy repo layout still works (embeddings first, behaviors alias)
     df = visuals.return_embedding_evaluation(
-        embeddings, supervised, behaviors=["moving", "sniffing"], window_size=1
+        embeddings, supervised, behaviors=["moving", "sniffing"], window_size=1,
+        minimum_number_of_positives=2,
     )
     assert "ap_mean" in df.columns
+    # reference layout: coordinates first, include_behaviors,
+    # alignment_mode and normalization (visuals.py:2864-2917)
+    ref = visuals.return_embedding_evaluation(
+        coords, embeddings, supervised, include_behaviors=["moving"],
+        window_size=5, alignment_mode="any", minimum_number_of_positives=2,
+        normalize=False, random_state=1,
+    )
+    assert "moving" in ref.index
+    norm = visuals.return_embedding_evaluation(
+        coords, embeddings, supervised, include_behaviors=["moving"],
+        window_size=5, alignment_mode="center", minimum_number_of_positives=2,
+        normalize=True,
+    )
+    # normalization divides AP by the positive rate -> larger values
+    assert norm.loc["moving", "ap_mean"] > 0
+    # rare behaviors are skipped under the reference's positives floor
+    empty = visuals.return_embedding_evaluation(
+        coords, embeddings, supervised, include_behaviors=["moving"],
+        window_size=5, minimum_number_of_positives=10_000,
+    )
+    assert empty.empty
     fig = visuals.plot_embedding_evaluation(
         embeddings, supervised, behaviors=["moving"],
+        minimum_number_of_positives=2,
     )
     assert fig.axes
+
+
+def test_normative_plot_reference_mode():
+    """Reference-mode plot_normative_log_likelihood (visuals.py:2293-2419):
+    normative_model names the control cohort, the KDE fits on control
+    PCA rows, scores center on the control mean, and the augmented
+    dataset returns."""
+    rng = np.random.default_rng(0)
+    ds = pd.DataFrame({
+        "PCA-1": np.concatenate([rng.normal(0, 1, 10), rng.normal(4, 1, 10)]),
+        "PCA-2": np.concatenate([rng.normal(0, 1, 10), rng.normal(4, 1, 10)]),
+        "experimental condition": ["ctrl"] * 10 + ["treated"] * 10,
+    })
+    out = visuals.plot_normative_log_likelihood(
+        embedding_dataset=ds, normative_model="ctrl",
+        add_stats="Mann-Whitney", verbose=False,
+    )
+    assert "norm_scores" in out.columns
+    ctrl = out.loc[out["experimental condition"] == "ctrl", "norm_scores"]
+    treated = out.loc[out["experimental condition"] == "treated", "norm_scores"]
+    np.testing.assert_allclose(ctrl.mean(), 0.0, atol=1e-9)  # centered
+    assert treated.mean() < ctrl.mean()  # off-cohort scores lower
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
 
 
 def test_training_metrics_plot():
@@ -290,6 +339,34 @@ def test_normative_plot(coords, embeddings):
 def test_animate_skeleton(coords):
     anim = visuals.animate_skeleton(coords, "test", frame_limit=5)
     assert anim is not None
+
+
+def test_animate_skeleton_reference_surface(coords, embeddings, soft_counts):
+    """Reference kwargs (visuals.py:3110-3519): embeddings side panel,
+    cluster-filtered frames, time binning."""
+    # embeddings panel -> two axes, cluster coloring from soft_counts
+    anim = visuals.animate_skeleton(
+        coords, "test", embeddings=embeddings, soft_counts=soft_counts,
+        frame_limit=5,
+    )
+    assert len(anim._fig.axes) == 2
+
+    # selected_cluster restricts frames to that cluster's confident bouts
+    hard = np.asarray(soft_counts["test"]).argmax(1)
+    target = int(np.bincount(hard).argmax())
+    anim = visuals.animate_skeleton(
+        coords, "test", soft_counts=soft_counts,
+        selected_cluster=target, min_confidence=0.0, frame_limit=1000,
+    )
+    assert anim._save_count if hasattr(anim, "_save_count") else True
+    # bin selection narrows the frame range
+    anim = visuals.animate_skeleton(
+        coords, "test", bin_size=1, bin_index=0, frame_limit=1000,
+    )
+    assert anim is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
 
 
 def test_condition_distance_plot(coords, embeddings, soft_counts):
