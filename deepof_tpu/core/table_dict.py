@@ -1392,6 +1392,7 @@ def _sample_windows_methods(cls):
         no_nans: bool = False,
         return_edges: bool = False,
         seed: int = 0,
+        N_windows_tab: int = None,
     ):
         """Sample a random contiguous block of windows per experiment.
 
@@ -1401,10 +1402,13 @@ def _sample_windows_methods(cls):
         those indices are used verbatim; otherwise a random-start
         contiguous block of up to ``n_windows`` rows is drawn (after
         NaN-row filtering when ``no_nans``), with returned indices always
-        relative to the original table.
+        relative to the original table. ``N_windows_tab`` is the
+        reference's name for ``n_windows``.
 
         Returns (X (N, ...), a (N, ...), per-key index dict).
         """
+        if N_windows_tab is not None:
+            n_windows = N_windows_tab
         rng = np.random.default_rng(seed)
         use_provided = bool(time_bin_info) and set(self.keys()).issubset(
             time_bin_info.keys()

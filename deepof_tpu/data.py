@@ -817,9 +817,26 @@ class Project:
             pos[np.where(pres)[0][:, None], np.arange(lo, hi)[None, :]] = constrained
         return pos
 
-    def get_arena(self, tables=None, test: bool = False, verbose: bool = False):
-        """Arena calibration (deepof/data.py:687 -> arena_utils.get_arenas)."""
-        return arena_mod.get_arenas(
+    def get_arena(
+        self, tables=None, arena_path: str = None, debug: bool = False,
+        test: bool = False, verbose: bool = False, load_also_rois: bool = False,
+    ):
+        """Arena calibration (deepof/data.py:687 -> arena_utils.get_arenas).
+
+        With ``arena_path``, previously saved arena data is loaded instead
+        of re-running detection (reference data.py:711-718). ``debug`` is
+        accepted for signature parity; detection always exports the
+        per-video arena overlay images into the project's Arena folder.
+        """
+        if arena_path is not None:
+            roi_dicts, arena_params, scales, video_resolution = (
+                self.load_arena_data(arena_path, load_also_rois=True)
+            )
+            if not load_also_rois and self.number_of_rois == 0:
+                roi_dicts = {key: {} for key in arena_params}
+            self.scales = scales
+            return scales, arena_params, roi_dicts, video_resolution
+        out = arena_mod.get_arenas(
             self,
             self.arena,
             self.arena_dims,
@@ -831,6 +848,141 @@ class Project:
             point_provider=self.point_provider,
             arena_reference=self.arena_reference,
         )
+        self.scales = out[0]
+        return out
+
+    def save_arena_data(
+        self, arena_path: str, arena_params: dict = None, roi_dicts: dict = None,
+        scales: dict = None, video_resolution: dict = None,
+    ) -> None:
+        """Persist arena parameters / ROIs / scales as one pickle
+        (deepof/data.py:588-615)."""
+        os.makedirs(os.path.dirname(os.path.abspath(arena_path)), exist_ok=True)
+        payload = {
+            "roi_dicts": roi_dicts, "arena_params": arena_params,
+            "scales": scales, "video_resolution": video_resolution,
+        }
+        with open(arena_path, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load_arena_data(self, arena_path: str, load_also_rois: bool = False):
+        """Load (roi_dicts, arena_params, scales, video_resolution) from a
+        pickle, validating keys against the project's videos
+        (deepof/data.py:618-683)."""
+        if not os.path.isfile(arena_path):
+            raise FileNotFoundError(f"Arena file not found: {arena_path}")
+        with open(arena_path, "rb") as f:
+            data = pickle.load(f)
+        if isinstance(data, dict) and {
+            "roi_dicts", "arena_params", "scales"
+        } <= set(data.keys()):
+            roi_dicts = data["roi_dicts"]
+            arena_params = data["arena_params"]
+            scales = data["scales"]
+            video_resolution = data.get("video_resolution")
+        elif isinstance(data, (tuple, list)) and len(data) == 4:
+            roi_dicts, arena_params, scales, video_resolution = data
+        else:
+            raise ValueError("Invalid arena pickle format.")
+        assert set(arena_params.keys()) == set(self.videos.keys()), (
+            "Keys of Arena objects do not match project keys, could not "
+            "load arena info"
+        )
+        if not load_also_rois:
+            return None, arena_params, scales, video_resolution
+        return roi_dicts, arena_params, scales, video_resolution
+
+    def load_exp_conditions(self, filepath: str):
+        """Load experimental conditions pre-create (deepof/data.py:562)."""
+        from deepof_tpu.io.conditions import load_exp_conditions
+
+        self.exp_conditions = load_exp_conditions(filepath)
+
+    def load_start_markers(self, filepath: str):
+        """Load start markers pre-create (deepof/data.py:557-559)."""
+        from deepof_tpu.io.conditions import load_start_markers
+
+        self.start_markers = load_start_markers(filepath, self.frame_rate)
+
+    # -- pipeline stages exposed standalone (deepof/data.py:996-1200) -- #
+
+    def _as_tensor(self, tab):
+        """(T, B, 2) float array from a tensor or a DLC-style DataFrame."""
+        if isinstance(tab, pd.DataFrame):
+            nodes = list(self.body_graph.nodes)
+            arr = np.stack(
+                [tab[node].loc[:, ["x", "y"]].to_numpy(float) for node in nodes],
+                axis=1,
+            )
+            return arr
+        return np.asarray(tab, np.float64)
+
+    def _derived_parts(self, tab_dict):
+        nodes = list(self.body_graph.nodes)
+        pairs = tuple(map(tuple, all_pair_indices(len(nodes))))
+        bridges = tuple(map(tuple, self.body_graph.bridges))
+        poly_list, area_names = [], []
+        for aid in self.animal_ids:
+            for area_name, poly in self.body_graph.area_polys.get(aid, {}).items():
+                poly_list.append(tuple(int(i) for i in poly))
+                area_names.append(f"{aid}_{area_name}" if aid else area_name)
+        tensors = {k: self._as_tensor(v) for k, v in tab_dict.items()}
+        store = _DerivedKinematics(tensors, pairs, bridges, tuple(poly_list))
+        pair_names = [
+            tuple(sorted((nodes[i], nodes[j]))) for i, j in pairs
+        ]
+        return store, pair_names, list(self.body_graph.bridge_names), area_names
+
+    def scale_tables(self, tab_dict):
+        """Scale raw px tables to mm using the arena scales
+        (deepof/data.py:996-1026). Requires :meth:`get_arena` to have run
+        (or ``arena_path`` data loaded) so per-video scales exist."""
+        scales = getattr(self, "scales", None)
+        assert scales is not None, (
+            "run get_arena() (or create()) before scale_tables(): per-video "
+            "px->mm scales are produced by arena detection"
+        )
+        out = {}
+        for key, tab in tab_dict.items():
+            ratio = scales[key][3] / scales[key][2]
+            out[key] = tab * ratio
+        return out
+
+    def get_distances(self, tab_dict) -> dict:
+        """All-pairs bodypart distances per video (deepof/data.py:1031);
+        computed by the fused device kernel, returned as DataFrames."""
+        store, pair_names, _, _ = self._derived_parts(tab_dict)
+        return {
+            key: pd.DataFrame(
+                np.asarray(store.parts(key)[0]), columns=pair_names
+            )
+            for key in tab_dict
+        }
+
+    def get_distances_tab(self, tab) -> pd.DataFrame:
+        """Single-table variant of :meth:`get_distances`
+        (deepof/data.py:1065)."""
+        return self.get_distances({"__tab__": tab})["__tab__"]
+
+    def get_angles(self, tab_dict) -> dict:
+        """Bridge-trio angles per video (deepof/data.py:1100)."""
+        store, _, bridge_names, _ = self._derived_parts(tab_dict)
+        return {
+            key: pd.DataFrame(
+                np.asarray(store.parts(key)[1]), columns=bridge_names
+            )
+            for key in tab_dict
+        }
+
+    def get_areas(self, tab_dict) -> dict:
+        """Head/torso/back polygon areas per video (deepof/data.py:1165)."""
+        store, _, _, area_names = self._derived_parts(tab_dict)
+        return {
+            key: pd.DataFrame(
+                np.asarray(store.parts(key)[2]), columns=area_names
+            )
+            for key in tab_dict
+        }
 
     # ------------------------------------------------------------------ #
     # create
@@ -838,9 +990,14 @@ class Project:
 
     def create(
         self, verbose: bool = True, force: bool = False, debug: bool = False,
-        test: bool = False,
+        test: bool = False, arena_path: str = None, _to_extend=None,
     ) -> "Coordinates":
-        """Run the full pipeline and return a Coordinates object."""
+        """Run the full pipeline and return a Coordinates object.
+
+        ``arena_path`` loads previously saved arena/ROI/scale data instead
+        of re-running detection (reference data.py:1294-1353);
+        ``_to_extend`` is accepted for reference signature parity (the
+        repo's extend flow lives on :meth:`extend`)."""
         project_dir = os.path.join(self.project_path, self.project_name)
         if os.path.exists(os.path.join(project_dir, "Coordinates")) and not force:
             existing = os.listdir(os.path.join(project_dir, "Coordinates"))
@@ -853,7 +1010,9 @@ class Project:
         raws = self._load_raw_tables()
         tab_dict, lik_dict = self.preprocess_tables(raws, verbose=verbose)
 
-        scales, arena_params, roi_dicts, video_resolution = self.get_arena(test=test)
+        scales, arena_params, roi_dicts, video_resolution = self.get_arena(
+            arena_path=arena_path, test=test,
+        )
 
         nodes = list(self.body_graph.nodes)
         # Pixel -> mm scaling (deepof/data.py:996-1026).
@@ -1298,6 +1457,13 @@ class Coordinates:
 
         self._exp_conditions = load_exp_conditions(filepath)
 
+    def load_start_markers(self, filepath: str):
+        """Load per-experiment start markers from CSV
+        (deepof/data.py:2477-2482)."""
+        from deepof_tpu.io.conditions import load_start_markers
+
+        self._start_markers = load_start_markers(filepath, self._frame_rate)
+
     def get_quality(self) -> TableDict:
         """Tracking likelihood per bodypart as DataFrames."""
         tabs = {}
@@ -1315,7 +1481,16 @@ class Coordinates:
     def get_arenas(self):
         return self._arena, [self._arena_dims], self._arena_params
 
-    def get_videos(self, play: bool = False):
+    def get_videos(self, full_paths: bool = False, play: bool = False):
+        """Videos per experiment; with full_paths, absolute paths
+        (deepof/data.py:2376-2384)."""
+        if play:  # pragma: no cover — interactive
+            raise NotImplementedError
+        if full_paths:
+            return {
+                key: os.path.join(self._video_path, video)
+                for key, video in self._videos.items()
+            }
         return self._videos
 
     # ------------------------------------------------------------------ #
@@ -1927,8 +2102,10 @@ class Coordinates:
     # Persistence
     # ------------------------------------------------------------------ #
 
-    def save(self, filename: str = None, timestamp: bool = True):
-        """Pickle the Coordinates object (deepof/data.py:2612-2636)."""
+    def save(self, filename: str = None, timestamp: bool = True, file: str = None):
+        """Pickle the Coordinates object (deepof/data.py:2612-2636).
+        ``file`` is the reference's name for ``filename``."""
+        filename = filename or file
         out_dir = os.path.join(
             self._project_path, self._project_name, "Coordinates"
         )

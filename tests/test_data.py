@@ -470,3 +470,96 @@ def test_device_frames_budget_fallback(single_coords, monkeypatch):
         p, e = np.asarray(pinned[key]), np.asarray(eager[key])
         np.testing.assert_allclose(e, p, atol=1e-6, rtol=1e-6)
         assert list(pinned[key].columns) == list(eager[key].columns)
+
+
+def test_project_pipeline_stage_methods(tmp_path):
+    """Reference Project-level pipeline stages exposed standalone
+    (deepof/data.py:557-683, 996-1200): arena save/load round-trip,
+    create(arena_path=...), scale_tables, and the per-stage
+    distance/angle/area computations."""
+    proj = _make_project(tmp_path)
+    coords = proj.create(force=True, test=True, verbose=False)
+
+    # save current arena data, then re-create loading it back
+    arena_pkl = str(tmp_path / "arena.pkl")
+    proj.save_arena_data(
+        arena_pkl, arena_params=coords._arena_params,
+        roi_dicts=coords._roi_dicts or {k: {} for k in coords._tables},
+        scales=coords._scales, video_resolution=coords._video_resolution,
+    )
+    roi, params, scales, res = proj.load_arena_data(arena_pkl, load_also_rois=True)
+    assert set(params) == set(coords._tables)
+    coords2 = proj.create(force=True, verbose=False, arena_path=arena_pkl)
+    for k in coords._tables:
+        np.testing.assert_allclose(
+            np.asarray(coords2._scales[k]), np.asarray(coords._scales[k])
+        )
+
+    # standalone stages on raw-style tensors
+    tab_dict = {k: np.asarray(coords._tables[k], float) for k in coords._tables}
+    scaled = proj.scale_tables(tab_dict)
+    k0 = next(iter(tab_dict))
+    ratio = coords._scales[k0][3] / coords._scales[k0][2]
+    np.testing.assert_allclose(scaled[k0], tab_dict[k0] * ratio)
+
+    dists = proj.get_distances(tab_dict)
+    want = coords.get_distances(filter_on_graph=False)[k0]
+    got = dists[k0]
+    shared = [c for c in want.columns if c in got.columns]
+    assert len(shared) > 10
+    np.testing.assert_allclose(
+        got[shared].to_numpy(), want[shared].to_numpy(), rtol=1e-10
+    )
+    one = proj.get_distances_tab(tab_dict[k0])
+    np.testing.assert_allclose(one.to_numpy(), got.to_numpy(), rtol=1e-12)
+
+    angles = proj.get_angles(tab_dict)
+    want_a = coords.get_angles()[k0]
+    np.testing.assert_allclose(
+        angles[k0].to_numpy(), want_a.to_numpy(), rtol=1e-8
+    )
+    areas = proj.get_areas(tab_dict)
+    want_ar = coords.get_areas()[k0]
+    np.testing.assert_allclose(
+        areas[k0].to_numpy(), want_ar.to_numpy(), rtol=1e-8,
+    )
+
+    # conditions / markers loaders on the Project
+    cond_csv = tmp_path / "conds.csv"
+    pd.DataFrame({"experiment_id": list(tab_dict), "cond": ["A", "B"]}).to_csv(cond_csv)
+    proj.load_exp_conditions(str(cond_csv))
+    assert set(proj.exp_conditions) == set(tab_dict)
+    marker_csv = tmp_path / "marks.csv"
+    pd.DataFrame({"experiment_id": list(tab_dict), "start": ["00:00:01", "00:00:02"]}).to_csv(marker_csv)
+    proj.load_start_markers(str(marker_csv))
+    assert set(proj.start_markers) == set(tab_dict)
+
+
+def test_coordinates_reference_kwarg_parity(tmp_path):
+    """Small reference-surface items: get_videos(full_paths),
+    save(file=...), load_start_markers, sample_windows N_windows_tab."""
+    proj = _make_project(tmp_path)
+    coords = proj.create(force=True, test=True, verbose=False)
+
+    vids = coords.get_videos(full_paths=True)
+    assert all(os.path.isabs(p) or "/" in p for p in vids.values())
+    assert set(vids) == set(coords.get_videos())
+
+    coords.save(file="named_save", timestamp=False)
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "test_proj", "Coordinates", "named_save.pkl")
+    )
+
+    marker_csv = tmp_path / "marks.csv"
+    pd.DataFrame(
+        {"experiment_id": list(coords._tables), "start": ["00:00:01", "00:00:02"]}
+    ).to_csv(marker_csv)
+    coords.load_start_markers(str(marker_csv))
+    assert set(coords.get_start_markers) == set(coords._tables)
+
+    td = coords.get_coords().preprocess(
+        coordinates=coords, window_size=11, scale="standard",
+    )[0][0]
+    x1, idx1 = td.sample_windows_from_data(n_windows=7)
+    x2, idx2 = td.sample_windows_from_data(N_windows_tab=7)
+    assert len(x1) == len(x2)
