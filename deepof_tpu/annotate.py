@@ -101,7 +101,7 @@ class BehaviorContext:
         return f"{animal_id}_{bodypart}" if animal_id else bodypart
 
 
-def postprocess_median_filtering(y, ctx: BehaviorContext, _output) -> np.ndarray:
+def postprocess_median_filtering(y, ctx: BehaviorContext, behavior_output=None) -> np.ndarray:
     y = np.nan_to_num(np.asarray(y), nan=0.0).astype(bool)
     out = np.asarray(
         binary_moving_median(jnp.asarray(y), int(ctx.params["median_filter_width"]))
@@ -167,8 +167,9 @@ class DeepOF_behavior:
 # --------------------------------------------------------------------------- #
 
 
-def close_single_contact(pos: pd.DataFrame, left: str, right, tol: float) -> np.ndarray:
+def close_single_contact(pos_dframe: pd.DataFrame, left: str, right=None, tol: float = None) -> np.ndarray:
     """True where ||left - right|| < tol; right may be a list (any-of)."""
+    pos = pos_dframe
     if isinstance(right, str):
         return np.linalg.norm(pos[left].to_numpy(float) - pos[right].to_numpy(float), axis=1) < tol
     return np.any(
@@ -181,10 +182,11 @@ def close_single_contact(pos: pd.DataFrame, left: str, right, tol: float) -> np.
 
 
 def close_double_contact(
-    pos: pd.DataFrame, left1: str, left2: str, right1: str, right2: str,
+    pos_dframe: pd.DataFrame, left1: str, left2: str, right1: str, right2: str,
     rel_tol: float, rev: bool = False,
 ) -> np.ndarray:
     """True where both endpoint pairs are within tol (side-by-side tests)."""
+    pos = pos_dframe
     tol = rel_tol
 
     def d(a, b):
@@ -482,8 +484,14 @@ def sniff_around(
     return slow & nose_fast & nose_sure
 
 
-def rearing(pos_dframe, speed_dframe, rearing_tol, tol_speed, animal_id=""):
-    """Nose close to tail base (top view) while the tail base is slow."""
+def rearing(
+    pos_dframe, speed_dframe, likelihood_dframe=None, rearing_tol=None,
+    tol_likelihood=None, tol_speed=None, animal_id="",
+):
+    """Nose close to tail base (top view) while the tail base is slow.
+    ``likelihood_dframe``/``tol_likelihood`` match the reference signature
+    (annotation_utils.py:1215-1222); its own likelihood gate is commented
+    out upstream (:1242), so they are accepted and unused here too."""
     if animal_id:
         animal_id += "_"
     close = (
@@ -515,18 +523,18 @@ IMMOBILITY_FEATURES_SPEEDS = [
 ]
 
 
-def augment_with_neighbors(x: pd.DataFrame, window: int = 5, step: int = 1, window_out: int = 11):
+def augment_with_neighbors(X_huddle: pd.DataFrame, window: int = 5, step: int = 1, window_out: int = 11):
     """Lead/lag window means per feature; keeps only speed-based outputs
     (deepof/annotation_utils.py:817-870)."""
-    cols = x.columns.tolist()
+    cols = X_huddle.columns.tolist()
     l = 2 * window + 1
     b = l / window_out
     ranges = [(round(i * b), round((i + 1) * b)) for i in range(window_out)]
     frames = []
     for col in cols:
-        shifted = [x[col].shift(-lead) for lead in range(window * step, 0, -step)]
-        shifted.append(x[col])
-        shifted += [x[col].shift(lag) for lag in range(step, window * step + 1, step)]
+        shifted = [X_huddle[col].shift(-lead) for lead in range(window * step, 0, -step)]
+        shifted.append(X_huddle[col])
+        shifted += [X_huddle[col].shift(lag) for lag in range(step, window * step + 1, step)]
         block = pd.concat(shifted, axis=1)
         feats = {}
         for k in range(window_out):
@@ -548,10 +556,10 @@ class RuleBasedImmobilityEstimator:
     def __init__(self, speed_threshold: float = 20.0):
         self.speed_threshold = speed_threshold
 
-    def predict(self, x: np.ndarray) -> np.ndarray:
-        # x is standardized; raw sign information survives: immobile frames
+    def predict(self, X_huddle: np.ndarray) -> np.ndarray:
+        # X_huddle is standardized; raw sign information survives: immobile frames
         # have below-average windowed speeds across features.
-        return (np.nanmean(x, axis=1) < -0.3).astype(float)
+        return (np.nanmean(X_huddle, axis=1) < -0.3).astype(float)
 
 
 def _default_immobility_estimator():
@@ -598,7 +606,7 @@ class PretrainedImmobilityClassifier:
 
 
 def immobility(
-    x_features: pd.DataFrame,
+    X_huddle: pd.DataFrame,
     huddle_estimator,
     animal_id: str = "",
     median_filter_width: int = 11,
@@ -614,13 +622,13 @@ def immobility(
         + [f"{animal_id}{bp}_speed" for bp in IMMOBILITY_FEATURES_SPEEDS]
     )
     try:
-        x = x_features[required]
+        x = X_huddle[required]
     except KeyError:
         warnings.warn(
             "Skipping immobility annotation: not all required body parts are "
             "present (needs deepof_11 or deepof_14 labelling)."
         )
-        n = x_features.shape[0]
+        n = X_huddle.shape[0]
         return np.full(n, np.nan), np.full(n, np.nan)
 
     x = augment_with_neighbors(x)
@@ -639,16 +647,16 @@ def immobility(
 # --------------------------------------------------------------------------- #
 
 
-def compute_nose2nose(ctx, pair):
-    a, b = pair
+def compute_nose2nose(ctx, mice_pair):
+    a, b = mice_pair
     return close_single_contact(
         ctx.raw_coords, ctx.bp(a, "Nose"), ctx.bp(b, "Nose"),
         float(ctx.params["close_contact_tol"]),
     )
 
 
-def compute_sidebyside(ctx, pair):
-    a, b = pair
+def compute_sidebyside(ctx, mice_pair):
+    a, b = mice_pair
     return close_double_contact(
         ctx.raw_coords, ctx.bp(a, "Nose"), ctx.bp(a, "Tail_base"),
         ctx.bp(b, "Nose"), ctx.bp(b, "Tail_base"),
@@ -656,8 +664,8 @@ def compute_sidebyside(ctx, pair):
     )
 
 
-def compute_sidereside(ctx, pair):
-    a, b = pair
+def compute_sidereside(ctx, mice_pair):
+    a, b = mice_pair
     return close_double_contact(
         ctx.raw_coords, ctx.bp(a, "Nose"), ctx.bp(a, "Tail_base"),
         ctx.bp(b, "Nose"), ctx.bp(b, "Tail_base"),
@@ -665,16 +673,16 @@ def compute_sidereside(ctx, pair):
     )
 
 
-def compute_nose2tail(ctx, pair):
-    a, b = pair
+def compute_nose2tail(ctx, mice_pair):
+    a, b = mice_pair
     return close_single_contact(
         ctx.raw_coords, ctx.bp(a, "Nose"), ctx.bp(b, "Tail_base"),
         float(ctx.params["close_contact_tol"]),
     )
 
 
-def compute_nose2body(ctx, pair):
-    a, b = pair
+def compute_nose2body(ctx, mice_pair):
+    a, b = mice_pair
     body_cols = [ctx.bp(b, bp) for bp in ctx.extra["main_body"]]
     return close_single_contact(
         ctx.raw_coords, ctx.bp(a, "Nose"), body_cols,
@@ -682,8 +690,8 @@ def compute_nose2body(ctx, pair):
     )
 
 
-def compute_following(ctx, pair):
-    a, b = pair
+def compute_following(ctx, mice_pair):
+    a, b = mice_pair
     return following_path(
         ctx.dists, ctx.raw_coords, ctx.speeds, follower=a, followed=b,
         frames=int(ctx.params["follow_frames"]),
@@ -692,8 +700,8 @@ def compute_following(ctx, pair):
     )
 
 
-def compute_climb_arena(ctx, aid):
-    prefix = ctx.prefix(aid)
+def compute_climb_arena(ctx, animal_id):
+    prefix = ctx.prefix(animal_id)
     mouse_len = ctx.extra.get("mouse_lens", {}).get(prefix, 50)
     return climb_arena(
         arena_type=ctx.arena_type, arena=ctx.arena_params,
@@ -702,70 +710,70 @@ def compute_climb_arena(ctx, aid):
     )
 
 
-def compute_sniff_arena(ctx, aid):
+def compute_sniff_arena(ctx, animal_id):
     return sniff_object(
         speed_dframe=ctx.speeds, arena=ctx.arena_params, pos_dict=ctx.raw_coords,
         tol=float(ctx.params["sniff_arena_tol"]),
         tol_speed=float(ctx.params["stationary_threshold"]),
-        nose=ctx.bp(aid, "Nose"), animal_id=aid,
+        nose=ctx.bp(animal_id, "Nose"), animal_id=animal_id,
     )
 
 
-def compute_immobility(ctx, aid):
+def compute_immobility(ctx, animal_id):
     est = ctx.extra["immobility_estimator"] or _default_immobility_estimator()
-    features = ctx.full_features[aid] if aid else ctx.full_features
+    features = ctx.full_features[animal_id] if animal_id else ctx.full_features
     x = get_dt(features, ctx.key)
     y, _ = immobility(
-        x, est, animal_id=ctx.prefix(aid),
+        x, est, animal_id=ctx.prefix(animal_id),
         median_filter_width=int(ctx.params["median_filter_width"]),
         min_immobility=int(ctx.params["min_immobility"]),
     )
     return y
 
 
-def compute_stat_lookaround(ctx, aid):
+def compute_stat_lookaround(ctx, animal_id):
     if len(ctx.animal_ids) > 1:
         close_range = calculate_close_range(
-            ctx.dists, ctx.prefix(aid), "Nose",
+            ctx.dists, ctx.prefix(animal_id), "Nose",
             float(ctx.params["side_contact_tol"]),
         )
     else:
         close_range = np.zeros(len(ctx.dists), dtype=int)
     return stationary_lookaround(
-        ctx.speeds, ctx.dists, ctx.likelihoods, ctx.prefix(aid), close_range,
+        ctx.speeds, ctx.dists, ctx.likelihoods, ctx.prefix(animal_id), close_range,
         tol_speed=float(ctx.params["stationary_threshold"]),
         tol_likelihood=float(ctx.params["nose_likelihood"]),
         min_length=int(ctx.params["min_follow_frames"]),
-        animal_id=aid,
+        animal_id=animal_id,
     )
 
 
-def compute_detect_activity(ctx, aid):
+def compute_detect_activity(ctx, animal_id):
     stat_a, stat_p, mov = detect_activity(
         ctx.speeds, ctx.likelihoods,
         tol_speed=float(ctx.params["stationary_threshold"]),
         tol_likelihood=float(ctx.params["nose_likelihood"]),
         min_length=int(ctx.params["min_follow_frames"]),
-        animal_id=aid,
+        animal_id=animal_id,
     )
     return {"stat-active": stat_a, "stat-passive": stat_p, "moving": mov}
 
 
-def compute_sniffing(ctx, aid):
+def compute_sniffing(ctx, animal_id):
     return sniff_around(
         ctx.speeds, ctx.likelihoods,
         tol_speed=float(ctx.params["stationary_threshold"]),
         tol_likelihood=float(ctx.params["nose_likelihood"]),
-        animal_id=aid,
+        animal_id=animal_id,
     )
 
 
-def compute_rearing(ctx, aid):
+def compute_rearing(ctx, animal_id):
     return rearing(
         ctx.raw_coords, ctx.speeds,
         rearing_tol=float(ctx.params.get("rearing_tol", 50)),
         tol_speed=float(ctx.params["stationary_threshold"]),
-        animal_id=aid,
+        animal_id=animal_id,
     )
 
 

@@ -37,9 +37,26 @@ except ImportError:  # pragma: no cover
 # --------------------------------------------------------------------------- #
 
 
-def extract_corners_from_arena(ellipse_params: Tuple, n_points: int = 100) -> np.ndarray:
-    """Rasterize an ellipse arena (center, axes, angle_deg) into a polygon."""
-    center, axes, angle = ellipse_params
+def extract_corners_from_arena(
+    arena_params: Tuple = None, num_points: int = 100,
+    ellipse_params: Tuple = None, n_points: int = None,
+) -> np.ndarray:
+    """Polygon corners from arena parameters (arena_utils.py:1192-1230):
+    polygonal arrays pass through; (center, axes, angle_deg) ellipses are
+    rasterized into ``num_points`` vertices. ``ellipse_params``/
+    ``n_points`` are the repo's historical names."""
+    if arena_params is None:
+        arena_params = ellipse_params
+    if n_points is not None:
+        num_points = n_points
+    n_points = num_points
+    if isinstance(arena_params, np.ndarray) or (
+        isinstance(arena_params, (list, tuple))
+        and len(arena_params) and np.ndim(arena_params[0]) == 1
+        and len(arena_params) != 3
+    ):
+        return np.asarray(arena_params, float)
+    center, axes, angle = arena_params
     theta = np.linspace(0, 2 * np.pi, n_points, endpoint=False)
     ang = np.deg2rad(angle)
     x = axes[0] * np.cos(theta)
@@ -65,7 +82,7 @@ def fit_ellipse_to_polygon(polygon, return_ellipse: bool = True):
     return extract_corners_from_arena(ellipse)
 
 
-def simplify_polygon(polygon, n_points: int = None, relative_tolerance: float = 0.05):
+def simplify_polygon(polygon, n_points: int = None, relative_tolerance: float = 0.05, preserve_topology: bool = False):
     """Simplify a dense polygon.
 
     Without ``n_points``: cv2.approxPolyDP at a perimeter-relative
@@ -113,8 +130,13 @@ def simplify_polygon(polygon, n_points: int = None, relative_tolerance: float = 
     return pts[np.asarray(corners, int)]
 
 
-def get_first_length(corners) -> float:
-    return math.dist(corners[0], corners[1])
+def get_first_length(arena_corners, w_ratio: float = 1.0, h_ratio: float = 1.0) -> float:
+    """Length of the first polygon edge, optionally anisotropically scaled
+    (arena_utils.py:1028-1033)."""
+    return math.dist(
+        (arena_corners[0][0] * w_ratio, arena_corners[0][1] * h_ratio),
+        (arena_corners[1][0] * w_ratio, arena_corners[1][1] * h_ratio),
+    )
 
 
 def closest_side(polygon, reference_side) -> list:
@@ -285,6 +307,77 @@ def mask_to_arena_params(mask: np.ndarray, arena_type: str):
         ellipse = fit_ellipse_to_polygon(cnt)
         return extract_corners_from_arena(ellipse), ellipse
     return simplify_polygon(cnt), None
+
+
+def _inset_polygon(poly: np.ndarray, d: float) -> np.ndarray:
+    """Offset a simple polygon inward by d: shift each edge along its
+    inward normal and re-intersect adjacent edge lines."""
+    p = np.asarray(poly, float)
+    # ensure counter-clockwise so the left normal points inward
+    if 0.5 * (np.dot(p[:, 0], np.roll(p[:, 1], -1)) - np.dot(p[:, 1], np.roll(p[:, 0], -1))) < 0:
+        p = p[::-1]
+    n = len(p)
+    a, b = p, np.roll(p, -1, axis=0)
+    e = b - a
+    ln = np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+    normal = np.stack([-e[:, 1], e[:, 0]], axis=1) / ln  # left normal (inward, CCW)
+    a_off, b_off = a + d * normal, b + d * normal
+    out = []
+    for i in range(n):
+        j = (i - 1) % n
+        # intersect offset line j with offset line i
+        p1, d1 = a_off[j], b_off[j] - a_off[j]
+        p2, d2 = a_off[i], b_off[i] - a_off[i]
+        denom = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(denom) < 1e-12:
+            out.append(a_off[i])
+            continue
+        t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / denom
+        out.append(p1 + t * d1)
+    return np.asarray(out)
+
+
+def create_inner_polygon(
+    outer_vertices,
+    target_area_ratio: float = 0.7,
+    tolerance: float = 0.01,
+    max_iterations: int = 100,
+    return_inner: bool = True,
+):
+    """Inner polygon covering ~``target_area_ratio`` of the outer area
+    (arena_utils.py:1071-1190), found by binary search over an inward edge
+    offset — reimplemented without shapely (inward normal offsets with
+    adjacent-line re-intersection stand in for ``Polygon.buffer``). With
+    ``return_inner=False``, returns the ring as the outer vertices
+    followed by the reversed inner vertices (the standard hole-polygon
+    vertex representation)."""
+    outer = np.asarray(outer_vertices, float)
+    if target_area_ratio == 0.0:
+        return outer_vertices if not return_inner else np.array([])
+    outer_area = _polygon_area(outer)
+    target = outer_area * float(target_area_ratio)
+    span = max(np.ptp(outer[:, 0]), np.ptp(outer[:, 1]))
+    lo, hi = 0.0, span / 2
+    best = outer.copy()
+    for _ in range(max_iterations):
+        d = (lo + hi) / 2
+        inner = _inset_polygon(outer, d)
+        area = _polygon_area(inner)
+        # a too-large offset flips the polygon inside out; treat as zero
+        if not np.all(np.isfinite(inner)) or area > outer_area:
+            area = 0.0
+        ratio = area / outer_area
+        if abs(ratio - target_area_ratio) <= tolerance:
+            best = inner
+            break
+        if area > target:
+            best = inner
+            lo = d
+        else:
+            hi = d
+    if return_inner:
+        return best
+    return np.vstack([outer, best[::-1], outer[:1]])
 
 
 def _polygon_area(poly: np.ndarray) -> float:
@@ -485,10 +578,12 @@ def display_message(message: List[str], duration_ms: int = 2500) -> None:
         print("\n".join(map(str, message)))
 
 
-def confirm_action(prompt: str, responder=None) -> bool:
+def confirm_action(prompt: str = None, responder=None, message: str = None, window_name: str = "deepof") -> bool:
     """Yes/no confirmation (arena_utils.py GUI confirm_action). A
     ``responder(prompt) -> bool`` makes it scriptable; without one, the
-    operator answers y/n on the terminal."""
+    operator answers y/n on the terminal. ``message``/``window_name`` are
+    the reference's GUI kwarg names."""
+    prompt = prompt if prompt is not None else (message or "confirm?")
     if responder is not None:
         return bool(responder(prompt))
     ans = input(f"{prompt} [y/n] ")  # pragma: no cover - interactive

@@ -28,6 +28,14 @@ import pandas as pd
 from deepof_tpu.core.storage import get_dt, save_dt
 from deepof_tpu.core.table_dict import TableDict
 from deepof_tpu.msm import get_contrastive_soft_counts  # noqa: F401 — reference public API lives here (post_hoc.py:146)
+from deepof_tpu.gating import (  # noqa: F401 — reference post_hoc public names (post_hoc.py:385-1593)
+    add_chaos_gates,
+    compute_gate_edges,
+    get_contrastive_soft_counts_gmm,
+    get_contrastive_soft_counts_msm_pcca,
+    get_pairwise_distances,
+    get_supervised_chaos,
+)
 
 
 # --------------------------------------------------------------------------- #

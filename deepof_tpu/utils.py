@@ -605,10 +605,14 @@ def get_total_Frames(video_paths) -> int:
     return total
 
 
-def rename_track_bps(loaded_tab: pd.DataFrame, rename_bodyparts: list, animal_ids: list):
+def rename_track_bps(loaded_tab: pd.DataFrame, rename_bodyparts_dict: list = None, animal_ids: list = None, rename_bodyparts: list = None):
     """Rename body parts in a loaded tracking DataFrame: maps current
     bodypart names (order of appearance) to the provided list, preserving
-    animal-id prefixes (utils.py rename_track_bps)."""
+    animal-id prefixes (utils.py rename_track_bps). ``rename_bodyparts``
+    is the repo alias of the reference's ``rename_bodyparts_dict``."""
+    rename_bodyparts = (
+        rename_bodyparts if rename_bodyparts is not None else rename_bodyparts_dict
+    )
     tab = loaded_tab.copy()
     prefixes = [f"{aid}_" for aid in animal_ids] if animal_ids and animal_ids != [""] else [""]
     current = list(dict.fromkeys(tab.columns.get_level_values(0)))
@@ -1574,18 +1578,21 @@ def connect_mouse(*args, **kwargs):
     return _cm(*args, **kwargs)
 
 
-def enumerate_all_bridges(graph):
+def enumerate_all_bridges(G):
     """All 3-node bridges of a body graph (deepof/utils.py:531-560)."""
     from deepof_tpu.core.graph import enumerate_all_bridges as _eab
 
-    return _eab(graph)
+    return _eab(G)
 
 
 def load_table(*args, **kwargs):
     """DLC/SLEAP table reader (deepof/utils.py:2188-2341); see
-    io.readers.load_table."""
+    io.readers.load_table. Accepts the reference's
+    ``rename_bodyparts_dict`` keyword."""
     from deepof_tpu.io.readers import load_table as _lt
 
+    if "rename_bodyparts_dict" in kwargs:
+        kwargs["rename_bodyparts"] = kwargs.pop("rename_bodyparts_dict")
     return _lt(*args, **kwargs)
 
 
@@ -1603,25 +1610,37 @@ def gmm_model_selection(*args, **kwargs):
     return _gms(*args, **kwargs)
 
 
-def compute_compactness(*args, **kwargs):
-    """Embedding compactness metric (deepof/utils.py:4122-4160)."""
+def compute_compactness(Z_pos, Z_all, eps: float = 1e-12):
+    """Embedding compactness metric, reference keyword names included
+    (deepof/utils.py:4122-4144)."""
     from deepof_tpu.evaluation import compute_compactness as _cc
 
-    return _cc(*args, **kwargs)
+    return _cc(Z_pos, Z_all, eps=eps)
 
 
-def compute_separability_logreg(*args, **kwargs):
-    """Embedding separability metric (deepof/utils.py:4161-4210)."""
+def compute_separability_logreg(
+    X, y, n_splits: int = 5, seed: int = 0, C: float = 1.0,
+    max_train: int = 100_000,
+):
+    """Embedding separability metric, reference keyword names included
+    (deepof/utils.py:4146-4199)."""
     from deepof_tpu.evaluation import compute_separability_logreg as _cs
 
-    return _cs(*args, **kwargs)
+    return _cs(X, y, n_splits=n_splits, seed=seed, c=C, max_train=max_train)
 
 
-def compute_knn_agreement(*args, **kwargs):
-    """kNN label-agreement metric (deepof/utils.py:4211-4255)."""
+def compute_knn_agreement(
+    X, y, k: int = 25, seed: int = 0, max_points: int = 50_000,
+    max_pos_queries: int = 10_000, metric: str = "cosine",
+):
+    """kNN label-agreement metric, reference keyword names included
+    (deepof/utils.py:4201-4255)."""
     from deepof_tpu.evaluation import compute_knn_agreement as _ck
 
-    return _ck(*args, **kwargs)
+    return _ck(
+        X, y, k=k, seed=seed, max_points=max_points,
+        max_pos_queries=max_pos_queries, metric=metric,
+    )
 
 
 # --------------------------------------------------------------------------- #

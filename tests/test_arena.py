@@ -273,3 +273,42 @@ def test_polygonal_autodetect_calibrates_off_closest_side(monkeypatch, tmp_path)
     # (arena_utils.py:768-780).
     out = tmp_path / "arena_test" / "Arena_detection" / "exp0_arena.png"
     assert out.exists()
+
+
+def test_create_inner_polygon_and_arena_kwargs():
+    """Reference arena helpers (arena_utils.py:1028-1230): inner-polygon
+    shrink by target area ratio, ring representation, scaled first-edge
+    length, and extract_corners_from_arena's reference kwargs."""
+    import numpy as np
+
+    from deepof_tpu.arena import (
+        _polygon_area,
+        create_inner_polygon,
+        extract_corners_from_arena,
+        get_first_length,
+    )
+
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    inner = create_inner_polygon(sq, 0.49, tolerance=0.001)
+    assert abs(_polygon_area(inner) / 100.0 - 0.49) < 0.01
+    # inner polygon lies strictly inside the outer
+    assert inner[:, 0].min() > 0 and inner[:, 0].max() < 10
+
+    irregular = np.array([[0, 0], [8, 1], [10, 6], [5, 9], [1, 7]], float)
+    inner2 = create_inner_polygon(irregular, 0.6, tolerance=0.005)
+    ratio = _polygon_area(inner2) / _polygon_area(irregular)
+    assert abs(ratio - 0.6) < 0.02
+
+    ring = create_inner_polygon(sq, 0.5, return_inner=False)
+    assert ring.shape[1] == 2 and len(ring) > len(sq)
+    assert create_inner_polygon(sq, 0.0).size == 0
+    np.testing.assert_allclose(create_inner_polygon(sq, 0.0, return_inner=False), sq)
+
+    # kwarg parity: arena_params/num_points vs legacy ellipse_params/n_points
+    a = extract_corners_from_arena(((5, 5), (3, 2), 0.0), num_points=16)
+    b = extract_corners_from_arena(ellipse_params=((5, 5), (3, 2), 0.0), n_points=16)
+    np.testing.assert_allclose(a, b)
+    np.testing.assert_allclose(extract_corners_from_arena(sq), sq)
+
+    assert get_first_length(sq) == 10.0
+    assert get_first_length(sq, w_ratio=2.0, h_ratio=1.0) == 20.0
