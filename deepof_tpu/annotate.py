@@ -31,7 +31,6 @@ from itertools import combinations, cycle
 import re
 from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple, Union
 
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -44,15 +43,21 @@ from deepof_tpu.config import (
 )
 from deepof_tpu.core.storage import get_dt, save_dt
 from deepof_tpu.core.table_dict import TableDict
-from deepof_tpu.ops import (
-    binary_moving_median,
-    filter_short_true_segments,
-    moving_average,
-    point_in_polygon,
-    point_to_polygon_distance,
+# The rule battery operates on tiny per-experiment 1-D series; every op
+# below has a host numpy twin that is bit-identical to its jitted sibling
+# (pinned by tests/test_ops.py) and avoids a device dispatch + fetch round
+# trip per rule — which on a real TPU costs orders of magnitude more than
+# the op itself. Device pipelines keep using the jitted versions.
+from deepof_tpu.ops.bouts import (
+    _binary_median_host,
+    _filter_short_host,
+    multi_step_paired_smoothing_host,
 )
-from deepof_tpu.ops.bouts import _filter_short_host, multi_step_paired_smoothing_host
-from deepof_tpu.ops.geometry import ellipse_to_polygon
+from deepof_tpu.ops.geometry import (
+    ellipse_to_polygon,
+    point_in_polygon_host,
+    point_to_polygon_distance_host,
+)
 
 
 # --------------------------------------------------------------------------- #
@@ -103,19 +108,13 @@ class BehaviorContext:
 
 def postprocess_median_filtering(y, ctx: BehaviorContext, behavior_output=None) -> np.ndarray:
     y = np.nan_to_num(np.asarray(y), nan=0.0).astype(bool)
-    out = np.asarray(
-        binary_moving_median(jnp.asarray(y), int(ctx.params["median_filter_width"]))
-    )
+    out = _binary_median_host(y, int(ctx.params["median_filter_width"]))
     return out.astype(float)
 
 
 def postprocess_following(y, ctx: BehaviorContext, animal_ids) -> np.ndarray:
     y = postprocess_median_filtering(y, ctx, Behavior_output.BINARY).astype(bool)
-    y = np.asarray(
-        filter_short_true_segments(
-            jnp.asarray(y), int(ctx.params["min_follow_frames"])
-        )
-    )
+    y = _filter_short_host(y, int(ctx.params["min_follow_frames"]))
     return y.astype(float)
 
 
@@ -209,9 +208,9 @@ def _arena_polygon(arena) -> np.ndarray:
 def _signed_distance_to_arena(points: np.ndarray, arena) -> np.ndarray:
     """Signed distance to the arena boundary: positive outside."""
     poly = _arena_polygon(arena)
-    pts = jnp.asarray(points)
-    dist = np.asarray(point_to_polygon_distance(pts, poly))
-    inside = np.asarray(point_in_polygon(pts, poly))
+    pts = np.asarray(points, dtype=np.float64)
+    dist = point_to_polygon_distance_host(pts, poly)
+    inside = point_in_polygon_host(pts, poly)
     return np.where(inside, -dist, dist)
 
 
@@ -525,27 +524,46 @@ IMMOBILITY_FEATURES_SPEEDS = [
 
 def augment_with_neighbors(X_huddle: pd.DataFrame, window: int = 5, step: int = 1, window_out: int = 11):
     """Lead/lag window means per feature; keeps only speed-based outputs
-    (deepof/annotation_utils.py:817-870)."""
-    cols = X_huddle.columns.tolist()
+    (deepof/annotation_utils.py:817-870).
+
+    Vectorized: one NaN-propagating (skipna=False) windowed mean over a
+    (T, n_shifts, F) shift tensor replaces the per-column pandas
+    shift/concat/mean cascade. Only columns whose augmented names survive
+    the final "speed" filter are computed at all — the dropped distance /
+    area augmentations were dead work.
+    """
+    cols = [c for c in X_huddle.columns if "speed" in f"{c}_0"]
     l = 2 * window + 1
     b = l / window_out
     ranges = [(round(i * b), round((i + 1) * b)) for i in range(window_out)]
-    frames = []
-    for col in cols:
-        shifted = [X_huddle[col].shift(-lead) for lead in range(window * step, 0, -step)]
-        shifted.append(X_huddle[col])
-        shifted += [X_huddle[col].shift(lag) for lag in range(step, window * step + 1, step)]
-        block = pd.concat(shifted, axis=1)
-        feats = {}
-        for k in range(window_out):
-            s, e = ranges[k]
-            feats[f"{col}_{k - window_out // 2}"] = block.iloc[:, s:e].mean(
-                axis=1, skipna=False
-            )
-        frames.append(pd.DataFrame(feats))
-    out = pd.concat(frames, axis=1)
-    keep = [c for c in out.columns if "speed" in c]
-    return out[keep]
+
+    x = X_huddle[cols].to_numpy(dtype=np.float64)  # (T, F)
+    t, f = x.shape
+    # shifts ordered as the reference builds them: leads window*step..step,
+    # self, lags step..window*step — i.e. x shifted by -window*step..window*step.
+    offsets = list(range(-window * step, window * step + 1, step))
+    block = np.full((t, len(offsets), f), np.nan)
+    for j, off in enumerate(offsets):
+        if off < 0:
+            block[: t + off, j] = x[-off:]
+        elif off > 0:
+            block[off:, j] = x[: t - off]
+        else:
+            block[:, j] = x
+
+    feats = {}
+    for k in range(window_out):
+        s, e = ranges[k]
+        if e > s:
+            seg = block[:, s:e].mean(axis=1)  # NaN-propagating, like skipna=False
+        else:  # empty sub-window: pandas yields NaN silently
+            seg = np.full((t, f), np.nan)
+        for ci, col in enumerate(cols):
+            feats[f"{col}_{k - window_out // 2}"] = seg[:, ci]
+
+    # Reference column order is per-column-major (all k for col 0, then col 1).
+    ordered = [f"{col}_{k - window_out // 2}" for col in cols for k in range(window_out)]
+    return pd.DataFrame(feats, index=X_huddle.index)[ordered]
 
 
 class RuleBasedImmobilityEstimator:
@@ -637,8 +655,8 @@ def immobility(
         StandardScaler().fit_transform(np.nan_to_num(x))
     ).astype(float)
     y[np.asarray(mask)] = False
-    y = np.asarray(binary_moving_median(jnp.asarray(y.astype(bool)), median_filter_width))
-    y = np.asarray(filter_short_true_segments(jnp.asarray(y), min_immobility))
+    y = _binary_median_host(y.astype(bool), median_filter_width)
+    y = _filter_short_host(y, min_immobility)
     return y, y
 
 
@@ -1082,23 +1100,19 @@ def supervised_annotation(
         angles = coordinates.get_angles()
         speeds = coordinates.get_coords(speed=1)
 
-        from deepof_tpu.posthoc import (
-            align_deepof_kinematics_with_unsupervised_labels,
-        )
+        from deepof_tpu.posthoc import _kinematics_table_views
 
-        full_features = align_deepof_kinematics_with_unsupervised_labels(
-            coordinates, include_angles=False, animal_id=None, file_name=None,
-        )
+        # One device pass per experiment; the per-animal tables the rules
+        # need are host-side column views of the same full computation.
         if len(coordinates._animal_ids) > 1:
-            per_animal = {}
-            for aid in coordinates._animal_ids:
-                per_animal[aid] = (
-                    align_deepof_kinematics_with_unsupervised_labels(
-                        coordinates, include_angles=False, animal_id=aid,
-                        file_name=None,
-                    )
-                )
-            full_features = per_animal
+            full_features = _kinematics_table_views(
+                coordinates, views=list(coordinates._animal_ids),
+                include_angles=False, file_name=None,
+            )
+        else:
+            full_features = _kinematics_table_views(
+                coordinates, views=[None], include_angles=False, file_name=None,
+            )[None]
 
     tabs = {}
     from deepof_tpu.utils import progress

@@ -86,6 +86,61 @@ def point_to_polygon_distance(points: jnp.ndarray, polygon: np.ndarray) -> jnp.n
     return jnp.where(finite, dist, jnp.nan)
 
 
+def point_in_polygon_host(points: np.ndarray, polygon: np.ndarray) -> np.ndarray:
+    """Host numpy twin of :func:`point_in_polygon` (same crossing rule).
+
+    The supervised rule battery runs on tiny (T,) series where a device
+    round-trip per rule costs far more than the op; this twin keeps that
+    path dispatch-free while the jitted version serves device pipelines.
+    """
+    poly = _close_polygon(polygon)
+    p1 = poly
+    p2 = np.roll(poly, -1, axis=0)
+
+    points = np.asarray(points, dtype=np.float64)
+    x = points[..., 0:1]
+    y = points[..., 1:2]
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+
+    y_in_range = (y > np.minimum(y1, y2)) & (y <= np.maximum(y1, y2))
+    x_ok = x <= np.maximum(x1, x2)
+    dy = y2 - y1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        xinters = np.where(
+            dy != 0, (y - y1) * (x2 - x1) / np.where(dy == 0, 1.0, dy) + x1, x1
+        )
+        crosses = y_in_range & x_ok & ((x1 == x2) | (x <= xinters))
+    return np.sum(crosses, axis=-1) % 2 == 1
+
+
+def point_to_polygon_distance_host(
+    points: np.ndarray, polygon: np.ndarray
+) -> np.ndarray:
+    """Host numpy twin of :func:`point_to_polygon_distance`."""
+    poly = _close_polygon(polygon)
+    a = poly
+    b = np.roll(poly, -1, axis=0)
+
+    points = np.asarray(points, dtype=np.float64)
+    p = points[..., None, :]              # (..., 1, 2)
+    av = a[None, :, :] if points.ndim > 1 else a
+    bv = b[None, :, :] if points.ndim > 1 else b
+    v = bv - av                            # (1, E, 2)
+    w = p - av                             # (..., E, 2)
+
+    c1 = np.sum(w * v, axis=-1)
+    c2 = np.sum(v * v, axis=-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.clip(np.where(c2 > 0, c1 / np.where(c2 == 0, 1.0, c2), 0.0), 0.0, 1.0)
+    proj = av + t[..., None] * v
+    d2 = np.sum((p - proj) ** 2, axis=-1)
+    with np.errstate(invalid="ignore"):
+        dist = np.sqrt(np.min(d2, axis=-1))
+    finite = np.all(np.isfinite(points), axis=-1)
+    return np.where(finite, dist, np.nan)
+
+
 def ellipse_to_polygon(
     center: np.ndarray, axes: np.ndarray, angle_deg: float, n_points: int = 100
 ) -> np.ndarray:

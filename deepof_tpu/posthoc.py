@@ -58,51 +58,107 @@ def align_deepof_kinematics_with_unsupervised_labels(
 ) -> TableDict:
     """Per-experiment feature table: raw + derivative kinematics with
     _raw/_speed/_acceleration suffixes (post_hoc.py:2389-2520)."""
+    return _kinematics_table_views(
+        deepof_project,
+        views=[animal_id],
+        kin_derivative=kin_derivative,
+        center=center,
+        align=align,
+        include_feature_derivatives=include_feature_derivatives,
+        include_distances=include_distances,
+        include_angles=include_angles,
+        include_areas=include_areas,
+        file_name=file_name,
+        return_path=return_path,
+    )[animal_id]
+
+
+def _kinematics_table_views(
+    deepof_project,
+    views,
+    kin_derivative: int = 1,
+    center: str = "Center",
+    align: str = "Spine_1",
+    include_feature_derivatives: bool = False,
+    include_distances: bool = True,
+    include_angles: bool = True,
+    include_areas: bool = True,
+    file_name: Optional[str] = "kinematics",
+    return_path: bool = False,
+):
+    """Kinematics tables for several animal views in ONE device pass.
+
+    ``views`` is a list of animal ids (None = all animals). Each underlying
+    per-key table (coords derivative, distances, angles, areas) is computed
+    once and every view is a host-side column filter of it — the per-animal
+    tables the supervised pipeline needs are subsets of the full ones, so
+    recomputing (and re-fetching) the device programs per animal is pure
+    waste. Returns {view: TableDict}.
+    """
     from deepof_tpu.utils import filter_animal_id_in_table
 
-    out = {}
+    def _view_filter(df, view, is_areas=False):
+        if view is None:
+            return df
+        if is_areas:  # get_areas_at_key(selected_id=view) column rule
+            return df.loc[:, [c for c in df.columns if c.startswith(view)]]
+        return filter_animal_id_in_table(df, view)
+
+    out = {view: {} for view in views}
     for key in deepof_project.get_table_keys():
-        kin = pd.DataFrame()
+        kin = {view: pd.DataFrame() for view in views}
         for der in range(kin_derivative + 1):
-            if der == 0:
-                cur = pd.DataFrame()
-            else:
-                cur = deepof_project.get_coords_at_key(
-                    key=key, scale=deepof_project._scales[key],
-                    center=center, align=align, speed=der,
-                )
-                if animal_id is not None:
-                    cur = filter_animal_id_in_table(cur, animal_id)
+            parts = []  # (DataFrame, is_areas)
+            if der != 0:
+                parts.append((
+                    deepof_project.get_coords_at_key(
+                        key=key, scale=deepof_project._scales[key],
+                        center=center, align=align, speed=der,
+                    ),
+                    False,
+                ))
             if include_distances and (der == 0 or include_feature_derivatives):
-                d = deepof_project.get_distances_at_key(
-                    key=key, speed=der, filter_on_graph=False
-                )
-                if animal_id is not None:
-                    d = filter_animal_id_in_table(d, animal_id)
-                cur = pd.concat([cur, d], axis=1)
+                parts.append((
+                    deepof_project.get_distances_at_key(
+                        key=key, speed=der, filter_on_graph=False
+                    ),
+                    False,
+                ))
             if include_angles and (der == 0 or include_feature_derivatives):
-                a = deepof_project.get_angles_at_key(key=key, speed=der)
-                if animal_id is not None:
-                    a = filter_animal_id_in_table(a, animal_id)
-                cur = pd.concat([cur, a], axis=1)
+                parts.append((
+                    deepof_project.get_angles_at_key(key=key, speed=der), False
+                ))
             if include_areas and (der == 0 or include_feature_derivatives):
-                ar = deepof_project.get_areas_at_key(
-                    key=key, speed=der, selected_id=animal_id or "all"
-                )
-                cur = pd.concat([cur, ar], axis=1)
+                parts.append((
+                    deepof_project.get_areas_at_key(
+                        key=key, speed=der, selected_id="all"
+                    ),
+                    True,
+                ))
             suffix = {0: "_raw", 1: "_speed", 2: "_acceleration"}.get(
                 der, f"_kinematics_{der}"
             )
-            cur = cur.copy()
-            cur.columns = [f"{c}{suffix}" for c in cur.columns]
-            kin = pd.concat([kin, cur], axis=1)
+            for view in views:
+                cur = pd.concat(
+                    [_view_filter(df, view, is_areas) for df, is_areas in parts],
+                    axis=1,
+                ) if parts else pd.DataFrame()
+                cur = cur.copy()
+                cur.columns = [f"{c}{suffix}" for c in cur.columns]
+                kin[view] = pd.concat([kin[view], cur], axis=1)
         path = (
             os.path.join(deepof_project._table_path, key, f"{key}_{file_name}")
             if file_name
             else None
         )
-        out[key] = save_dt(kin, path, return_path)
-    return TableDict(out, typ="annotations", table_path=deepof_project._table_path)
+        for view in views:
+            out[view][key] = save_dt(kin[view], path, return_path)
+    return {
+        view: TableDict(
+            tabs, typ="annotations", table_path=deepof_project._table_path
+        )
+        for view, tabs in out.items()
+    }
 
 
 # --------------------------------------------------------------------------- #

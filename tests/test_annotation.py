@@ -207,6 +207,57 @@ def test_max_behaviour_labels():
     assert labels[-3] == "sniffing"
 
 
+def test_augment_with_neighbors_matches_pandas_oracle():
+    """The vectorized lead/lag augmentation equals the direct pandas
+    shift/concat/mean construction (the reference procedure,
+    annotation_utils.py:817-870) — names, order, and NaN propagation."""
+    import pandas as pd
+
+    from deepof_tpu.annotate import augment_with_neighbors
+
+    rng = np.random.default_rng(3)
+    t = 140
+    df = pd.DataFrame(
+        {
+            "A_Nose_speed": rng.normal(size=t),
+            "('A_Nose', 'A_Spine_1')_raw": rng.normal(size=t),
+            "A_head_area_raw": rng.normal(size=t),
+            "A_Center_speed": rng.normal(size=t),
+        }
+    )
+    df.iloc[7, 0] = np.nan
+    df.iloc[50:53, 3] = np.nan
+
+    def oracle(X, window=5, step=1, window_out=11):
+        cols = X.columns.tolist()
+        l = 2 * window + 1
+        b = l / window_out
+        ranges = [(round(i * b), round((i + 1) * b)) for i in range(window_out)]
+        frames = []
+        for col in cols:
+            shifted = [X[col].shift(-lead) for lead in range(window * step, 0, -step)]
+            shifted.append(X[col])
+            shifted += [X[col].shift(lag) for lag in range(step, window * step + 1, step)]
+            block = pd.concat(shifted, axis=1)
+            feats = {}
+            for k in range(window_out):
+                s, e = ranges[k]
+                feats[f"{col}_{k - window_out // 2}"] = block.iloc[:, s:e].mean(
+                    axis=1, skipna=False
+                )
+            frames.append(pd.DataFrame(feats))
+        out = pd.concat(frames, axis=1)
+        return out[[c for c in out.columns if "speed" in c]]
+
+    for window, step, window_out in [(5, 1, 11), (3, 2, 5), (2, 1, 7)]:
+        want = oracle(df, window, step, window_out)
+        got = augment_with_neighbors(df, window, step, window_out)
+        assert list(got.columns) == list(want.columns)
+        np.testing.assert_allclose(
+            got.to_numpy(), want.to_numpy(), rtol=1e-12, equal_nan=True
+        )
+
+
 def test_pretrained_immobility_classifier():
     """The packaged MLP detects immobility bouts in synthetic kinematics
     across different base rates (VERDICT item 7)."""

@@ -294,6 +294,35 @@ def test_point_to_polygon_distance():
     assert np.isnan(got[3])
 
 
+def test_geometry_host_twins_match_jitted():
+    """The host numpy twins the supervised rule battery uses are equal to
+    the jitted kernels on random points (NaNs included) and polygons."""
+    from deepof_tpu.ops.geometry import (
+        ellipse_to_polygon,
+        point_in_polygon_host,
+        point_to_polygon_distance_host,
+    )
+
+    polys = [
+        np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float),
+        ellipse_to_polygon(np.array([5.0, -2.0]), np.array([7.0, 3.0]), 30.0),
+        np.array([[0, 0], [8, 1], [9, 7], [4, 10], [-2, 5]], dtype=float),
+    ]
+    pts = RNG.normal(scale=8.0, size=(300, 2))
+    pts[::17] = np.nan
+    pts[5, 0] = np.nan  # one-coordinate NaN
+    for poly in polys:
+        want_in = np.asarray(ops.point_in_polygon(jnp.asarray(pts), poly))
+        got_in = point_in_polygon_host(pts, poly)
+        np.testing.assert_array_equal(got_in, want_in)
+
+        want_d = np.asarray(
+            ops.point_to_polygon_distance(jnp.asarray(pts), poly)
+        )
+        got_d = point_to_polygon_distance_host(pts, poly)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-5, equal_nan=True)
+
+
 # --------------------------------------------------------------------- #
 # windows
 # --------------------------------------------------------------------- #
