@@ -50,11 +50,20 @@ def extract_corners_from_arena(
     if n_points is not None:
         num_points = n_points
     n_points = num_points
-    if isinstance(arena_params, np.ndarray) or (
-        isinstance(arena_params, (list, tuple))
-        and len(arena_params) and np.ndim(arena_params[0]) == 1
-        and len(arena_params) != 3
-    ):
+    # Disambiguation follows the reference (arena_utils.py:1215-1235):
+    # lists and arrays are polygons; only a structurally-valid
+    # ((cx, cy), (ax, ay), angle_deg) tuple is an ellipse — so a 3-vertex
+    # polygon given as a list or tuple of points stays a polygon.
+    def _is_ellipse_tuple(p):
+        return (
+            isinstance(p, tuple)
+            and len(p) == 3
+            and np.ndim(p[0]) == 1 and len(p[0]) == 2
+            and np.ndim(p[1]) == 1 and len(p[1]) == 2
+            and np.ndim(p[2]) == 0
+        )
+
+    if not _is_ellipse_tuple(arena_params):
         return np.asarray(arena_params, float)
     center, axes, angle = arena_params
     theta = np.linspace(0, 2 * np.pi, n_points, endpoint=False)
@@ -143,7 +152,12 @@ def closest_side(polygon, reference_side) -> list:
     """The polygon side most similar to a user-annotated reference side,
     scored by |Δlength| + |Δorientation| (the reference's matching rule,
     arena_utils.py:577-608) — the side the mm calibration is taken from
-    for autodetected polygonal arenas (arena_utils.py:337-341)."""
+    for autodetected polygonal arenas (arena_utils.py:337-341).
+
+    Deliberately reproduces the reference's scoring verbatim, including
+    its direction sensitivity: the raw atan2 difference is not wrapped,
+    so a reference side annotated in the opposite traversal direction
+    carries a ~pi orientation penalty, exactly as upstream."""
     poly = np.asarray(polygon, float)
     (r0x, r0y), (r1x, r1y) = np.asarray(reference_side, float)[:2]
     ref_len = math.dist((r0x, r0y), (r1x, r1y))

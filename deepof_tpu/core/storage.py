@@ -326,6 +326,29 @@ def get_dt(
     return (obj, entry) if return_path else obj
 
 
+def get_dt_rows(tab_dict, key, idx):
+    """Row load where ``idx`` is ALWAYS a positional frame-index array.
+
+    ``get_dt`` keeps the reference's load_range convention in which a
+    2-element sequence means an inclusive [start, end] span (reference
+    data_loading.py:91-92). A genuine index array of length exactly 2
+    (e.g. an ROI filter leaving two surviving frames) would be misread
+    as a span and silently load the rows between them, so this wrapper
+    applies short index arrays host-side instead.
+    """
+    if idx is None:
+        return get_dt(tab_dict, key)
+    idx = np.asarray(idx)
+    if len(idx) != 2:
+        return get_dt(tab_dict, key, load_range=idx)
+    tab = get_dt(tab_dict, key)
+    if isinstance(tab, pd.DataFrame):
+        return tab.iloc[idx.astype(int)]
+    if isinstance(tab, tuple):
+        return tuple(np.asarray(o)[idx.astype(int)] for o in tab)
+    return np.asarray(tab)[idx.astype(int)]
+
+
 def _metainfo_inmem(obj):
     if isinstance(obj, pd.DataFrame):
         meta = {

@@ -832,7 +832,16 @@ class Project:
             roi_dicts, arena_params, scales, video_resolution = (
                 self.load_arena_data(arena_path, load_also_rois=True)
             )
-            if not load_also_rois and self.number_of_rois == 0:
+            if roi_dicts is None:
+                # Saved file holds no ROIs: fail loudly at load time if the
+                # project expects them, instead of propagating None into
+                # Coordinates where every later ROI call would crash.
+                if self.number_of_rois > 0:
+                    raise ValueError(
+                        f"Project expects {self.number_of_rois} ROIs but the "
+                        f"arena file '{arena_path}' contains none; re-run "
+                        "arena detection or save ROI data into the file."
+                    )
                 roi_dicts = {key: {} for key in arena_params}
             self.scales = scales
             return scales, arena_params, roi_dicts, video_resolution

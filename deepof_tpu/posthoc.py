@@ -146,12 +146,18 @@ def _kinematics_table_views(
                 cur = cur.copy()
                 cur.columns = [f"{c}{suffix}" for c in cur.columns]
                 kin[view] = pd.concat([kin[view], cur], axis=1)
-        path = (
-            os.path.join(deepof_project._table_path, key, f"{key}_{file_name}")
-            if file_name
-            else None
-        )
         for view in views:
+            # Single-view calls keep the reference's exact save name
+            # ({key}_{file_name}, post_hoc.py:2525). Multi-view calls get
+            # a per-view suffix: with several views sharing one name,
+            # later saves would overwrite earlier ones and every view's
+            # pointer would resolve to the last view's table.
+            path = None
+            if file_name:
+                stem = f"{key}_{file_name}"
+                if len(views) > 1:
+                    stem += f"_{view}" if view else "_all"
+                path = os.path.join(deepof_project._table_path, key, stem)
             out[view][key] = save_dt(kin[view], path, return_path)
     return {
         view: TableDict(
@@ -445,15 +451,20 @@ def compute_transition_matrix_per_condition(
     """
     from deepof_tpu.utils import get_behavior_frames_in_roi
 
+    from deepof_tpu.core.storage import get_dt_rows
+
     matrices: Dict[str, np.ndarray] = {}
     for key in soft_counts.keys():
         if roi_number is not None:
+            # A genuine frame-index array: load it index-true (a length-2
+            # array would otherwise be misread as an inclusive span).
             load_range = get_behavior_frames_in_roi(
                 None, bin_info[key], animals_in_roi
             )
+            arr = np.asarray(get_dt_rows(soft_counts, key, load_range))
         else:
             load_range = _resolve_range(bin_info, key)
-        arr = np.asarray(get_dt(soft_counts, key, load_range=load_range))
+            arr = np.asarray(get_dt(soft_counts, key, load_range=load_range))
         n_clusters = arr.shape[1]
         hard = np.argmax(arr, axis=1)
         index_sequence = load_range

@@ -226,7 +226,11 @@ def plot_gantt(
     frame_rate = coordinates._frame_rate
 
     def supervised_series(key, names=None):
-        rng = roi_bin_info[key]["time"]
+        # Masks are positional over rng (the possibly strided/offset bin
+        # index array); rng is returned so rendering can map positions
+        # back to ABSOLUTE frame indices — bars, checkpoint vlines and the
+        # signal overlay must share one time origin.
+        rng = np.asarray(roi_bin_info[key]["time"])
         tab = pd.DataFrame(get_dt(supervised_annotations, key)).iloc[rng]
         if roi_number is not None:
             tab = get_supervised_behaviors_in_roi(
@@ -237,10 +241,10 @@ def plot_gantt(
             if not any(s in str(c) for s in ("speed", "distance"))
         ]
         series = {b: (tab[b].fillna(0) > 0.1).to_numpy() for b in names}
-        return series, vu.get_behavior_colors(names, coordinates._animal_ids)
+        return series, vu.get_behavior_colors(names, coordinates._animal_ids), rng
 
     def cluster_series(key, names=None):
-        rng = roi_bin_info[key]["time"]
+        rng = np.asarray(roi_bin_info[key]["time"])
         counts = np.asarray(get_dt(soft_counts, key))[rng]
         hard = counts.argmax(axis=1).astype(float)
         if roi_number is not None:
@@ -255,34 +259,40 @@ def plot_gantt(
         cmap = plt.get_cmap("tab20")
         return series, [
             matplotlib.colors.to_hex(cmap(i % 20)) for i in range(len(series))
-        ]
+        ], rng
 
-    panels = []
+    panels = []  # (title, {row: (mask, frame_index_array)}, colors)
     if experiment_mode:
         wanted = instances_to_plot or behaviors
         if soft_counts is not None:
+            s, colors, rng = cluster_series(instance_id, wanted)
             panels.append(
-                ("unsupervised clusters",) + cluster_series(instance_id, wanted)
+                ("unsupervised clusters",
+                 {k: (v, rng) for k, v in s.items()}, colors)
             )
         if supervised_annotations is not None:
+            s, colors, rng = supervised_series(instance_id, wanted)
             panels.append(
-                ("supervised behaviors",) + supervised_series(instance_id, wanted)
+                ("supervised behaviors",
+                 {k: (v, rng) for k, v in s.items()}, colors)
             )
     else:
-        # behavior mode: one row per experiment for this behavior
+        # behavior mode: one row per experiment for this behavior; each
+        # experiment keeps its OWN bin index array.
         keys = instances_to_plot or list(source.keys())
         series, colors = {}, []
         cmap = plt.get_cmap("tab20")
         for i, key in enumerate(keys):
             if supervised_annotations is not None:
-                s, _ = supervised_series(key, [instance_id])
+                s, _, rng = supervised_series(key, [instance_id])
             else:
-                s, _ = cluster_series(
+                s, _, rng = cluster_series(
                     key, [str(instance_id).replace("_", " ")]
                 )
                 if not s:  # accept "Cluster_3" or "Cluster 3"
                     s = {str(instance_id): np.zeros(0, bool)}
-            series[key] = next(iter(s.values())) if s else np.zeros(0, bool)
+            mask = next(iter(s.values())) if s else np.zeros(0, bool)
+            series[key] = (mask, rng)
             colors.append(matplotlib.colors.to_hex(cmap(i % 20)))
         panels.append((str(instance_id), series, colors))
     assert panels and any(len(s) for _, s, _ in panels), "nothing to plot"
@@ -301,12 +311,21 @@ def plot_gantt(
         assert len(axes) >= len(panels), "need one axis per panel"
 
     for panel_ax, (title, series, colors) in zip(axes, panels):
-        for i, (name, mask) in enumerate(series.items()):
+        panel_rng = None
+        for i, (name, (mask, rng)) in enumerate(series.items()):
+            panel_rng = rng if panel_rng is None else panel_rng
             starts, ends = vu.contiguous_segments(mask)
             for seg_s, seg_e in zip(starts, ends):
+                # Positional segments map back to ABSOLUTE frame indices
+                # through rng, so bars share the time origin with the
+                # checkpoint vlines and the signal overlay even when the
+                # bin is offset (bin_index > 0) or strided (samples_max
+                # downsampling).
+                f0 = rng[seg_s]
+                f1 = rng[seg_e - 1] + 1
                 panel_ax.barh(
-                    i, (seg_e - seg_s) / frame_rate,
-                    left=seg_s / frame_rate,
+                    i, (f1 - f0) / frame_rate,
+                    left=f0 / frame_rate,
                     color=colors[i % len(colors)], height=0.8,
                 )
         panel_ax.set_yticks(range(len(series)))
@@ -321,10 +340,18 @@ def plot_gantt(
         if signal_overlay is not None:
             twin = panel_ax.twinx()
             sig = np.asarray(signal_overlay, float)
-            twin.plot(
-                np.arange(len(sig)) / frame_rate, sig,
-                color="#555555", alpha=0.6, linewidth=1,
-            )
+            if panel_rng is not None and len(panel_rng):
+                # Slice to the plotted bin and place at absolute time.
+                in_sig = panel_rng[panel_rng < len(sig)]
+                twin.plot(
+                    in_sig / frame_rate, sig[in_sig],
+                    color="#555555", alpha=0.6, linewidth=1,
+                )
+            else:
+                twin.plot(
+                    np.arange(len(sig)) / frame_rate, sig,
+                    color="#555555", alpha=0.6, linewidth=1,
+                )
             twin.set_ylabel(getattr(signal_overlay, "name", "") or "signal")
     axes[len(panels) - 1].set_xlabel("time (s)")
     if len(panels) > 1:
@@ -835,6 +862,8 @@ def count_all_events(
             invert_roi=invert_roi,
         )
 
+    from deepof_tpu.core.storage import get_dt_rows
+
     results = {}
     for key in tab_dict.keys():
         load_range = None
@@ -844,7 +873,7 @@ def count_all_events(
                 load_range = get_behavior_frames_in_roi(
                     None, bin_info[key], animals_in_roi
                 )
-        tab = get_dt(tab_dict, key, load_range=load_range)
+        tab = get_dt_rows(tab_dict, key, load_range)
         if not isinstance(tab, pd.DataFrame):
             arr = np.asarray(tab)
             hard = np.zeros_like(arr, dtype=int)
@@ -1678,10 +1707,13 @@ def return_supervised_summary(
     t_factor = 1.0 / TimeUnit[unit_time].value
     d_factor = 1.0 / DistanceUnit[unit_distance].value
 
-    lengths = {
-        key: len(pd.DataFrame(get_dt(supervised_annotations, key)))
+    # Load each experiment's table once; the bins loop below only slices
+    # it (pointer-backed tables would otherwise deserialize once per bin).
+    tables = {
+        key: pd.DataFrame(get_dt(supervised_annotations, key))
         for key in supervised_annotations.keys()
     }
+    lengths = {key: len(tab) for key, tab in tables.items()}
     bins = vu.build_valid_multibins(lengths, N_time_bins, custom_time_bins)
     if hide_time_bins is not None:
         bins = [b for b, hide in zip(bins, hide_time_bins) if not hide]
@@ -1706,8 +1738,7 @@ def return_supervised_summary(
             invert_roi=invert_roi,
         )
         for key in supervised_annotations.keys():
-            tab = pd.DataFrame(get_dt(supervised_annotations, key))
-            binned = tab.iloc[roi_bin_info[key]["time"]]
+            binned = tables[key].iloc[roi_bin_info[key]["time"]]
             if roi_number is not None:
                 binned = get_supervised_behaviors_in_roi(
                     binned, roi_bin_info[key], animals_in_roi, roi_mode

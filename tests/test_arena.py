@@ -312,3 +312,14 @@ def test_create_inner_polygon_and_arena_kwargs():
 
     assert get_first_length(sq) == 10.0
     assert get_first_length(sq, w_ratio=2.0, h_ratio=1.0) == 20.0
+
+    # A 3-vertex polygon given as a list/tuple of points stays a polygon
+    # (reference arena_utils.py:1215-1235 disambiguates structurally; a
+    # naive len==3 check used to misparse it as an ellipse and crash).
+    tri = [(0.0, 0.0), (10.0, 0.0), (5.0, 8.0)]
+    np.testing.assert_allclose(extract_corners_from_arena(tri), np.asarray(tri))
+    np.testing.assert_allclose(
+        extract_corners_from_arena(tuple(tri)), np.asarray(tri)
+    )
+    # while a structurally-valid ellipse tuple still rasterizes
+    assert len(extract_corners_from_arena(((5, 5), (3, 2), 10.0))) == 100

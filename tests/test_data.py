@@ -534,6 +534,52 @@ def test_project_pipeline_stage_methods(tmp_path):
     proj.load_start_markers(str(marker_csv))
     assert set(proj.start_markers) == set(tab_dict)
 
+    # An arena file without ROIs must fail loudly at load time when the
+    # project expects ROIs (instead of propagating roi_dicts=None into
+    # Coordinates, where every later ROI call would crash).
+    no_roi_pkl = str(tmp_path / "arena_no_rois.pkl")
+    proj.save_arena_data(
+        no_roi_pkl, arena_params=coords._arena_params, roi_dicts=None,
+        scales=coords._scales, video_resolution=coords._video_resolution,
+    )
+    coords3 = proj.create(force=True, verbose=False, arena_path=no_roi_pkl)
+    assert coords3._roi_dicts == {k: {} for k in coords._tables}
+    proj.number_of_rois = 1
+    with pytest.raises(ValueError, match="contains none"):
+        proj.get_arena(arena_path=no_roi_pkl)
+    proj.number_of_rois = 0
+
+
+def test_get_dt_rows_two_element_index_array():
+    """get_dt keeps the reference's ambiguous convention where a 2-element
+    load_range means an inclusive [start, end] span (reference
+    data_loading.py:91-92); get_dt_rows treats every sequence as
+    positional indices so ROI filters surviving exactly two frames load
+    exactly those rows."""
+    from deepof_tpu.core.storage import get_dt, get_dt_rows
+
+    df = pd.DataFrame({"a": np.arange(10.0), "b": np.arange(10.0) * 2})
+    tab_dict = {"exp": df}
+
+    span = get_dt(tab_dict, "exp", load_range=np.array([2, 7]))
+    assert len(span) == 6  # reference span semantics preserved
+
+    rows = get_dt_rows(tab_dict, "exp", np.array([2, 7]))
+    assert len(rows) == 2
+    np.testing.assert_allclose(rows["a"].to_numpy(), [2.0, 7.0])
+
+    # longer index arrays and None behave exactly like get_dt
+    idx = np.array([1, 3, 8])
+    np.testing.assert_allclose(
+        get_dt_rows(tab_dict, "exp", idx)["a"].to_numpy(), [1.0, 3.0, 8.0]
+    )
+    assert len(get_dt_rows(tab_dict, "exp", None)) == 10
+
+    arr_dict = {"exp": df.to_numpy()}
+    np.testing.assert_allclose(
+        get_dt_rows(arr_dict, "exp", np.array([0, 9]))[:, 0], [0.0, 9.0]
+    )
+
 
 def test_coordinates_reference_kwarg_parity(tmp_path):
     """Small reference-surface items: get_videos(full_paths),

@@ -74,6 +74,43 @@ def test_plot_gantt_supervised(coords, supervised):
     assert fig.axes
 
 
+def test_plot_gantt_absolute_time_alignment(coords):
+    """Bars, checkpoint vlines and the signal overlay share one absolute
+    time origin: with bin_index > 0 a bout at frames [60, 80) must render
+    at 60/fps..80/fps seconds, not at slice-relative 10/fps."""
+    frame_rate = 25.0
+    tabs = {}
+    for key in coords._tables:
+        tab = pd.DataFrame(0.0, index=range(100), columns=["lookaround"])
+        tab.iloc[60:80] = 1.0
+        tabs[key] = tab
+    sup = TableDict(tabs, typ="supervised")
+
+    fig = visuals.plot_gantt(
+        coords, "test", supervised_annotations=sup,
+        bin_size=2, bin_index=1,  # 2-second bins, second bin = frames [50, 100)
+        additional_checkpoints=np.array([70.0]),
+        signal_overlay=pd.Series(np.linspace(0, 1, 100), name="sig"),
+    )
+    ax = fig.axes[0]
+    bars = [p for p in ax.patches if p.get_width() > 0]
+    assert bars, "expected at least one bout bar"
+    x0 = min(p.get_x() for p in bars)
+    x1 = max(p.get_x() + p.get_width() for p in bars)
+    assert abs(x0 - 60 / frame_rate) < 1e-6
+    assert abs(x1 - 80 / frame_rate) < 1e-6
+    # the checkpoint vline sits inside the bout on the same axis
+    vline_xs = [
+        l.get_xdata()[0] for l in ax.lines if len(set(l.get_xdata())) == 1
+    ]
+    assert any(abs(v - 70 / frame_rate) < 1e-6 for v in vline_xs)
+    # the overlay is sliced to the bin and placed at absolute time
+    twin = [a for a in fig.axes if a is not ax and a.bbox.bounds == ax.bbox.bounds]
+    assert twin and twin[0].lines
+    ox = twin[0].lines[0].get_xdata()
+    assert ox.min() >= 50 / frame_rate - 1e-6 and ox.max() <= 99 / frame_rate + 1e-6
+
+
 def test_plot_gantt_clusters(coords, soft_counts):
     fig = visuals.plot_gantt(coords, "test", soft_counts=soft_counts)
     assert fig.axes
