@@ -53,11 +53,7 @@ from deepof_tpu.ops.bouts import (
     _filter_short_host,
     multi_step_paired_smoothing_host,
 )
-from deepof_tpu.ops.geometry import (
-    ellipse_to_polygon,
-    point_in_polygon_host,
-    point_to_polygon_distance_host,
-)
+from deepof_tpu.ops.geometry import ellipse_to_polygon, point_polygon_host
 
 
 # --------------------------------------------------------------------------- #
@@ -209,8 +205,7 @@ def _signed_distance_to_arena(points: np.ndarray, arena) -> np.ndarray:
     """Signed distance to the arena boundary: positive outside."""
     poly = _arena_polygon(arena)
     pts = np.asarray(points, dtype=np.float64)
-    dist = point_to_polygon_distance_host(pts, poly)
-    inside = point_in_polygon_host(pts, poly)
+    dist, inside = point_polygon_host(pts, poly)
     return np.where(inside, -dist, dist)
 
 
@@ -1104,14 +1099,31 @@ def supervised_annotation(
 
         # One device pass per experiment; the per-animal tables the rules
         # need are host-side column views of the same full computation.
+        # Only the immobility rule reads full_features, and only 11
+        # distance pairs per animal — restrict the distance fetch to them
+        # unless user custom behaviors (which receive full_features in
+        # their context) are in play.
+        distance_pairs = None
+        if not custom_behaviors:
+            aids = coordinates._animal_ids or [""]
+            distance_pairs = [
+                (
+                    f"{aid}_{a}" if aid else a,
+                    f"{aid}_{b}" if aid else b,
+                )
+                for aid in aids
+                for a, b in IMMOBILITY_FEATURES_DISTS
+            ]
         if len(coordinates._animal_ids) > 1:
             full_features = _kinematics_table_views(
                 coordinates, views=list(coordinates._animal_ids),
                 include_angles=False, file_name=None,
+                distance_pairs=distance_pairs,
             )
         else:
             full_features = _kinematics_table_views(
-                coordinates, views=[None], include_angles=False, file_name=None,
+                coordinates, views=[None], include_angles=False,
+                file_name=None, distance_pairs=distance_pairs,
             )[None]
 
     tabs = {}

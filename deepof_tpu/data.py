@@ -1824,17 +1824,27 @@ class Coordinates:
         animals_in_roi=None,
         invert_roi: bool = False,
         filter_on_graph: bool = True,
+        pairs=None,
         _gathered=None,
     ) -> pd.DataFrame:
-        # All column filters (ego / selected_id / graph) commute with the
-        # row-wise ops below (ROI nan-masking, per-column speed, missing-
-        # animal masking), so resolve the kept column set FIRST and slice
-        # the stored array once — the full all-pairs matrix (C(n,2) cols x
-        # T rows) is never materialized as a DataFrame. At recording scale
-        # this is the difference between copying ~20 graph edges and
+        # All column filters (ego / selected_id / graph / pairs) commute
+        # with the row-wise ops below (ROI nan-masking, per-column speed,
+        # missing-animal masking), so resolve the kept column set FIRST and
+        # slice the stored array once — the full all-pairs matrix (C(n,2)
+        # cols x T rows) is never materialized as a DataFrame. At recording
+        # scale this is the difference between copying ~20 graph edges and
         # copying 378 pair columns per call.
+        #
+        # ``pairs``: an explicit list of (bp_a, bp_b) pairs to keep (order
+        # within a pair is irrelevant); composes with the other filters.
         pair_cols = list(self._pair_names)
         keep_idx = self._distance_keep_idx(selected_id, filter_on_graph)
+        if pairs is not None:
+            wanted = {tuple(sorted(map(str, p))) for p in pairs}
+            keep_idx = [
+                i for i in keep_idx
+                if tuple(sorted(map(str, pair_cols[i]))) in wanted
+            ]
         if _gathered is not None:
             arr = np.array(np.asarray(_gathered), dtype=np.float64)
         else:

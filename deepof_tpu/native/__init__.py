@@ -64,6 +64,12 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.point_polygon.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -98,6 +104,29 @@ def native_filter_short(a, min_length):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.astype(bool)
+
+
+def native_point_polygon(points, polygon):
+    """C++ fused point-to-polygon distance + inside test, or None.
+
+    points: (T, 2) float; polygon: (V, 2) float with no repeated closing
+    vertex. Returns (dist (T,) float64, inside (T,) bool).
+    """
+    lib = get_lib()
+    if lib is None or getattr(lib, "point_polygon", None) is None:
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    poly = np.ascontiguousarray(polygon, dtype=np.float64)
+    n = len(pts)
+    dist = np.empty(n, dtype=np.float64)
+    inside = np.empty(n, dtype=np.uint8)
+    lib.point_polygon(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        poly.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(poly),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        inside.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return dist, inside.astype(bool)
 
 
 def native_binary_median(a, lag):

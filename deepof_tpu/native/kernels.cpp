@@ -88,6 +88,57 @@ void filter_short(const uint8_t* a, int64_t n, int64_t min_length,
     for (int64_t j = n - count; j < n; ++j) out[j] = 1;
 }
 
+// Point-vs-polygon geometry in one pass: for each query point, the
+// minimum distance to the polygon boundary (NaN for non-finite points)
+// and the ray-casting inside flag (reference crossing rule,
+// deepof/utils.py:1443-1541). One O(T*E) scan with O(1) temporaries
+// replaces the numpy broadcast's (T, E, 2) float64 intermediates — at
+// recording scale this is the supervised rule battery's hottest host op.
+void point_polygon(const double* pts, int64_t n_pts, const double* poly,
+                   int64_t n_v, double* out_dist, uint8_t* out_inside) {
+  for (int64_t p = 0; p < n_pts; ++p) {
+    const double x = pts[2 * p];
+    const double y = pts[2 * p + 1];
+    if (!std::isfinite(x) || !std::isfinite(y)) {
+      out_dist[p] = std::numeric_limits<double>::quiet_NaN();
+      // The numpy twin's crossing test propagates NaN comparisons to
+      // False, so non-finite points are reported outside.
+      out_inside[p] = 0;
+      continue;
+    }
+    double best = std::numeric_limits<double>::infinity();
+    int64_t crossings = 0;
+    for (int64_t e = 0; e < n_v; ++e) {
+      const double x1 = poly[2 * e], y1 = poly[2 * e + 1];
+      const int64_t e2 = (e + 1 == n_v) ? 0 : e + 1;
+      const double x2 = poly[2 * e2], y2 = poly[2 * e2 + 1];
+
+      // Segment distance.
+      const double vx = x2 - x1, vy = y2 - y1;
+      const double wx = x - x1, wy = y - y1;
+      const double c2 = vx * vx + vy * vy;
+      double t = c2 > 0.0 ? (wx * vx + wy * vy) / c2 : 0.0;
+      t = std::min(1.0, std::max(0.0, t));
+      const double dx = x - (x1 + t * vx);
+      const double dy = y - (y1 + t * vy);
+      const double d2 = dx * dx + dy * dy;
+      if (d2 < best) best = d2;
+
+      // Ray-casting crossing (reference rule: min(y1,y2) < y <= max and
+      // point left of the intersection, vertical edges at/right of x).
+      if (y > std::min(y1, y2) && y <= std::max(y1, y2) &&
+          x <= std::max(x1, x2)) {
+        const double dyv = y2 - y1;
+        const double xinters =
+            dyv != 0.0 ? (y - y1) * (x2 - x1) / dyv + x1 : x1;
+        if (x1 == x2 || x <= xinters) ++crossings;
+      }
+    }
+    out_dist[p] = std::sqrt(best);
+    out_inside[p] = (crossings % 2 == 1) ? 1 : 0;
+  }
+}
+
 // Binary moving median: out[i] = window of size lag around i has > pad ones.
 void binary_median(const uint8_t* a, int64_t n, int64_t lag, uint8_t* out) {
   const int64_t pad = (lag - 1) / 2;

@@ -86,6 +86,28 @@ def point_to_polygon_distance(points: jnp.ndarray, polygon: np.ndarray) -> jnp.n
     return jnp.where(finite, dist, jnp.nan)
 
 
+def point_polygon_host(points: np.ndarray, polygon: np.ndarray):
+    """Fused host (distance, inside) against a polygon — the supervised
+    battery's hottest host op (arena climb/sniff bands over every frame).
+
+    Uses the native C++ kernel when available (one O(T*E) scan, O(1)
+    temporaries); falls back to the numpy twins, whose (T, E, 2) float64
+    broadcast intermediates dominate at recording scale.
+    """
+    from deepof_tpu.native import native_point_polygon
+
+    poly = _close_polygon(polygon)
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.ndim == 2:
+        out = native_point_polygon(pts, poly)
+        if out is not None:
+            return out
+    return (
+        point_to_polygon_distance_host(pts, poly),
+        point_in_polygon_host(pts, poly),
+    )
+
+
 def point_in_polygon_host(points: np.ndarray, polygon: np.ndarray) -> np.ndarray:
     """Host numpy twin of :func:`point_in_polygon` (same crossing rule).
 

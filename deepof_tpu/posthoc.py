@@ -85,6 +85,7 @@ def _kinematics_table_views(
     include_areas: bool = True,
     file_name: Optional[str] = "kinematics",
     return_path: bool = False,
+    distance_pairs=None,
 ):
     """Kinematics tables for several animal views in ONE device pass.
 
@@ -94,6 +95,11 @@ def _kinematics_table_views(
     tables the supervised pipeline needs are subsets of the full ones, so
     recomputing (and re-fetching) the device programs per animal is pure
     waste. Returns {view: TableDict}.
+
+    ``distance_pairs``: optional explicit (bp_a, bp_b) list restricting the
+    distance columns fetched from the device — when a consumer only reads a
+    known subset (the immobility classifier reads 11 pairs per animal),
+    fetching all C(n, 2) pair columns per experiment is pure wire cost.
     """
     from deepof_tpu.utils import filter_animal_id_in_table
 
@@ -120,7 +126,8 @@ def _kinematics_table_views(
             if include_distances and (der == 0 or include_feature_derivatives):
                 parts.append((
                     deepof_project.get_distances_at_key(
-                        key=key, speed=der, filter_on_graph=False
+                        key=key, speed=der, filter_on_graph=False,
+                        pairs=distance_pairs,
                     ),
                     False,
                 ))

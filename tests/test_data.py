@@ -550,6 +550,24 @@ def test_project_pipeline_stage_methods(tmp_path):
     proj.number_of_rois = 0
 
 
+def test_get_distances_at_key_pairs_restriction(tmp_path):
+    """The pairs kwarg fetches exactly the requested distance columns
+    (order-insensitive within a pair) with values equal to the full
+    table's."""
+    proj = _make_project(tmp_path)
+    coords = proj.create(force=True, test=True, verbose=False)
+    k0 = next(iter(coords._tables))
+
+    full = coords.get_distances_at_key(key=k0, filter_on_graph=False)
+    some = [c for c in full.columns][:3]
+    swapped = [tuple(reversed(p)) for p in some]
+    sub = coords.get_distances_at_key(
+        key=k0, filter_on_graph=False, pairs=swapped
+    )
+    assert list(sub.columns) == some
+    np.testing.assert_allclose(sub.to_numpy(), full[some].to_numpy())
+
+
 def test_get_dt_rows_two_element_index_array():
     """get_dt keeps the reference's ambiguous convention where a 2-element
     load_range means an inclusive [start, end] span (reference

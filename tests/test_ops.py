@@ -322,6 +322,13 @@ def test_geometry_host_twins_match_jitted():
         got_d = point_to_polygon_distance_host(pts, poly)
         np.testing.assert_allclose(got_d, want_d, rtol=1e-5, equal_nan=True)
 
+        # the fused host path (native C++ when available) agrees too
+        from deepof_tpu.ops.geometry import point_polygon_host
+
+        fd, fi = point_polygon_host(pts, poly)
+        np.testing.assert_allclose(fd, want_d, rtol=1e-9, equal_nan=True)
+        np.testing.assert_array_equal(fi, want_in)
+
 
 # --------------------------------------------------------------------- #
 # windows
