@@ -22,6 +22,8 @@ from __future__ import annotations
 import math
 import os
 import warnings
+from dataclasses import dataclass
+from enum import Enum
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -604,14 +606,52 @@ def confirm_action(prompt: str = None, responder=None, message: str = None, wind
     return ans.strip().lower().startswith("y")  # pragma: no cover
 
 
+class Arena_GUI_exit_flag(Enum):
+    """Arena-GUI navigation outcomes (arena_utils.py:41-46): how the
+    operator left the per-video annotation dialog. The headless provider
+    flow here always completes a video (NEXT); the other states exist for
+    reference-compatible navigation code."""
+
+    UNKNOWN = 1
+    PREVIOUS = 2
+    NEXT = 3
+    PROPAGATE = 4
+    UNOPENED = 5
+
+
+@dataclass
+class DropdownConfig:
+    """Rendering parameters of the reference's OpenCV dropdown
+    (arena_utils.py:1339-1351); kept for signature compatibility — the
+    terminal selector below has no pixels to style."""
+
+    margin_right: int = 10
+    margin_top: int = 10
+    width: int = 60
+    height: int = 25
+    option_height: int = 25
+    font_scale: float = 0.5
+    font_thickness: int = 1
+    border_color: Tuple[int, int, int] = (100, 100, 100)
+    fill_color: Tuple[int, int, int] = (200, 200, 200)
+    text_color: Tuple[int, int, int] = (0, 0, 0)
+    main_box_color: Tuple[int, int, int] = (220, 220, 220)
+
+
 class DropdownUI:
     """Minimal option selector (counterpart of the reference's OpenCV
     DropdownUI): renders numbered options and returns the chosen one.
     ``chooser(options) -> index`` makes it scriptable."""
 
-    def __init__(self, options: List[str], title: str = "Select an option"):
-        self.options = list(options)
-        self.title = title
+    def __init__(
+        self, options: List[str] = None, title: str = "Select an option",
+        window_name: str = None, window_width: int = None,
+        hidden: bool = False, config: DropdownConfig = None,
+    ):
+        self.options = list(options or [])
+        self.title = window_name or title
+        self.config = config or DropdownConfig()
+        self.hidden = hidden
 
     def select(self, chooser=None) -> str:
         if chooser is not None:

@@ -774,3 +774,34 @@ def test_utils_public_name_diff_is_empty():
     }
     missing = sorted(ref_names - set(dir(du)))
     assert missing == [], missing
+
+
+@pytest.mark.parametrize(
+    "ref_file,repo_module",
+    [
+        ("arena_utils.py", "deepof_tpu.arena"),
+        ("annotation_utils.py", "deepof_tpu.annotate"),
+        ("post_hoc.py", "deepof_tpu.posthoc"),
+        ("visuals.py", "deepof_tpu.visuals"),
+        ("visuals_utils.py", "deepof_tpu.visuals_utils"),
+        ("data_loading.py", "deepof_tpu.core.storage"),
+        ("export_video.py", "deepof_tpu.export_video"),
+    ],
+)
+def test_module_public_name_diff_is_empty(ref_file, repo_module):
+    """Every public top-level name of each reference module resolves on
+    its deepof_tpu counterpart (the migration-layer completeness check
+    the round-4 verdict asked for, generalized beyond utils)."""
+    import ast
+    import importlib
+
+    ref_ast = ast.parse(open(f"/root/reference/deepof/{ref_file}").read())
+    ref_names = {
+        n.name
+        for n in ref_ast.body
+        if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+        and not n.name.startswith("_")
+    }
+    mod = importlib.import_module(repo_module)
+    missing = sorted(ref_names - set(dir(mod)))
+    assert missing == [], missing
