@@ -194,6 +194,65 @@ def test_assign_custom_behavior_colors():
     assert all(cb.color and cb.color.startswith("#") for cb in cbs)
 
 
+def test_full_features_restriction_lifted_for_custom_behaviors(tmp_path):
+    """Without custom behaviors the kinematics feature table fetches only
+    the immobility distance pairs; WITH custom behaviors (which receive
+    full_features in their context) the full pair set must be present."""
+    import os
+    import shutil
+
+    from deepof_tpu.data import Project
+
+    src = "/root/reference/tests/test_examples/test_single_topview"
+    (tmp_path / "Tables").mkdir()
+    (tmp_path / "Videos").mkdir()
+    for f in os.listdir(f"{src}/Tables"):
+        if f.endswith("h5"):
+            shutil.copy(f"{src}/Tables/{f}", tmp_path / "Tables" / f)
+    for f in os.listdir(f"{src}/Videos"):
+        shutil.copy(f"{src}/Videos/{f}", tmp_path / "Videos" / f)
+    proj = Project(
+        project_path=str(tmp_path), project_name="p",
+        video_path=str(tmp_path / "Videos"), table_path=str(tmp_path / "Tables"),
+        arena="circular-autodetect", video_scale="380 mm",
+        table_format="h5", frame_rate=25,
+    )
+    coords = proj.create(force=True, test=True, verbose=False)
+
+    seen = {}
+
+    def spy(ctx, aid):
+        ff = ctx.full_features[aid] if aid else ctx.full_features
+        from deepof_tpu.core.storage import get_dt
+
+        tab = get_dt(ff, ctx.key)
+        seen["n_dist_cols"] = sum(
+            1 for c in tab.columns if str(c).startswith("('")
+        )
+        return (ctx.speeds[ctx.bp(aid, "Nose")] < 10).to_numpy()
+
+    cb = DeepOF_behavior(
+        name="spying", scope=Behavior_scope.INDIVIDUAL,
+        output_type=Behavior_output.BINARY, compute=spy,
+    )
+    sup = coords.supervised_annotation(custom_behaviors=[cb], verbose=False)
+    n_bp = 14
+    assert seen["n_dist_cols"] == n_bp * (n_bp - 1) // 2  # all 91 pairs
+    assert any("spying" in c for c in next(iter(sup.values())).columns)
+
+    # default flow: restricted to the 11 immobility pairs
+    from deepof_tpu.annotate import IMMOBILITY_FEATURES_DISTS
+    from deepof_tpu.posthoc import _kinematics_table_views
+
+    restricted = _kinematics_table_views(
+        coords, views=[None], include_angles=False, file_name=None,
+        distance_pairs=[(a, b) for a, b in IMMOBILITY_FEATURES_DISTS],
+    )[None]
+    tab = next(iter(restricted.values()))
+    n_dist = sum(1 for c in tab.columns if str(c).startswith("('"))
+    assert n_dist == len(IMMOBILITY_FEATURES_DISTS)
+
+
 def test_max_behaviour_labels():
     df = pd.DataFrame(
         {
