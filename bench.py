@@ -457,7 +457,14 @@ def _bench_train_step() -> dict:
                     _mark(f"train MFU ({name}): lowering unrolled step")
                     os.environ["DEEPOF_TPU_GRU_UNROLL"] = str(window)
                     try:
-                        cost = jax.jit(step).lower(
+                        # make_vqvae_step returns an ALREADY-jitted fn whose
+                        # trace cache was populated during the timed runs
+                        # with unroll=1 — lowering it again would silently
+                        # reuse that jaxpr and undercount the GRU scan
+                        # bodies ~8x. Build a FRESH step under the unroll
+                        # env so the lowering really unrolls.
+                        cost_step = make_vqvae_step(model, optimizer)
+                        cost = cost_step.lower(
                             params, opt_state, rest, x, a, key
                         ).compile().cost_analysis()
                     finally:
