@@ -1779,9 +1779,10 @@ class Coordinates:
     # get_distances / get_angles / get_areas
     # ------------------------------------------------------------------ #
 
-    def _distance_keep_idx(self, selected_id, filter_on_graph) -> list:
+    def _distance_keep_idx(self, selected_id, filter_on_graph, pairs=None) -> list:
         """Key-independent kept-column indices for distance tables
-        (ego -> selected_id -> graph filters, in reference order)."""
+        (ego -> selected_id -> graph -> explicit-pairs filters, in
+        reference order)."""
         pair_cols = list(self._pair_names)
         keep_idx = list(range(len(pair_cols)))
         if getattr(self, "_ego", False):
@@ -1803,6 +1804,12 @@ class Coordinates:
             keep_idx = [
                 i for i in keep_idx
                 if tuple(sorted(pair_cols[i])) in edges
+            ]
+        if pairs is not None:
+            wanted = {tuple(sorted(map(str, p))) for p in pairs}
+            keep_idx = [
+                i for i in keep_idx
+                if tuple(sorted(map(str, pair_cols[i]))) in wanted
             ]
         return keep_idx
 
@@ -1838,13 +1845,7 @@ class Coordinates:
         # ``pairs``: an explicit list of (bp_a, bp_b) pairs to keep (order
         # within a pair is irrelevant); composes with the other filters.
         pair_cols = list(self._pair_names)
-        keep_idx = self._distance_keep_idx(selected_id, filter_on_graph)
-        if pairs is not None:
-            wanted = {tuple(sorted(map(str, p))) for p in pairs}
-            keep_idx = [
-                i for i in keep_idx
-                if tuple(sorted(map(str, pair_cols[i]))) in wanted
-            ]
+        keep_idx = self._distance_keep_idx(selected_id, filter_on_graph, pairs)
         if _gathered is not None:
             arr = np.array(np.asarray(_gathered), dtype=np.float64)
         else:

@@ -101,6 +101,7 @@ def _kinematics_table_views(
     known subset (the immobility classifier reads 11 pairs per animal),
     fetching all C(n, 2) pair columns per experiment is pure wire cost.
     """
+    from deepof_tpu.data import _fetch_all, _gather_columns_device
     from deepof_tpu.utils import filter_animal_id_in_table
 
     def _view_filter(df, view, is_areas=False):
@@ -110,8 +111,43 @@ def _kinematics_table_views(
             return df.loc[:, [c for c in df.columns if c.startswith(view)]]
         return filter_animal_id_in_table(df, view)
 
+    keys = list(deepof_project.get_table_keys())
+
+    # Phase 1: enqueue the column-sliced device gathers for EVERY key
+    # (distances / angles / areas are key-independent slices of the
+    # stored arrays), then collect them in one coalesced transfer
+    # (_fetch_all: one wire crossing per dtype through the tunnel)
+    # instead of one blocking fetch per key per part.
+    handles, owners = [], []
+    if include_distances:
+        d_keep = deepof_project._distance_keep_idx(
+            None, False, pairs=distance_pairs
+        )
+        for key in keys:
+            handles.append(_gather_columns_device(
+                deepof_project._distances[key], d_keep,
+                len(deepof_project._pair_names),
+            ))
+            owners.append(("dists", key))
+    if include_angles:
+        a_keep = deepof_project._angle_keep_idx(None)
+        for key in keys:
+            handles.append(_gather_columns_device(
+                deepof_project._angles[key], a_keep,
+                len(deepof_project._bridge_names),
+            ))
+            owners.append(("angles", key))
+    if include_areas:
+        n_areas = len(deepof_project._area_names)
+        for key in keys:
+            handles.append(_gather_columns_device(
+                deepof_project._areas[key], list(range(n_areas)), n_areas,
+            ))
+            owners.append(("areas", key))
+    fetched = dict(zip(owners, _fetch_all(handles)))
+
     out = {view: {} for view in views}
-    for key in deepof_project.get_table_keys():
+    for key in keys:
         kin = {view: pd.DataFrame() for view in views}
         for der in range(kin_derivative + 1):
             parts = []  # (DataFrame, is_areas)
@@ -127,18 +163,22 @@ def _kinematics_table_views(
                 parts.append((
                     deepof_project.get_distances_at_key(
                         key=key, speed=der, filter_on_graph=False,
-                        pairs=distance_pairs,
+                        pairs=distance_pairs, _gathered=fetched[("dists", key)],
                     ),
                     False,
                 ))
             if include_angles and (der == 0 or include_feature_derivatives):
                 parts.append((
-                    deepof_project.get_angles_at_key(key=key, speed=der), False
+                    deepof_project.get_angles_at_key(
+                        key=key, speed=der, _gathered=fetched[("angles", key)]
+                    ),
+                    False,
                 ))
             if include_areas and (der == 0 or include_feature_derivatives):
                 parts.append((
                     deepof_project.get_areas_at_key(
-                        key=key, speed=der, selected_id="all"
+                        key=key, speed=der, selected_id="all",
+                        _gathered=fetched[("areas", key)],
                     ),
                     True,
                 ))
