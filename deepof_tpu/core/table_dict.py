@@ -132,7 +132,9 @@ class TableDict(dict):
             proj = KernelPCA(n_components=n_components, kernel=kernel)
         elif projection_type == "umap":  # pragma: no cover
             try:
-                import umap as umap_lib
+                from deepof_tpu.utils import import_optional
+
+                umap_lib = import_optional("umap")  # stub-rejecting
             except ImportError as e:
                 raise ImportError("UMAP projections require the optional 'umap-learn' package.") from e
             proj = umap_lib.UMAP(n_components=n_components)

@@ -720,8 +720,9 @@ def separation_between_conditions(
             for cond in conditions
         ]
         try:
-            import ot
+            from deepof_tpu.utils import import_optional
 
+            ot = import_optional("ot")  # stub-rejecting (see import_optional)
             d = ot.sliced_wasserstein_distance(*arrays, n_projections=10000)
             return float(d)
         except (ImportError, TypeError, AttributeError):

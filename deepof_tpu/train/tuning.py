@@ -83,8 +83,11 @@ def tune_deepof_model(
 
     if use_optuna is None:
         try:
-            import optuna  # noqa: F401
+            # stub-rejecting import: a test harness may have installed an
+            # auto-stub "optuna" into sys.modules (see utils.import_optional)
+            from deepof_tpu.utils import import_optional
 
+            import_optional("optuna")
             use_optuna = True
         except ImportError:
             use_optuna = False

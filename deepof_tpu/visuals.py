@@ -1009,7 +1009,9 @@ def plot_embeddings(
             return TSNE(n_components=2, perplexity=perp).fit_transform(arr)
         if projection == "umap":
             try:
-                import umap as umap_lib
+                from deepof_tpu.utils import import_optional
+
+                umap_lib = import_optional("umap")  # stub-rejecting
             except ImportError as e:  # pragma: no cover
                 raise ImportError(
                     "projection='umap' requires the optional 'umap-learn' "
